@@ -1,0 +1,244 @@
+"""Similarity search over embedding columns (array<float>), 100 TB-ready.
+
+* ``cosine`` / ``dot`` / ``l2_norm`` — pure JVM expressions (zip_with +
+  aggregate folds in double precision, left-to-right — deterministic and
+  oracle-reproducible bit-for-bit).
+* ``brute_force_topk`` — exact top-k: broadcast the (small) query set
+  against the corpus; one map-side stage + per-query top-k via max_by-style
+  window.  The right baseline and the verifier for the ANN paths.
+* ``lsh_topk`` — random-hyperplane LSH: bucket by sign bits, probe only
+  matching buckets.  Candidates shrink by ~2^bits; recall tunable via
+  multi-probe (hamming-adjacent buckets).
+* ``ivf_topk`` — IVF-style coarse quantization: assign vectors to nearest
+  of C centroids (a tiny broadcast table), probe the nprobe nearest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, left-to-right fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos) — excludes self.
+
+    The query side is broadcast (it is small by construction); the corpus
+    is never shuffled — the only exchange is the per-query top-k, which
+    AQE handles with a TakeOrdered per group.  ``round_digits`` rounds the
+    similarity *before* ranking so rankings are reproducible across
+    summation orders/engines (ties then break by neighbor id).
+    """
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id (long) from literal hyperplanes — all JVM math."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH (single-probe).
+
+    Plan shape: corpus scan → bucket expr (map-only) → equi-join with the
+    broadcast bucketed queries → exact cosine on ~corpus/2^bits candidates
+    → per-query top-k.  At 100 TB the bucket column should be materialized
+    at ingest (partition or cluster by it) so the probe prunes files.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), on="__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: centroids = deterministic corpus sample (id order, no
+    k-means dependency); every vector is assigned to its nearest centroid
+    (broadcast of C vectors, map-only); each query probes the ``nprobe``
+    nearest inverted lists.
+
+    The inverted-list assignment is exactly the partition key you'd cluster
+    the table by at scale — probing then prunes 1-nprobe/C of the data."""
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = [list(r[0]) for r in cent_rows]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """array of the n nearest centroid ids by cosine."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(float(v)) for v in cvec])).alias("s"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cvec in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        nearest_lists(F.col(vec_col), 1)[0].alias("__list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
+    )
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.join(F.broadcast(q), on="__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidates via hyperplane-LSH self-join on the bucket (near-identical
+    vectors agree on all sign bits with high probability), verified with
+    exact cosine.  Output: (id_a, id_b, cos), id_a < id_b."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, bits, seed)
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )

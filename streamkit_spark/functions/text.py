@@ -1,0 +1,165 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All hot-path functions are built-in ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage-codegen'd) — no Python UDFs.  Every function returns
+a Column so it composes into declarative plans that Catalyst can push
+around; on 100 TB these run as map-only stages with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the n-gram/stopword language
+# heuristic.  Deterministic, dependency-free; precision is secondary to
+# having a fully-declarative scoring pipeline.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with", "as", "at"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "en", "est", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein", "zu", "auf"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这", "中", "大"],
+}
+
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy; see ``bpe_token_estimate``)."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-ish token estimate without a tokenizer dependency: count
+    word-piece-shaped units (letter runs, digit runs, single punctuation).
+    Matches the common ~chars/4 heuristic far better than whitespace count on
+    code/punctuation-heavy text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (F.length(F.trim(t)) > 0),
+        )
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (deduplicated).
+
+    Pure JVM expression: transform over an index sequence + slice +
+    concat_ws — the building block for Jaccard/MinHash dedup."""
+    toks = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram shingles (lowercased), array<string> distinct."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    (The reference's analog is content-addressed payload identity; md5 keeps
+    the oracle cross-checkable — DuckDB md5 produces identical hex.)"""
+    return F.md5(normalized_text(col))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def avg_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards moderate length, normal
+    word length, some stopwords; penalizes punctuation soup.  Weights are
+    arbitrary but fixed — downstream filtering just needs a stable ordering."""
+    ntok = token_count(col).cast("double")
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    wl = avg_token_length(col)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - punct_ratio(col) * 4, F.lit(0.0))
+    return (len_score * 0.3 + wl_score * 0.2 + sw_score * 0.3 + punct_pen * 0.2)
+
+
+def lang_scores(col: Column | str) -> Column:
+    """array<struct<score double, lang string>> of stopword-hit ratios."""
+    toks = tokens(col)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, F.lower(t))))
+        scores.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
+    return F.array(*scores)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax stopword-hit ratio, ties broken by
+    lang code descending (struct max is lexicographic) — deterministic."""
+    return F.array_max(lang_scores(col)).getField("lang")
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the standard text-analysis columns."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("avg_token_len", avg_token_length(c))
+        .withColumn("stopword_ratio", stopword_ratio(c))
+        .withColumn("punct_ratio", punct_ratio(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

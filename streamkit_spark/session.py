@@ -1,0 +1,52 @@
+"""SparkSession factory for the engine.
+
+Defaults are tuned for the local[32] test rig but every setting scales to a
+real cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), shuffle partitions sized to cores locally (on a cluster this
+is overridden to ~2-3x total cores), UTC session timezone so results are
+oracle-comparable, Arrow enabled for the Pandas-UDF slow path.
+
+``spark.sql.legacy.parquet.nanosAsLong=true`` is required to read the
+driver fixtures' TIMESTAMP(NANOS) column as a raw long; the engine treats
+event time as integer epoch units end-to-end (the reference does the same —
+int64 ms, /root/reference/pkg/api/messages.go:102-110), which keeps time
+arithmetic in whole-stage codegen and avoids timezone drift entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "streamkit_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
