@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is built fresh and fully executed (count of the final plan —
+no driver-side collect of bulk rows, mirroring a write-to-sink terminal
+op).  A small warm-up query first so JVM/codegen startup isn't billed to
+the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamkit_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+
+# Headline set: one per operator family — scan+sort, cursor scan, merge,
+# status agg, window top-k, TPC-H agg + joins, dedup (exact-jaccard and
+# LSH), ANN, text stats.
+HEADLINE = [
+    "s1_consume_segment",
+    "s2_consume_space",
+    "s3_consume_merge",
+    "w1_peek_all",
+    "a1_segment_status",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue",
+    "topk_orders_per_customer",
+    "monthly_revenue",
+    "x3_json_extract",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "doc_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark(app_name="streamkit_spark_bench")
+
+    queries = entry.queries()
+    # warm-up: touch each input table so FS cache + codegen are warm
+    from streamkit_spark import tables
+
+    for t in tables.TABLE_NAMES:
+        tables.load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
