@@ -1,0 +1,168 @@
+"""Write-path behavior tests, modeled on the reference's integration suite
+(test/core_integration_test.go, test/transaction_edge_integration_test.go,
+test/consume_boundaries_integration_test.go semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamkit_spark.errors import SequenceMismatchError, ValidationError
+from streamkit_spark.operators import invariants
+from streamkit_spark.operators.consume import ConsumeBounds, consume_segment, peek
+from streamkit_spark.operators.produce import Store
+from streamkit_spark.operators.status import get_segments, get_spaces, segment_status
+from streamkit_spark.schema import ENVELOPE_BINDING, PRODUCE_CHUNK_SIZE
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "store"))
+
+
+def recs(start, n, payload=b"x"):
+    return [(start + i, payload, None) for i in range(n)]
+
+
+def test_should_append_and_read_back_in_order(store, spark):
+    store.produce("s0", "g0", recs(1, 5), now_ms=1000)
+    out = consume_segment(store.events(), "s0", "g0").collect()
+    assert [r["sequence"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["ts"] == 1000 for r in out)
+    assert invariants.check_all(store.events()) == {
+        "i1_contiguity": 0,
+        "i2_density": 0,
+        "i3_trx_monotonic": 0,
+    }
+
+
+def test_should_reject_gap_after_existing_tail(store):
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    with pytest.raises(SequenceMismatchError):
+        store.produce("s0", "g0", recs(5, 2), now_ms=2)
+
+
+def test_should_reject_internal_gap_or_dup(store):
+    with pytest.raises(SequenceMismatchError):
+        store.produce("s0", "g0", [(1, b"a", None), (3, b"b", None)], now_ms=1)
+    with pytest.raises(SequenceMismatchError):
+        store.produce("s0", "g0", [(1, b"a", None), (1, b"b", None)], now_ms=1)
+
+
+def test_should_reject_invalid_records(store):
+    with pytest.raises(ValidationError):
+        store.produce("", "g0", recs(1, 1))
+    with pytest.raises(ValidationError):
+        store.produce("s0", "g0", [(0, b"a", None)], now_ms=1)
+    with pytest.raises(ValidationError):
+        store.produce("s0", "g0", [(1, None, None)], now_ms=1)
+
+
+def test_should_assign_one_trx_per_chunk(store):
+    n = PRODUCE_CHUNK_SIZE + 7
+    statuses = store.produce("s0", "g0", recs(1, n), now_ms=5)
+    assert len(statuses) == 2
+    ev = store.events()
+    trx = (
+        ev.groupBy("trx_number").count().orderBy("trx_number").collect()
+    )
+    assert [(r["trx_number"], r["count"]) for r in trx] == [
+        (1, PRODUCE_CHUNK_SIZE),
+        (2, 7),
+    ]
+    assert ev.select("trx_id").distinct().count() == 2
+    assert invariants.i3_trx_monotonic(ev).count() == 0
+
+
+def test_should_continue_trx_numbers_across_produces(store):
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    store.produce("s0", "g0", recs(4, 3), now_ms=2)
+    store.produce("s0", "g1", recs(1, 2), now_ms=3)  # independent segment
+    ev = store.events()
+    g0 = ev.filter("segment = 'g0'")
+    assert g0.select("trx_number").distinct().count() == 2
+    assert g0.agg({"trx_number": "max"}).first()[0] == 2
+    assert ev.filter("segment = 'g1'").agg({"trx_number": "max"}).first()[0] == 1
+    assert invariants.check_all(ev) == {
+        "i1_contiguity": 0,
+        "i2_density": 0,
+        "i3_trx_monotonic": 0,
+    }
+
+
+def test_publish_auto_sequences(store):
+    s1 = store.publish("s0", "g0", b"one", now_ms=1)
+    s2 = store.publish("s0", "g0", b"two", {"k": "v"}, now_ms=2)
+    assert s1["last_sequence"] == 1 and s2["last_sequence"] == 2
+    row = peek(store.events(), "s0", "g0").first()
+    assert row["sequence"] == 2 and bytes(row["payload"]) == b"two"
+    assert row["metadata"] == {"k": "v"}
+
+
+def test_peek_respects_watermark_clamp(store):
+    store.produce("s0", "g0", recs(1, 2), now_ms=100)
+    store.produce("s0", "g0", recs(3, 1), now_ms=200)
+    # watermark at 150 hides the ts=200 row (reference node.go:280-285)
+    row = peek(store.events(), "s0", "g0", max_ts=150).first()
+    assert row["sequence"] == 2
+    row = peek(store.events(), "s0", "g0").first()
+    assert row["sequence"] == 3
+
+
+def test_empty_segment_peek_returns_no_rows(store, spark):
+    store.produce("s0", "g0", recs(1, 1), now_ms=1)
+    assert peek(store.events(), "s0", "missing").count() == 0
+
+
+def test_inventory_and_status(store):
+    store.produce("alpha", "g0", recs(1, 2), now_ms=10)
+    store.produce("beta", "g0", recs(1, 3), now_ms=20)
+    store.produce("alpha", "g1", recs(1, 1), now_ms=30)
+    ev = store.events()
+    assert [r["space"] for r in get_spaces(ev).collect()] == ["alpha", "beta"]
+    assert [r["segment"] for r in get_segments(ev, "alpha").collect()] == ["g0", "g1"]
+    st = {
+        (r["space"], r["segment"]): (
+            r["first_sequence"],
+            r["first_ts"],
+            r["last_sequence"],
+            r["last_ts"],
+        )
+        for r in segment_status(ev).collect()
+    }
+    assert st[("alpha", "g0")] == (1, 10, 2, 10)
+    assert st[("beta", "g0")] == (1, 20, 3, 20)
+    assert st[("alpha", "g1")] == (1, 30, 1, 30)
+
+
+def test_consume_bounds_min_exclusive_max_inclusive(store):
+    # timestamp semantics: min exclusive, max inclusive
+    store.produce("s0", "g0", recs(1, 1), now_ms=100)
+    store.produce("s0", "g0", recs(2, 1), now_ms=200)
+    store.produce("s0", "g0", recs(3, 1), now_ms=300)
+    ev = store.events()
+    got = consume_segment(
+        ev, "s0", "g0", ConsumeBounds(min_ts=100, max_ts=300), binding=ENVELOPE_BINDING
+    ).collect()
+    assert [r["sequence"] for r in got] == [2, 3]
+    # max_sequence < min_sequence clamps to min (F3)
+    got = consume_segment(
+        ev, "s0", "g0", ConsumeBounds(min_sequence=2, max_sequence=1)
+    ).collect()
+    assert [r["sequence"] for r in got] == [2]
+
+
+def test_concurrent_producer_single_winner(store, spark):
+    """Two producers race from the same peek; exactly one wins
+    (reference: docs/limitations.md:57-60, core_integration_test.go:48-88)."""
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    # producer A and B both observed last=3; A commits first
+    store.produce("s0", "g0", recs(4, 2), now_ms=2)
+    with pytest.raises(SequenceMismatchError):
+        store.produce("s0", "g0", recs(4, 2), now_ms=3)  # B loses
+    ev = store.events()
+    assert invariants.check_all(ev) == {
+        "i1_contiguity": 0,
+        "i2_density": 0,
+        "i3_trx_monotonic": 0,
+    }
+    assert ev.count() == 5
