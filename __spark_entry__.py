@@ -438,6 +438,192 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Time-series / window / set-op extensions
+# --------------------------------------------------------------------------
+
+def q_asof_purchase_click(spark, sf_dir):
+    """Backward as-of join: each purchase picks up the user's latest click
+    at-or-before it (operators/asof.py — union-tag + running window)."""
+    from streamkit_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = base.filter(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="ts_ms",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("ts_ms_asof").alias("last_click_ts"),
+        F.col("event_id_asof").alias("last_click_event"),
+    ).orderBy("event_id")
+
+
+def q_range_join_nearby(spark, sf_dir):
+    """Band join: clicks within ±10 min of each error by the same user
+    (operators/asof.py range_join — bucketized equi-join)."""
+    from streamkit_spark.operators.asof import range_join
+
+    ev = _ev(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
+    )
+    errors = base.filter(F.col("event_type") == "error").drop("event_type")
+    clicks = base.filter(F.col("event_type") == "click").drop("event_type")
+    pairs = range_join(errors, clicks, on="user_id", left_ts="ts_ms",
+                       right_ts="ts_ms", band_ms=600000)
+    return (
+        pairs.groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user (operators/windows.py)."""
+    from streamkit_spark.operators.windows import session_stats
+
+    ev = _ev(spark, sf_dir)
+    return session_stats(
+        ev, "user_id", F.expr("ts div 1000000"), gap_ms=1800000
+    )
+
+
+def q_tumbling_daily(spark, sf_dir):
+    """Daily tumbling windows per event type (operators/windows.py)."""
+    from streamkit_spark.operators.windows import tumbling_agg
+
+    ev = _ev(spark, sf_dir)
+    out = tumbling_agg(
+        ev,
+        F.expr("ts div 1000000"),
+        86400000,
+        ["event_type"],
+        [
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+            ).alias("sum_value"),
+        ],
+    )
+    return out.orderBy("window_id", "event_type")
+
+
+def q_set_click_no_purchase(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would keep
+    # surplus multiplicities)
+    return clicks.subtract(purch).orderBy("user_id")
+
+
+def q_set_click_and_purchase(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purch).orderBy("user_id")
+
+
+def q_rollup_event_counts(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n")
+        .orderBy("event_type")
+    )
+
+
+def q_pivot_user_events(spark, sf_dir):
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") < 30)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (SURVEY §2.8 extensions)
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark, sf_dir):
+    cust = tables.load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.concat_ws("#", "c_name", "c_mktsegment").alias("tagged"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("denumbered"),
+    ).orderBy("c_custkey")
+
+
+def q_date_funcs(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("day"),
+        F.quarter(d).cast("long").alias("q"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+    ).orderBy("o_orderkey")
+
+
+def q_math_funcs(spark, sf_dir):
+    orders = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    x = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.sqrt(x), 4).alias("sqrt_p"),
+        F.round(F.log(x), 4).alias("ln_p"),
+        F.round(F.log10(x), 4).alias("log10_p"),
+        F.round(x % 1000, 4).alias("mod_1000"),
+        F.floor(x / 1000).cast("long").alias("k_bucket"),
+        F.round(F.abs(x - 100000), 4).alias("abs_dev"),
+    ).orderBy("o_orderkey")
+
+
+def q_median_quantity(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Heuristic language-ID vs labeled lang (functions/text.py lang_id)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -480,6 +666,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
+        # time-series / windows / set ops
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_nearby": q_range_join_nearby,
+        "session_stats": q_session_stats,
+        "tumbling_daily": q_tumbling_daily,
+        "set_click_no_purchase": q_set_click_no_purchase,
+        "set_click_and_purchase": q_set_click_and_purchase,
+        "rollup_event_counts": q_rollup_event_counts,
+        "pivot_user_events": q_pivot_user_events,
+        # scalar surface
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "math_funcs": q_math_funcs,
+        "median_quantity": q_median_quantity,
+        "lang_id_confusion": q_lang_id_confusion,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_norms": q_embedding_norms,
         "embedding_near_dups": q_embedding_near_dups,
@@ -741,6 +942,153 @@ def oracle_sql() -> dict[str, str]:
                  * sqrt(list_sum(list_apply(b.e, x -> x * x)))) >= 0.95
         ORDER BY id_a, id_b
     """
+    sql["asof_purchase_click"] = """
+        WITH base AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+        )
+        SELECT p.event_id, p.user_id, p.ts_ms,
+               c.ts_ms AS last_click_ts, c.event_id AS last_click_event
+        FROM (SELECT * FROM base WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM base WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+        ORDER BY p.event_id
+    """
+    sql["range_join_nearby"] = """
+        SELECT e.event_id, count(*) AS n_nearby
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id AND c.event_type = 'click'
+         AND abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= 600000
+        WHERE e.event_type = 'error'
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["session_stats"] = """
+        WITH gaps AS (
+            SELECT user_id, epoch_ms(ts) AS ts_ms,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+        ), tagged AS (
+            SELECT user_id, ts_ms,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM gaps
+        ), per_session AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   max(ts_ms) - min(ts_ms) AS span
+            FROM tagged GROUP BY 1, 2
+        )
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               max(span) AS longest_session_ms
+        FROM per_session GROUP BY 1 ORDER BY 1
+    """
+    sql["tumbling_daily"] = """
+        SELECT epoch_ms(ts) // 86400000 AS window_id, event_type,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["set_click_no_purchase"] = """
+        SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE event_type='click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type='purchase'
+        ) ORDER BY user_id
+    """
+    sql["set_click_and_purchase"] = """
+        SELECT user_id FROM events WHERE event_type='click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type='purchase'
+        ORDER BY user_id
+    """
+    sql["rollup_event_counts"] = """
+        SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n
+        FROM events GROUP BY ROLLUP (event_type) ORDER BY 1
+    """
+    sql["pivot_user_events"] = """
+        SELECT user_id,
+               CAST(count(*) FILTER (event_type='click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type='error') AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (event_type='purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type='signup') AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (event_type='view') AS BIGINT) AS n_view
+        FROM events WHERE user_id < 30 GROUP BY 1 ORDER BY 1
+    """
+    sql["string_funcs"] = """
+        SELECT c_custkey,
+               upper(c_name) AS uname,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               substr(c_name, 1, 8) AS prefix8,
+               c_name || '#' || c_mktsegment AS tagged,
+               lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+               regexp_replace(c_name, '[0-9]+', 'N', 'g') AS denumbered
+        FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
+    """
+    sql["date_funcs"] = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS day,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                        '%Y-%m-%d') AS plus30
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """
+    sql["math_funcs"] = """
+        SELECT o_orderkey,
+               round(sqrt(o_totalprice), 4) AS sqrt_p,
+               round(ln(o_totalprice), 4) AS ln_p,
+               round(log10(o_totalprice), 4) AS log10_p,
+               round(o_totalprice % 1000, 4) AS mod_1000,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_bucket,
+               round(abs(o_totalprice - 100000), 4) AS abs_dev
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """
+    sql["median_quantity"] = """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+    _sw = {
+        "de": "['der','die','das','und','ist','von','mit','den','im','ein','zu','auf']",
+        "en": "['the','a','of','and','to','in','is','on','for','with','as','at']",
+        "es": "['el','la','de','y','que','en','un','una','los','por','con','para']",
+        "fr": "['le','la','de','et','les','des','un','une','du','en','est','pour']",
+        "zh": "['的','是','在','了','和','有','我','不','人','这','中','大']",
+    }
+    _score = {
+        lang: (
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            f" t -> list_contains({lst}, lower(t))))::DOUBLE"
+            f" / greatest(len(string_split_regex(trim(text), '\\s+')), 1)"
+        )
+        for lang, lst in _sw.items()
+    }
+    sql["lang_id_confusion"] = f"""
+        WITH scored AS (
+            SELECT lang,
+                   {_score['de']} AS s_de, {_score['en']} AS s_en,
+                   {_score['es']} AS s_es, {_score['fr']} AS s_fr,
+                   {_score['zh']} AS s_zh
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE
+                     WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de'
+                   END AS predicted
+            FROM scored
+        )
+        SELECT lang, predicted, count(*) AS n FROM pred
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).
     return sql

@@ -138,10 +138,15 @@ def lang_scores(col: Column | str) -> Column:
     """array<struct<score double, lang string>> of stopword-hit ratios."""
     toks = tokens(col)
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    def contains(sw):
+        # factory closure: a 2-arg lambda would be treated by PySpark as
+        # the (element, index) form, so bind sw here
+        return lambda t: F.array_contains(sw, F.lower(t))
+
     scores = []
     for lang in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        hits = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, F.lower(t))))
+        hits = F.size(F.filter(toks, contains(sw)))
         scores.append(F.struct((hits / n).alias("score"), F.lit(lang).alias("lang")))
     return F.array(*scores)
 

@@ -1,0 +1,95 @@
+"""Edge semantics for as-of join, range join, sessionization, tumbling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamkit_spark.operators.asof import asof_join, range_join
+from streamkit_spark.operators.windows import session_stats, sessionize, tumbling_agg
+
+
+def test_asof_backward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 200), (3, "k", 50), (4, "other", 500)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100), (11, "k", 150), (12, "zzz", 1)],
+        "rid long, k string, t long",
+    )
+    out = {
+        r["id"]: (r["t_asof"], r["rid"])
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", right_cols=["rid"]
+        ).collect()
+    }
+    assert out[1] == (100, 10)  # equal ts: inclusive
+    assert out[2] == (150, 11)  # latest at-or-before
+    assert out[3] == (None, None)  # nothing before → nulls
+    assert out[4] == (None, None)  # key with no right rows at all
+
+
+def test_asof_picks_latest_of_equal_ts_right_rows(spark):
+    left = spark.createDataFrame([(1, "k", 10)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [(7, "k", 10), (8, "k", 10)], "rid long, k string, t long"
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="t", right_ts="t", right_cols=["rid"]
+    ).first()
+    # last in (ts, input-order) wins — deterministic given ordered input ids
+    assert row["rid"] in (7, 8) and row["t_asof"] == 10
+
+
+def test_range_join_band_inclusive(spark):
+    left = spark.createDataFrame([(1, "k", 1000)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [(10, "k", 900), (11, "k", 1100), (12, "k", 1101), (13, "x", 1000)],
+        "rid long, k string, t long",
+    )
+    got = sorted(
+        r["r_rid"]
+        for r in range_join(left, right, on="k", left_ts="t", right_ts="t", band_ms=100).collect()
+    )
+    assert got == [10, 11]  # 1101 outside band (inclusive ±100); x key excluded
+
+
+def test_range_join_no_duplicate_pairs_across_buckets(spark):
+    # a pair near a bucket boundary must appear exactly once
+    left = spark.createDataFrame([(1, "k", 199)], "id long, k string, t long")
+    right = spark.createDataFrame([(10, "k", 201)], "rid long, k string, t long")
+    rows = range_join(left, right, on="k", left_ts="t", right_ts="t", band_ms=100).collect()
+    assert len(rows) == 1
+
+
+def test_sessionize_gap_boundary(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 1000), ("u", 2001), ("u", 2500)], "k string, t long"
+    )
+    out = sessionize(df, "k", F.col("t"), gap_ms=1000).orderBy("t").collect()
+    # gap == 1000 continues the session (strictly greater starts a new one)
+    assert [r["session_id"] for r in out] == [1, 1, 2, 2]
+
+
+def test_session_stats_counts(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 5000), ("v", 7)], "k string, t long"
+    )
+    out = {
+        r["k"]: (r["n_sessions"], r["n_events"], r["longest_session_ms"])
+        for r in session_stats(df, "k", F.col("t"), gap_ms=1000).collect()
+    }
+    assert out == {"u": (2, 3, 100), "v": (1, 1, 0)}
+
+
+def test_tumbling_window_ids(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 999), ("a", 1000), ("b", 2500)], "k string, t long"
+    )
+    out = {
+        (r["window_id"], r["k"]): r["n"]
+        for r in tumbling_agg(
+            df, F.col("t"), 1000, ["k"], [F.count("*").alias("n")]
+        ).collect()
+    }
+    assert out == {(0, "a"): 2, (1, "a"): 1, (2, "b"): 1}
