@@ -24,7 +24,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from streamkit_spark.functions.text import normalized_text, tokens, word_ngrams
+
+
+def _lc(text_col: str) -> Column:
+    """Dedup operates case-insensitively: shingles come from lowercased
+    text (the oracle SQL mirrors with lower(text))."""
+    return F.lower(F.col(text_col))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a (possibly single-file) input across the cluster before
+    expression-heavy per-row work.  A small parquet lands in one partition,
+    which would serialize shingling/hashing on one core; the repartition
+    cost (shuffling raw docs once) is tiny next to the per-row compute it
+    parallelizes.  At real scale inputs arrive in many partitions and this
+    becomes a no-op-sized adjustment."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------- exact
@@ -65,9 +86,9 @@ def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(id, shingle) exploded distinct word n-grams."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(text_col, n)).alias("shingle"),
+        F.explode(word_ngrams(_lc(text_col), n)).alias("shingle"),
     )
 
 
@@ -128,8 +149,9 @@ def minhash_signature(
     Hashing is ``xxhash64(shingle, salt_i)`` — JVM built-in, codegen'd, no
     Python in the loop.  One explode + one groupBy: shuffle carries
     (id, num_hashes longs) per doc, independent of document length."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(text_col, ngram)).alias("shingle")
+    sh = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(_lc(text_col), ngram)).alias("shingle"),
     )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
@@ -198,13 +220,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verify on candidates only
-    shingles = df.select(
-        F.col(id_col).alias("doc_id"), word_ngrams(text_col, ngram).alias("sh")
+    shingles = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), ngram).alias("sh")
     )
     va = shingles.alias("va")
     vb = shingles.alias("vb")
+    # candidate pairs are tiny next to the shingle arrays: broadcast them so
+    # the heavy array column streams through two map-side joins instead of
+    # shuffling (and instead of a borderline auto-broadcast of the arrays)
     return (
-        cand.join(va, F.col("id_a") == F.col("va.doc_id"))
+        va.join(F.broadcast(cand), F.col("id_a") == F.col("va.doc_id"))
         .join(vb, F.col("id_b") == F.col("vb.doc_id"))
         .select(
             "id_a",
@@ -229,8 +254,8 @@ def simhash64(
     Per bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
     Implemented as one explode + 64 conditional-sum aggregates (all JVM);
     the shuffle carries one row of 64 ints per doc."""
-    tok = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(_lc(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(

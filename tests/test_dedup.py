@@ -1,0 +1,58 @@
+"""Dedup operator properties: exact dedup with planted duplicates, LSH
+recall vs exact Jaccard, SimHash near-dup detection."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamkit_spark import tables
+from streamkit_spark.functions import dedup as D
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "THE  QUICK  BROWN  FOX jumps over the lazy dog again and again today"),
+        (3, "a completely different document about spark query engines and scale"),
+        (4, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (5, "another unrelated text mentioning embeddings and lsh buckets loudly"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs_with_dupes):
+    groups = D.exact_duplicate_groups(docs_with_dupes).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs_with_dupes).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_jaccard_finds_one_word_edit(docs_with_dupes):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs_with_dupes, threshold=0.5).collect()
+    }
+    # 1 vs 4 differ by the final word only
+    assert (1, 4) in pairs and pairs[(1, 4)] > 0.7
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after tokenize
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_minhash_lsh_recall_matches_exact(spark):
+    """On the fixture corpus the LSH path must recover every exact-Jaccard
+    pair at the 0.6 threshold (verify step removes false positives, so
+    equality = perfect recall here)."""
+    docs = tables.load(spark, SF_DIR, "documents")
+    exact = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, threshold=0.6).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # fixture plants near-dups
+
+
+def test_simhash_flags_near_identical(docs_with_dupes):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(docs_with_dupes, max_hamming=6).collect()}
+    assert (1, 2) in pairs  # identical token streams → hamming 0
+    assert (1, 4) in pairs  # one token differs → small hamming
