@@ -1,0 +1,67 @@
+"""SQL surface: register the engine's tables and derived views so every
+operator is reachable from ``spark.sql`` (the declared-query corpus in
+__spark_entry__.py is the DataFrame twin of this surface).
+
+The reference has no SQL; this is the engine's native query language on
+top of the same semantics.  Views are cheap (logical plans, no
+materialization) and inherit all pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streamkit_spark import tables
+from streamkit_spark.operators.produce import Store
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All driver fixture tables as temp views (region, nation, ...,
+    events, documents, embeddings)."""
+    return tables.register_views(spark, sf_dir)
+
+
+def register_store_views(
+    spark: SparkSession, store: Store, prefix: str = ""
+) -> None:
+    """Engine-store views: the raw events plus the derived relations a
+    streamkit client would query.
+
+    * ``{p}events`` — the envelope table
+    * ``{p}segment_status`` — A1 min/max aggregate per (space, segment)
+    * ``{p}spaces`` / ``{p}segments`` — A2 inventory
+    * ``{p}heads`` — W1 top-1 row per segment (Peek for every segment)
+    """
+    p = prefix
+    ev = store.events()
+    ev.createOrReplaceTempView(f"{p}events")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW {p}segment_status AS
+        SELECT space, segment,
+               min(sequence) AS first_sequence,
+               min_by(ts, sequence) AS first_ts,
+               max(sequence) AS last_sequence,
+               max_by(ts, sequence) AS last_ts
+        FROM {p}events GROUP BY space, segment
+        """
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW {p}spaces AS "
+        f"SELECT DISTINCT space FROM {p}events"
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW {p}segments AS "
+        f"SELECT DISTINCT space, segment FROM {p}events"
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW {p}heads AS
+        SELECT space, segment, entry.* FROM (
+            SELECT space, segment,
+                   max_by(struct(sequence, ts, payload, metadata,
+                                 trx_id, trx_node, trx_number),
+                          sequence) AS entry
+            FROM {p}events GROUP BY space, segment)
+        """
+    )
