@@ -623,6 +623,81 @@ def q_lang_id_confusion(spark, sf_dir):
     )
 
 
+def q_doc_quality(spark, sf_dir):
+    """Composite quality score + BPE-ish token estimate (functions/text.py)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.round(TX.quality_score("text"), 4).alias("quality"),
+        TX.bpe_token_estimate("text").cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_char_ngram_count(spark, sf_dir):
+    """Distinct char-5-gram count per doc (functions/text.py char_ngrams)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.size(TX.char_ngrams("text", 5)).cast("long").alias("n_cgrams"),
+    ).orderBy("doc_id")
+
+
+def q_corr_stats(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_orders_above_avg(spark, sf_dir):
+    """Decorrelated scalar subquery with exact-rational comparison:
+    price > avg ⇔ price·n > total in DECIMAL (no FP boundary)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    totals = orders.agg(
+        F.sum(dec).alias("__total"), F.count("*").alias("__n")
+    )
+    return (
+        orders.crossJoin(F.broadcast(totals))
+        .filter(dec * F.col("__n") > F.col("__total"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN (rows-only; recall vs brute force tested in pytest)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, round_digits=4)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """HLL approx distinct (rows-only: estimator differs across engines;
+    pytest asserts the estimate is within 5% of exact)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -675,6 +750,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_click_and_purchase": q_set_click_and_purchase,
         "rollup_event_counts": q_rollup_event_counts,
         "pivot_user_events": q_pivot_user_events,
+        # quality / stats / subqueries
+        "doc_quality": q_doc_quality,
+        "char_ngram_count": q_char_ngram_count,
+        "corr_stats": q_corr_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_above_avg": q_orders_above_avg,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "approx_distinct": q_approx_distinct,
         # scalar surface
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
@@ -1089,6 +1172,57 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 ORDER BY 1, 2
     """
 
+    _toks2 = "string_split_regex(trim(text), '\\s+')"
+    _stop2 = "['the','a','of','and','to','in','is','on','for','with','as','at']"
+    sql["doc_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len({_toks2}) AS ntok,
+                   list_sum(list_apply({_toks2}, t -> length(t)))::DOUBLE
+                       / len({_toks2}) AS wl,
+                   len(list_filter({_toks2}, t -> list_contains({_stop2}, lower(t))))::DOUBLE
+                       / len({_toks2}) AS sr,
+                   (length(text) - length(regexp_replace(text, '[^\\w \\t\\n]', '', 'g')))::DOUBLE
+                       / length(text) AS pr
+            FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+               round(least(ntok / 100.0, 1.0) * 0.3
+                     + (CASE WHEN wl >= 3 AND wl <= 10 THEN 1.0 ELSE 0.5 END) * 0.2
+                     + least(sr * 4, 1.0) * 0.3
+                     + greatest(1.0 - pr * 4, 0.0) * 0.2, 4) AS quality,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+                    AS BIGINT) AS bpe_tokens
+        FROM t ORDER BY doc_id
+    """
+    sql["char_ngram_count"] = """
+        WITH g AS (
+            SELECT doc_id, substr(lower(text), i, 5) AS cg
+            FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+            WHERE doc_id < 100
+        )
+        SELECT doc_id, count(DISTINCT cg) AS n_cgrams FROM g
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    sql["corr_stats"] = """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """
+    sql["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """
+    sql["orders_above_avg"] = """
+        WITH t AS (
+            SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+                   count(*) AS n
+            FROM orders)
+        SELECT o_orderkey, o_totalprice FROM orders, t
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > total
+        ORDER BY o_orderkey
+    """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).
     return sql

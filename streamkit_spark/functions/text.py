@@ -41,16 +41,12 @@ def token_count(col: Column | str) -> Column:
 
 def bpe_token_estimate(col: Column | str) -> Column:
     """BPE-ish token estimate without a tokenizer dependency: count
-    word-piece-shaped units (letter runs, digit runs, single punctuation).
-    Matches the common ~chars/4 heuristic far better than whitespace count on
-    code/punctuation-heavy text."""
+    word-piece-shaped units — alphanumeric runs and single non-space
+    punctuation marks.  Matches the common ~chars/4 heuristic far better
+    than whitespace count on code/punctuation-heavy text.  (RE2-compatible
+    pattern — no lookaround — so the DuckDB oracle can mirror it.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: (F.length(F.trim(t)) > 0),
-        )
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:

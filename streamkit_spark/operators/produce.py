@@ -204,6 +204,44 @@ class Store:
         )
         return out[0]
 
+    def compact(self, files_per_space: int = 1) -> dict[str, int]:
+        """Rewrite the events table into few large files per space, sorted
+        by (segment, sequence).
+
+        Streaming appends leave one small file per produce — the classic
+        small-file problem; at scale this turns scans into metadata storms.
+        Compaction restores the designed layout (space partitions, sorted
+        files → parquet min/max stats prune segment scans).  Written to a
+        staging dir then atomically swapped, so concurrent readers see
+        either the old or the new layout, never a partial one.
+
+        Returns {"files_before": n, "files_after": m}."""
+        import shutil
+
+        def count_files(root: str) -> int:
+            total = 0
+            for _, _, files in os.walk(root):
+                total += sum(1 for f in files if f.endswith(".parquet"))
+            return total
+
+        if not self._exists():
+            return {"files_before": 0, "files_after": 0}
+        before = count_files(self.events_path)
+        staging = self.events_path + ".compacting"
+        (
+            self.events()
+            .repartition(files_per_space, "space")
+            .sortWithinPartitions("space", "segment", "sequence")
+            .write.mode("overwrite")
+            .partitionBy("space")
+            .parquet(staging)
+        )
+        old = self.events_path + ".old"
+        os.rename(self.events_path, old)
+        os.rename(staging, self.events_path)
+        shutil.rmtree(old)
+        return {"files_before": before, "files_after": count_files(self.events_path)}
+
     # ---------------------------------------------------------- helpers
 
     def _as_records_df(self, records: DataFrame | list) -> DataFrame:

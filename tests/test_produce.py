@@ -166,3 +166,19 @@ def test_concurrent_producer_single_winner(store, spark):
         "i3_trx_monotonic": 0,
     }
     assert ev.count() == 5
+
+
+def test_compact_preserves_data_and_reduces_files(store):
+    for i in range(6):
+        store.produce("s0", f"g{i % 2}", recs(1 + (i // 2) * 2, 2), now_ms=10 + i)
+    before = store.events().orderBy("space", "segment", "sequence").collect()
+    stats = store.compact()
+    assert stats["files_after"] < stats["files_before"]
+    after = store.events().orderBy("space", "segment", "sequence").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert invariants.check_all(store.events()) == {
+        "i1_contiguity": 0, "i2_density": 0, "i3_trx_monotonic": 0,
+    }
+    # appends keep working after compaction
+    store.produce("s0", "g0", recs(7, 1), now_ms=99)
+    assert store.events().count() == len(before) + 1
