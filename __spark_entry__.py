@@ -698,6 +698,36 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid via posexplode + positional regroup —
+    the scalable elementwise-mean pattern (no UDF, no collect)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 4).alias("m")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).getField("m").alias("centroid"))
+        .select("label", "centroid")
+        .orderBy("label")
+    )
+
+
+def q_top_tokens_per_lang(spark, sf_dir):
+    """Top-5 most frequent tokens per language (explode → count → rank)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(TX.tokens("text")).alias("tok"))
+    counts = tok.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "tok", "n", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -750,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_click_and_purchase": q_set_click_and_purchase,
         "rollup_event_counts": q_rollup_event_counts,
         "pivot_user_events": q_pivot_user_events,
+        "label_centroids": q_label_centroids,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
         # quality / stats / subqueries
         "doc_quality": q_doc_quality,
         "char_ngram_count": q_char_ngram_count,
@@ -1222,6 +1254,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, o_totalprice FROM orders, t
         WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n > total
         ORDER BY o_orderkey
+    """
+    sql["label_centroids"] = """
+        WITH e AS (
+            SELECT label, generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ), per_pos AS (
+            SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 4) AS m
+            FROM e GROUP BY 1, 2
+        )
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM per_pos GROUP BY label ORDER BY label
+    """
+    sql["top_tokens_per_lang"] = """
+        WITH tok AS (
+            SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2
+        )
+        SELECT lang, tok, n, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY n DESC, tok) AS rank
+            FROM counts)
+        WHERE rank <= 5 ORDER BY lang, rank
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).

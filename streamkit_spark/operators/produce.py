@@ -24,6 +24,7 @@ produces.
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 
@@ -63,6 +64,16 @@ class Store:
         self.store_id = store_id or str(uuid.uuid4())
         self.events_path = os.path.join(root, "events")
         self._node_id = str(uuid.uuid4())
+        # per-segment write locks (reference: bounded lock map,
+        # pebblekit/store.go:25,57-90): same-segment produces serialize
+        # in-process, different segments run fully parallel; cross-process
+        # racers are still caught by the optimistic re-validation
+        self._seg_locks: dict[tuple[str, str], threading.Lock] = {}
+        self._seg_locks_guard = threading.Lock()
+
+    def _segment_lock(self, space: str, segment: str):
+        with self._seg_locks_guard:
+            return self._seg_locks.setdefault((space, str(segment)), threading.Lock())
 
     # ------------------------------------------------------------- read
 
@@ -132,6 +143,11 @@ class Store:
             # gaps or duplicates inside the batch (I1/I2 precondition)
             raise SequenceMismatchError(space, segment, -1, -1)
 
+        with self._segment_lock(space, segment):
+            return self._produce_locked(space, segment, df, stats, now_ms)
+
+    def _produce_locked(self, space, segment, df, stats, now_ms) -> list[dict]:
+        n = stats["n"]
         last_seq, last_trx = self._last_state(space, segment)
         if stats["min_seq"] != last_seq + 1:
             raise SequenceMismatchError(space, segment, last_seq + 1, stats["min_seq"])
@@ -162,13 +178,7 @@ class Store:
         cur_seq, _ = self._last_state(space, segment)
         if cur_seq != last_seq:
             raise SequenceMismatchError(space, segment, last_seq + 1, cur_seq + 1)
-        (
-            stamped.repartition(1)
-            .sortWithinPartitions("segment", "sequence")
-            .write.mode("append")
-            .partitionBy("space")
-            .parquet(self.events_path)
-        )
+        self._append_files(stamped)
 
         # -- SegmentStatus per chunk (reference returns one per commit)
         statuses = []
@@ -243,6 +253,42 @@ class Store:
         return {"files_before": before, "files_after": count_files(self.events_path)}
 
     # ---------------------------------------------------------- helpers
+
+    def _append_files(self, stamped: DataFrame) -> None:
+        """Concurrent-safe append: write to a produce-private staging dir,
+        then move the parquet files into the table with unique names.
+
+        The default Hadoop committer stages every concurrent write of one
+        table under the SAME ``_temporary/0`` directory — parallel
+        producers corrupt each other's staging (observed under the
+        high-volume test).  A private staging dir + per-file rename gives
+        lock-free cross-segment write parallelism — the reference's model
+        (per-segment serialization only, docs/production.md:85-91)."""
+        import shutil
+
+        staging = os.path.join(self.root, f".staging-{uuid.uuid4()}")
+        try:
+            (
+                stamped.repartition(1)
+                .sortWithinPartitions("segment", "sequence")
+                .write.mode("overwrite")
+                .partitionBy("space")
+                .parquet(staging)
+            )
+            for entry in os.listdir(staging):
+                if not entry.startswith("space="):
+                    continue
+                dest_dir = os.path.join(self.events_path, entry)
+                os.makedirs(dest_dir, exist_ok=True)
+                src_dir = os.path.join(staging, entry)
+                for f in os.listdir(src_dir):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(src_dir, f),
+                            os.path.join(dest_dir, f"{uuid.uuid4()}.parquet"),
+                        )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _as_records_df(self, records: DataFrame | list) -> DataFrame:
         if isinstance(records, DataFrame):

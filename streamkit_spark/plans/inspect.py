@@ -66,7 +66,19 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """WholeStageCodegen spans — wider is better (fewer pipeline breaks)."""
-    text = explain_str(df, "simple")
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
-    return len(ids)
+    """WholeStageCodegen spans — wider is better (fewer pipeline breaks).
+
+    Under AQE the pre-execution plan hides codegen spans, so the query is
+    re-planned once with AQE off (via a temp view, which forces fresh
+    physical planning under the current conf)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df.createOrReplaceTempView("__codegen_probe")
+        text = explain_str(spark.sql("SELECT * FROM __codegen_probe"), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.catalog.dropTempView("__codegen_probe")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
