@@ -728,6 +728,12 @@ def q_top_tokens_per_lang(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (functions/text.py tf_idf_top_terms)."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return TX.tf_idf_top_terms(docs, top_k=3)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -781,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_counts": q_rollup_event_counts,
         "pivot_user_events": q_pivot_user_events,
         "label_centroids": q_label_centroids,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         # quality / stats / subqueries
         "doc_quality": q_doc_quality,
@@ -1279,6 +1286,30 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY n DESC, tok) AS rank
             FROM counts)
         WHERE rank <= 5 ORDER BY lang, rank
+    """
+    sql["tfidf_top_terms"] = """
+        WITH d AS (SELECT * FROM documents WHERE doc_id < 50),
+        tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM d
+        ), doc_len AS (
+            SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS n FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round((tf.n / doc_len.n_tok)
+                         * (ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 4) AS tfidf
+            FROM tf JOIN doc_len USING (doc_id) JOIN dfreq USING (term), nd
+        )
+        SELECT doc_id, term, tfidf, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+            FROM scored)
+        WHERE rank <= 3 ORDER BY doc_id, rank
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).

@@ -164,3 +164,47 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+def tf_idf_top_terms(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> "DataFrame":
+    """Top-k TF-IDF terms per document.
+
+    tf = count(term in doc) / len(doc); idf = ln((N+1)/(df+1)) + 1
+    (smoothed).  Three aggregations, all partial-aggregable; the doc-count
+    N is a broadcast scalar.  Output: (doc_id, term, tfidf, rank).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    doc_len = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count_distinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n") / F.col("n_tok"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )

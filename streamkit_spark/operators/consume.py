@@ -248,3 +248,40 @@ def peek_all(
         .agg(F.max_by(row, F.col(binding.sequence)).alias("entry"))
         .select("space", "segment", "entry.*")
     )
+
+
+def consume_space_pages(
+    df: DataFrame,
+    space: str,
+    page_size: int,
+    binding: EventsBinding = EventsBinding(),
+    bounds: ConsumeBounds = ConsumeBounds(),
+    max_pages: int = 1_000_000,
+):
+    """T6 — client-side cursor pagination: yields lists of Rows, resuming
+    each page strictly after the last row of the previous one (the batch
+    analog of the reference's lex-key offsets, docs/concepts.md:73-81).
+
+    Each page is an independent bounded query — between pages nothing is
+    cached or held; a crashed client resumes from its last persisted
+    cursor exactly like a reference consumer."""
+    cursor: SpaceCursor | None = None
+    ts_name = "__cursor_ts"
+    for _ in range(max_pages):
+        page_bounds = ConsumeBounds(
+            bounds.min_sequence, bounds.max_sequence,
+            bounds.min_ts, bounds.max_ts, page_size,
+        )
+        page_df = consume_space(df, space, page_bounds, cursor, binding)
+        rows = page_df.withColumn(ts_name, ts_ms_col(binding)).collect()
+        if not rows:
+            return
+        yield [r for r in rows]
+        last = rows[-1]
+        cursor = (
+            last[ts_name],
+            str(last[binding.segment]),
+            last[binding.sequence],
+        )
+        if len(rows) < page_size:
+            return

@@ -23,8 +23,13 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="streamkit_spark_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        app_name="streamkit_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

@@ -1,0 +1,95 @@
+"""Scale patterns: salted joins, bucketed co-located joins, cursor
+pagination, TF-IDF."""
+
+from __future__ import annotations
+
+import pytest
+
+from streamkit_spark import plans, tables
+from streamkit_spark.operators.bucketing import co_located_join, write_bucketed
+from streamkit_spark.operators.consume import consume_space, consume_space_pages
+from streamkit_spark.operators.produce import Store
+from streamkit_spark.operators.skew import salted_join
+from streamkit_spark.schema import FIXTURE_BINDING
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = tables.load(spark, SF_DIR, "orders")
+    cust = tables.load(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", n_salt=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = tables.load(spark, SF_DIR, "orders")
+    li = tables.load(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "bktest.orders_b", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "bktest.lineitem_b", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    joined = co_located_join(spark, "bktest.orders_b", "bktest.lineitem_b",
+                             "o_orderkey")
+    # co-located layout: no Exchange on either side
+    assert plans.count_exchanges(joined) == 0
+    # and it still returns the right answer
+    plain = orders.join(li, "o_orderkey")
+    assert joined.count() == plain.count()
+
+
+def test_cursor_pagination_no_dupes_no_gaps(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "s"))
+    for seg in ("a", "b"):
+        store.produce("sp", seg, [(i, b"x", None) for i in range(1, 21)],
+                      now_ms=100)
+    seen = []
+    for page in consume_space_pages(store.events(), "sp", page_size=7):
+        assert len(page) <= 7
+        seen.extend((r["segment"], r["sequence"]) for r in page)
+    assert len(seen) == 40
+    assert len(set(seen)) == 40  # no dupes
+    # matches the unpaginated scan exactly, in order
+    full = [
+        (r["segment"], r["sequence"])
+        for r in consume_space(store.events(), "sp").collect()
+    ]
+    assert seen == full
+
+
+def test_pagination_on_fixture_events(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    pages = list(
+        consume_space_pages(ev, "signup", page_size=50, binding=FIXTURE_BINDING)
+    )
+    total = sum(len(p) for p in pages)
+    expected = ev.filter("event_type = 'signup'").count()
+    assert total == expected
+    ids = [r["event_id"] for p in pages for r in p]
+    assert len(set(ids)) == total
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    rows = [
+        (1, "spark spark spark shared shared"),
+        (2, "duck duck duck shared shared"),
+        (3, "unique words only here truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from streamkit_spark.functions.text import tf_idf_top_terms
+
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tf_idf_top_terms(df, top_k=1).collect()
+    }
+    # the repeated distinctive term wins over the corpus-common one
+    assert top[1] == "spark" and top[2] == "duck"
