@@ -734,6 +734,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     return TX.tf_idf_top_terms(docs, top_k=3)
 
 
+def q_curation_report(spark, sf_dir):
+    """End-to-end curation pipeline (exact-candidate variant so the oracle
+    can mirror it; the LSH variant is equality-tested in pytest)."""
+    from streamkit_spark.pipeline import CurationConfig, curation_report
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_report(docs, CurationConfig(use_lsh=False))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -788,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": q_pivot_user_events,
         "label_centroids": q_label_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curation_report": q_curation_report,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         # quality / stats / subqueries
         "doc_quality": q_doc_quality,
@@ -1310,6 +1320,57 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY tfidf DESC, term) AS rank
             FROM scored)
         WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+    sql["curation_report"] = """
+        WITH dedup AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '[ \t\n]+', ' ', 'g')))
+                           ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        ), toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM dedup
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), near AS (
+            SELECT DISTINCT id_b FROM pairs
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8
+        ), kept AS (
+            SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM near)
+        ), scored AS (
+            SELECT lang,
+                   round(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
+                         + (CASE WHEN (list_sum(list_apply(string_split_regex(trim(text), '\\s+'), t -> length(t)))::DOUBLE
+                                       / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.5 END) * 0.2
+                         + least((len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       t -> list_contains(['the','a','of','and','to','in','is','on','for','with','as','at'], lower(t))))::DOUBLE
+                                  / len(string_split_regex(trim(text), '\\s+'))) * 4, 1.0) * 0.3
+                         + greatest(1.0 - ((length(text) - length(regexp_replace(text,
+                                       '[^\\w \\t\\n]', '', 'g')))::DOUBLE
+                                    / length(text)) * 4, 0.0) * 0.2, 4) AS quality,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+            FROM kept
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_quality,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM scored
+        WHERE quality >= 0.3 AND n_tokens >= 5
+        GROUP BY lang ORDER BY lang
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).

@@ -55,10 +55,14 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
     Pure JVM expression: transform over an index sequence + slice +
     concat_ws — the building block for Jaccard/MinHash dedup."""
     toks = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    # guard: sequence(1, 0) would run DESCENDING ([1, 0]) and slice(_, 0, n)
+    # errors — short texts get an empty shingle set instead
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
     )
 

@@ -1,0 +1,36 @@
+"""Curation pipeline: LSH and exact variants agree; keep-rules honored."""
+
+from __future__ import annotations
+
+from streamkit_spark import tables
+from streamkit_spark.pipeline import CurationConfig, curate, curation_report
+from tests.conftest import SF_DIR
+
+
+def test_lsh_and_exact_variants_agree(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    exact = curate(docs, CurationConfig(use_lsh=False))
+    lsh = curate(docs, CurationConfig(use_lsh=True))
+    a = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    b = {r["doc_id"] for r in lsh.select("doc_id").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_keep_rules(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs on for a while today", "en", "s", 70),
+        (2, "THE QUICK BROWN FOX jumps over the lazy dog and runs on for a while today", "en", "s", 70),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog and runs on for a while tonight", "en", "s", 70),  # near dup of 1
+        (4, "tiny", "en", "s", 4),  # too few tokens
+        (5, "a completely different corpus document with the usual amount of perfectly normal words in it", "en", "s", 90),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = sorted(r["doc_id"] for r in curate(df, CurationConfig(use_lsh=False)).collect())
+    assert kept == [1, 5]
+
+
+def test_report_shape(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    rep = curation_report(docs, CurationConfig(use_lsh=False)).collect()
+    assert {r["lang"] for r in rep} <= {"de", "en", "es", "fr", "zh"}
+    assert all(r["n_docs"] > 0 and r["total_tokens"] > 0 for r in rep)
