@@ -146,9 +146,15 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signatures.
 
-    Hashing is ``xxhash64(shingle, salt_i)`` — JVM built-in, codegen'd, no
-    Python in the loop.  One explode + one groupBy: shuffle carries
-    (id, num_hashes longs) per doc, independent of document length."""
+    Implementation note: a pure map-only fold (``aggregate`` + ``zip_with``
+    over the shingle array) benches 2× faster *in isolation*, but Catalyst
+    projection-collapse inlines such a derived array expression into every
+    downstream reference — the 64 per-band ``sig[i]`` lookups each
+    re-evaluated the whole fold (observed 8× pipeline blow-up).  The
+    explode + groupBy(min...) formulation keeps an Aggregate node between
+    the signature and its consumers, which is a natural materialization
+    barrier: sig is computed exactly once.  Shuffle carries one
+    (id, 64 longs) row per doc — independent of document length."""
     sh = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(_lc(text_col), ngram)).alias("shingle"),
