@@ -26,7 +26,7 @@ import __spark_entry__ as entry  # noqa: E402
 # status agg, window top-k, TPC-H agg + joins, dedup (exact-jaccard and
 # LSH), ANN, text stats.
 HEADLINE = [
-    "s1_consume_segment",
+    "s1_tail_window",
     "s2_consume_space",
     "s3_consume_merge",
     "w1_peek_all",

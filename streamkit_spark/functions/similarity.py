@@ -102,39 +102,60 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bits: int = 8,
+    bits: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     round_digits: int | None = None,
 ) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH (single-probe).
+    """ANN top-k via multi-table random-hyperplane LSH.
 
-    Plan shape: corpus scan → bucket expr (map-only) → equi-join with the
-    broadcast bucketed queries → exact cosine on ~corpus/2^bits candidates
-    → per-query top-k.  At 100 TB the bucket column should be materialized
-    at ingest (partition or cluster by it) so the probe prunes files.
+    A single b-bit table has recall p^b per neighbor (p = 1 − θ/π agreement
+    probability) — poor for moderate-similarity neighbors.  T independent
+    tables OR their candidates: recall 1 − (1 − p^b)^T, tunable without
+    touching precision because every candidate is scored with the exact
+    cosine.
+
+    Plan shape: corpus scan → T bucket ids (map-only expression) → explode
+    to (table, bucket) rows → equi-join with the broadcast bucketed
+    queries → candidate dedup → exact cosine → per-query top-k.  Candidate
+    volume ≈ corpus × T / 2^bits.  At 100 TB the (table, bucket) pair is
+    the ingest clustering key so probes prune files.
     """
     dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bits, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    all_planes = [
+        random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_bucket(F.col(vecc), all_planes[t]).alias("bkt"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(f"__{out_id}_vec"),
+            F.explode(buckets).alias("__b"),
+        ).select(out_id, f"__{out_id}_vec", "__b.tbl", "__b.bkt")
+
+    c = bucketed(corpus, id_col, vec_col, "neighbor_id")
+    q = bucketed(queries, id_col, vec_col, "query_id")
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__query_id_vec", "__neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
-    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    sim = cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = (
-        c.join(F.broadcast(q), on="__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos"))
-    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

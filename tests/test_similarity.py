@@ -1,0 +1,70 @@
+"""Similarity-search properties: cosine correctness, ANN recall vs brute
+force, hyperplane bucket determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamkit_spark import tables
+from streamkit_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    l2_norm,
+    lsh_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def test_cosine_identities(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 2.0], [-1.0, -2.0]), ([3.0, 4.0], [3.0, 4.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [
+        round(r["c"], 9)
+        for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    ]
+    assert got == [1.0, 0.0, -1.0, 1.0]
+    norms = [
+        round(r["n"], 9) for r in df.select(l2_norm(F.col("a")).alias("n")).collect()
+    ]
+    assert norms == [1.0, 1.0, round(5 ** 0.5, 9), 5.0]
+
+
+def test_lsh_recall_against_brute_force(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5, round_digits=4).collect()
+    }
+    # multi-table LSH (4 bits x 8 tables): recall 1-(1-p^4)^8 — solid even
+    # for moderate-similarity neighbors; precision is exact by construction
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5, bits=4, n_tables=8, round_digits=4).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.6, f"recall collapsed: {recall}"
+    # LSH cosine values are exact (only the candidate set is approximate)
+    both = brute_force_topk(emb, queries, k=5, round_digits=4).alias("b").join(
+        lsh_topk(emb, queries, k=5, bits=4, n_tables=8, round_digits=4).alias("l"),
+        ["query_id", "neighbor_id"],
+    )
+    assert both.filter(F.col("b.cos") != F.col("l.cos")).count() == 0
+
+
+def test_brute_force_excludes_self_and_ranks_desc(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    rows = brute_force_topk(emb, queries, k=5, round_digits=4).collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for q, pairs in by_q.items():
+        ranks = [p[0] for p in sorted(pairs)]
+        cosines = [p[1] for p in sorted(pairs)]
+        assert ranks == [1, 2, 3, 4, 5]
+        assert cosines == sorted(cosines, reverse=True)
