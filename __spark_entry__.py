@@ -346,6 +346,142 @@ def q_part_brand_stats(spark, sf_dir):
     )
 
 
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(price * disc).cast("double"), 4).alias("revenue"))
+    )
+
+
+def q_tpch_q4_order_priority(spark, sf_dir):
+    """Q4 shape: orders with at least one late lineitem (semi join +
+    grouped count)."""
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        orders.join(late.select("l_orderkey").distinct(),
+                    orders.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q10_returned_items(spark, sf_dir):
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = tables.load(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), "c_custkey").limit(20)
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 4)
+             .alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q19_disjunctive(spark, sf_dir):
+    """Q19 shape: disjunction of (brand, size, quantity) bands — exercises
+    OR-of-ANDs predicate pushdown and join with residual filters."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    band3 = (
+        (F.col("p_type") == "PROMO") & (F.col("p_size") >= 20)
+        & (F.col("l_quantity") >= 25)
+    )
+    return (
+        j.filter(band1 | band2 | band3)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q14_promo_share(spark, sf_dir):
+    """Q14 shape: conditional-aggregate ratio (promo revenue share)."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    part = tables.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # sum(when(cond, x)) skips NULLs — the conditional sum without a
+    # type-juggled otherwise branch
+    return j.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+            * 100
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_pct")
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators (north-star): dedup / text / similarity
 # --------------------------------------------------------------------------
@@ -777,6 +913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": q_topk_orders_per_customer,
         "monthly_revenue": q_monthly_revenue,
         "part_brand_stats": q_part_brand_stats,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
         # LLM-data ops
         "dedup_exact_groups": q_dedup_exact_groups,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1371,6 +1513,78 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         WHERE quality >= 0.3 AND n_tokens >= 5
         GROUP BY lang ORDER BY lang
+    """
+    sql["tpch_q6_forecast_revenue"] = """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """
+    sql["tpch_q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o.o_orderkey
+                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    sql["tpch_q10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                     4) AS revenue
+        FROM lineitem, orders, customer, nation
+        WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """
+    sql["tpch_q18_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+                       AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_totalprice, total_qty
+        FROM big, orders, customer
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """
+    sql["tpch_q19_disjunctive"] = """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                     4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_type = 'PROMO' AND p_size >= 20 AND l_quantity >= 25)
+    """
+    sql["tpch_q14_promo_share"] = """
+        SELECT round(
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2))) END)
+                      AS DOUBLE) * 100
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).

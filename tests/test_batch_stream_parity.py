@@ -1,0 +1,135 @@
+"""Batch vs streaming parity — the engine's analog of the reference's
+multi-backend matrix ("both backends must pass the same tests",
+docs/storage.md:89): the same query computed as a batch plan and as a
+Structured Streaming plan over identical input must agree exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamkit_spark import tables
+from tests.conftest import SF_DIR
+
+DAY = 86_400_000
+
+
+@pytest.fixture(scope="module")
+def fixture_stream(spark, tmp_path_factory):
+    # the file stream source wants a directory; stage the fixture file
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    batch = tables.load(spark, SF_DIR, "events")
+    return spark.readStream.schema(batch.schema).parquet(str(d))
+
+
+def test_grouped_counts_parity(spark, fixture_stream):
+    batch = tables.load(spark, SF_DIR, "events")
+    expected = {
+        (r["event_type"], r["n"], r["sum_value"])
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    agg = fixture_stream.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4)
+        .alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("parity_counts").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_type"], r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM parity_counts").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_tumbling_daily_parity(spark, fixture_stream):
+    """The declared tumbling_daily batch query vs the streaming event-time
+    window formulation — same windows, same values."""
+    import __spark_entry__ as E
+
+    expected = {
+        (r["window_id"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in E.q_tumbling_daily(spark, SF_DIR).collect()
+    }
+    s = fixture_stream.withColumn(
+        "event_time", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    agg = (
+        s.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4)
+            .alias("sum_value"),
+        )
+        .select(
+            (F.unix_millis(F.col("win.start")) / DAY).cast("long").alias("window_id"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("parity_tumble").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_id"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM parity_tumble").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
+
+
+def test_segment_status_parity_fixture_binding(spark, fixture_stream):
+    """a1_segment_status (batch) vs the streaming min/max aggregation over
+    the same fixture columns."""
+    import __spark_entry__ as E
+
+    expected = {
+        (r["space"], r["segment"]): (
+            r["first_sequence"], r["first_ts"], r["last_sequence"], r["last_ts"]
+        )
+        for r in E.q_a1_segment_status(spark, SF_DIR).collect()
+    }
+    agg = fixture_stream.groupBy(
+        F.col("event_type").alias("space"), F.col("user_id").alias("segment")
+    ).agg(
+        F.min("event_id").alias("first_sequence"),
+        F.min_by(F.expr("ts div 1000000"), F.col("event_id")).alias("first_ts"),
+        F.max("event_id").alias("last_sequence"),
+        F.max_by(F.expr("ts div 1000000"), F.col("event_id")).alias("last_ts"),
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("parity_status").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["space"], r["segment"]): (
+                r["first_sequence"], r["first_ts"], r["last_sequence"], r["last_ts"]
+            )
+            for r in spark.sql("SELECT * FROM parity_status").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
