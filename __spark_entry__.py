@@ -879,6 +879,16 @@ def q_curation_report(spark, sf_dir):
     return curation_report(docs, CurationConfig(use_lsh=False))
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking with overlap (functions/text.chunk_documents):
+    chunk fingerprints + sizes for doc_id < 50."""
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = TX.chunk_documents(docs, chunk_tokens=40, overlap=10)
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    ).orderBy("doc_id", "chunk_idx")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -940,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curation_report": q_curation_report,
+        "doc_chunks": q_doc_chunks,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         # quality / stats / subqueries
         "doc_quality": q_doc_quality,
@@ -1585,6 +1596,22 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
+    """
+    sql["doc_chunks"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id < 50
+        ), starts AS (
+            SELECT doc_id, w, i AS start,
+                   CAST((i - 1) / 30 AS BIGINT) AS chunk_idx
+            FROM toks, unnest(range(1, greatest(len(w) - 10, 1) + 1, 30)) AS t(i)
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(w[start:start+39]) AS BIGINT) AS n_tokens,
+               md5(list_aggregate(w[start:start+39], 'string_agg', ' ')) AS chunk_md5
+        FROM starts
+        WHERE len(w[start:start+39]) > 0
+        ORDER BY doc_id, chunk_idx
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).

@@ -212,3 +212,40 @@ def tf_idf_top_terms(
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into token-window chunks with overlap — the standard
+    pre-training sharding step.  Pure JVM: tokenize once, explode one
+    (start-index) sequence per doc, slice+join per chunk.  Map-only modulo
+    the explode; chunk rows inherit their input partition, so at 100 TB
+    this pipelines straight into tokenization/packing without a shuffle.
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    piece = F.slice(F.col("__t"), F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).filter(F.col("n_tokens") > 0)

@@ -93,3 +93,31 @@ def test_tfidf_ranks_distinctive_terms(spark):
     }
     # the repeated distinctive term wins over the corpus-common one
     assert top[1] == "spark" and top[2] == "duck"
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from streamkit_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(1, 101))  # 100 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=40, overlap=10).orderBy("chunk_idx").collect()
+    # stride 30: starts at 1, 31, 61 → 3 full/partial chunks
+    assert [r["chunk_idx"] for r in chunks] == [0, 1, 2]
+    assert [r["n_tokens"] for r in chunks] == [40, 40, 40]
+    first = chunks[0]["chunk_text"].split()
+    second = chunks[1]["chunk_text"].split()
+    assert first[-10:] == second[:10]  # 10-token overlap
+    assert first[0] == "w1" and second[0] == "w31"
+    # every token appears in at least one chunk
+    covered = set()
+    for r in chunks:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(1, 101)}
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from streamkit_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "just five words right here")], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    assert len(chunks) == 1 and chunks[0]["n_tokens"] == 5
