@@ -263,3 +263,82 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over an embedding column (cosine
+    assignment, mean update).
+
+    Each iteration: one map-only assignment pass (broadcast centroid
+    literals) + one posexplode/groupBy mean — the centroid table (k × dim
+    doubles) is the ONLY thing that ever reaches the driver.  Deterministic:
+    init is the first k rows by id, updates are exact means.
+
+    Returns the centroids as plain lists (broadcastable literals for
+    :func:`ivf_topk`)."""
+    init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    k = len(centroids)  # corpus may be smaller than the requested k
+    vecs = df.select(F.col(vec_col).alias("v")).cache()
+    try:
+        for _ in range(iters):
+            scored = F.array(
+                *[
+                    F.struct(
+                        cosine(F.col("v"), F.array(*[F.lit(c) for c in cent])).alias("s"),
+                        F.lit(ci).alias("c"),
+                    )
+                    for ci, cent in enumerate(centroids)
+                ]
+            )
+            # two-step select: combining array_max(struct...) with
+            # posexplode in one projection makes Spark drop the struct
+            # field aliases (resolved as col1/col2)
+            assigned = vecs.select(
+                F.array_max(scored).getField("c").alias("cluster"), F.col("v")
+            ).select("cluster", F.posexplode(F.col("v")).alias("pos", "x"))
+            means = (
+                assigned.groupBy("cluster", "pos")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m")))
+                    .getField("m")
+                    .alias("centroid")
+                )
+                .collect()
+            )
+            new = {r["cluster"]: [float(x) for x in r["centroid"]] for r in means}
+            # empty clusters keep their previous centroid
+            centroids = [new.get(ci, centroids[ci]) for ci in range(k)]
+    finally:
+        vecs.unpersist()
+    return centroids
+
+
+def kmeans_objective(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean best-centroid cosine over the corpus (higher = tighter)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec_col), F.array(*[F.lit(c) for c in cent])).alias("s"),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cent in enumerate(centroids)
+        ]
+    )
+    row = df.select(
+        F.avg(F.array_max(scored).getField("s")).alias("obj")
+    ).first()
+    return float(row["obj"])

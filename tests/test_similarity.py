@@ -68,3 +68,18 @@ def test_brute_force_excludes_self_and_ranks_desc(spark):
         cosines = [p[1] for p in sorted(pairs)]
         assert ranks == [1, 2, 3, 4, 5]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_kmeans_improves_objective_and_feeds_ivf(spark):
+    from streamkit_spark.functions.similarity import (
+        kmeans_centroids,
+        kmeans_objective,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    init = kmeans_centroids(emb, k=8, iters=0)
+    trained = kmeans_centroids(emb, k=8, iters=4)
+    assert kmeans_objective(emb, trained) > kmeans_objective(emb, init)
+    # deterministic across runs
+    again = kmeans_centroids(emb, k=8, iters=4)
+    assert trained == again
