@@ -19,7 +19,17 @@ Layout:
     sources/      batch/stream source registry
 """
 
+from streamkit_spark.engine import StreamkitEngine
+from streamkit_spark.operators.produce import Store
+from streamkit_spark.pipeline import CurationConfig, curate, curation_report
 from streamkit_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "StreamkitEngine",
+    "Store",
+    "curate",
+    "curation_report",
+    "CurationConfig",
+]
 __version__ = "0.1.0"

@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyspark.sql import Column
-
 from streamkit_spark.functions.text import normalized_text, tokens, word_ngrams
 
 
@@ -108,7 +106,11 @@ def ngram_jaccard_pairs(
     prefer :func:`minhash_lsh_pairs`, which this function then verifies.
     """
     sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # set sizes map-only from the shingle array — no second explode+shuffle
+    sizes = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_ngrams(_lc(text_col), n)).alias("n_shingles"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
