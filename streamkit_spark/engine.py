@@ -192,9 +192,25 @@ class StreamkitEngine:
         )
 
     def get_spaces(self, store_id: str) -> DataFrame:
+        """Inventory fast path: distinct over the (tiny) status table when
+        maintained — the reference's INV rows (pebblekit/store.go:332-349);
+        fallback scans events."""
+        path = self._status_path(store_id)
+        if os.path.isdir(path):
+            df = self.spark.read.schema(SEGMENT_STATUS_SCHEMA).parquet(path)
+            return df.select("space").distinct().orderBy("space")
         return get_spaces(self.store(store_id).events())
 
     def get_segments(self, store_id: str, space: str) -> DataFrame:
+        path = self._status_path(store_id)
+        if os.path.isdir(path):
+            df = self.spark.read.schema(SEGMENT_STATUS_SCHEMA).parquet(path)
+            return (
+                df.filter(F.col("space") == space)
+                .select("segment")
+                .distinct()
+                .orderBy("segment")
+            )
         return get_segments(self.store(store_id).events(), space)
 
     # --------------------------------------------------------- subscribe
