@@ -817,7 +817,8 @@ def q_orders_above_avg(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF-flat ANN (rows-only; recall vs brute force tested in pytest)."""
+    """IVF-flat ANN with deterministic sample centroids — oracle-mirrored
+    in SQL (assignment argmax, nprobe=3 probes, exact cosine rank)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, round_digits=4)
@@ -1612,6 +1613,48 @@ def oracle_sql() -> dict[str, str]:
         FROM starts
         WHERE len(w[start:start+39]) > 0
         ORDER BY doc_id, chunk_idx
+    """
+    sql["ann_topk_ivf"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+            FROM v ORDER BY vec_id LIMIT 8
+        ), vc AS (
+            SELECT v.vec_id, cent.ci,
+                   list_sum(list_apply(list_zip(v.e, cent.ce), p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_apply(v.e, x -> x * x)))
+                      * sqrt(list_sum(list_apply(cent.ce, x -> x * x)))) AS s
+            FROM v, cent
+        ), ranked AS (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, ci DESC) AS rn
+            FROM vc
+        ), assign AS (
+            SELECT vec_id, ci AS list_id FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, ci AS list_id FROM ranked
+            WHERE rn <= 3 AND vec_id < 5
+        ), cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON p.list_id = a.list_id
+            WHERE p.query_id <> a.vec_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_sum(list_apply(list_zip(q.e, n.e), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(n.e, x -> x * x)))), 4) AS cos
+            FROM cand c
+            JOIN v q ON c.query_id = q.vec_id
+            JOIN v n ON c.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank
     """
     # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
     # intentionally no oracle (driver records rows-only checks).
