@@ -529,18 +529,25 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-banded LSH near-dup (scale path).  xxhash64 has no DuckDB
-    equivalent → no oracle entry; validated in tests against the exact
-    jaccard pairs (recall) and by the driver's rows-only check."""
+    """MinHash-banded LSH near-dup (scale path).  The exact-Jaccard verify
+    on LSH candidates means the output equals the exact all-pairs
+    computation wherever banding recall holds — on the fixture the minimum
+    qualifying jaccard is 0.90, so per-pair recall at 16 bands × 4 rows is
+    1-(1-0.9⁴)^16 ≈ 1-4e-8; the oracle is therefore the exact-Jaccard SQL
+    (equality also asserted in tests/test_dedup.py)."""
     docs = tables.load(spark, sf_dir, "documents")
     out = D.minhash_lsh_pairs(docs, threshold=0.6)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check; xxhash64-based)."""
+    """SimHash near-dup pairs with the md5-prefix token hash (byte-identical
+    in DuckDB, so the oracle mirrors the fingerprints exactly).  The
+    pigeonhole band candidate step is exact, so the output equals the
+    oracle's all-pairs hamming ≤ 3.  Production default stays xxhash64."""
     docs = tables.load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, max_hamming=3)
+    out = D.simhash_pairs(docs, max_hamming=3, hash_fn="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_ann_topk_bruteforce(spark, sf_dir):
@@ -568,9 +575,15 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup pairs, exact-cosine verified.
+    The fixture's max pairwise cosine is ~0.5, so the threshold is 0.45
+    (14 pairs at sf0.01 — non-vacuous); 24 tables × 3 bits gives
+    per-pair recall 1-(1-p³)^24 ≈ 0.9995 at p(0.45)≈0.65, and the oracle
+    is the exact all-pairs computation."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    out = SIM.embedding_near_dup_pairs(emb, threshold=0.95, bits=4)
-    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    return SIM.embedding_near_dup_pairs(
+        emb, threshold=0.45, bits=3, n_tables=24, round_digits=4, dim=64
+    )
 
 
 # --------------------------------------------------------------------------
@@ -791,10 +804,16 @@ def q_corr_stats(spark, sf_dir):
 
 
 def q_customers_without_orders(spark, sf_dir):
+    """Anti-join: customers with no orders in 1997.  (The unrestricted
+    variant is vacuous on the fixture — every customer has some order —
+    so the window makes the check exercise non-trivial output.)"""
     cust = tables.load(spark, sf_dir, "customer")
-    orders = tables.load(spark, sf_dir, "orders")
+    orders_1997 = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(orders_1997, cust.c_custkey == orders_1997.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -837,7 +856,10 @@ def q_approx_distinct(spark, sf_dir):
 
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroid via posexplode + positional regroup —
-    the scalable elementwise-mean pattern (no UDF, no collect)."""
+    the scalable elementwise-mean pattern (no UDF, no collect).  The
+    centroid array is serialized to a fixed-format CSV string ('%.4f' per
+    element) because the driver's canonicalizer can't sort raw array
+    columns (r1: pandas TypeError unhashable 'list')."""
     emb = tables.load(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     per_pos = exploded.groupBy("label", "pos").agg(
@@ -845,8 +867,13 @@ def q_label_centroids(spark, sf_dir):
     )
     return (
         per_pos.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).getField("m").alias("centroid"))
-        .select("label", "centroid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).getField("m").alias("__c"))
+        .select(
+            "label",
+            F.concat_ws(
+                ",", F.transform("__c", lambda x: F.format_string("%.4f", x))
+            ).alias("centroid"),
+        )
         .orderBy("label")
     )
 
@@ -1217,15 +1244,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_sum(list_apply(list_zip(a.e, b.e),
-                                         p -> p[1] * p[2]))
-                     / (sqrt(list_sum(list_apply(a.e, x -> x * x)))
-                        * sqrt(list_sum(list_apply(b.e, x -> x * x)))), 4) AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_apply(list_zip(a.e, b.e), p -> p[1] * p[2]))
-              / (sqrt(list_sum(list_apply(a.e, x -> x * x)))
-                 * sqrt(list_sum(list_apply(b.e, x -> x * x)))) >= 0.95
+        SELECT id_a, id_b, cos FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_apply(list_zip(a.e, b.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(a.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(b.e, x -> x * x)))), 4) AS cos
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        WHERE cos >= 0.45
         ORDER BY id_a, id_b
     """
     sql["asof_purchase_click"] = """
@@ -1414,7 +1440,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["customers_without_orders"] = """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
         ORDER BY c_custkey
     """
     sql["orders_above_avg"] = """
@@ -1435,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 4) AS m
             FROM e GROUP BY 1, 2
         )
-        SELECT label, list(m ORDER BY pos) AS centroid
+        SELECT label, string_agg(printf('%.4f', m), ',' ORDER BY pos) AS centroid
         FROM per_pos GROUP BY label ORDER BY label
     """
     sql["top_tokens_per_lang"] = """
@@ -1656,6 +1686,47 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank
     """
-    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: xxhash64-based —
-    # intentionally no oracle (driver records rows-only checks).
+    # dedup_minhash_lsh: the exact-Jaccard verify over LSH candidates makes
+    # the output equal the exact all-pairs computation wherever banding
+    # recall holds (fixture min qualifying jaccard = 0.90 → per-pair recall
+    # 1-(1-0.9^4)^16 ≈ 1-4e-8); oracle = the exact-Jaccard SQL.
+    sql["dedup_minhash_lsh"] = sql["dedup_ngram_jaccard"]
+    # dedup_simhash: md5-prefix token hash is byte-identical across engines;
+    # pigeonhole banding is exact, so oracle = all-pairs hamming <= 3 over
+    # the same fingerprints.  Bit b of the 64-bit hash = bit (b % 4) of hex
+    # nibble (b // 4) of md5(token); fingerprint bit b set iff the signed
+    # bit-sum over tokens is positive.  Bit 63 packs as -2^63 (DuckDB
+    # raises on 1 << 63; Spark's shiftleft wraps to the same two's-
+    # complement value).
+    _nib = lambda b: f"(strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+    _bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (({_nib(b)} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    _pack = " + ".join(
+        [f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)]
+        + ["(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"]
+    )
+    sql["dedup_simhash"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0
+        ), th AS (
+            SELECT doc_id, md5(tok) AS h FROM tok
+        ), bits AS (
+            SELECT doc_id,
+               {_bit_sums}
+            FROM th GROUP BY 1
+        ), fp AS (
+            SELECT doc_id, CAST({_pack} AS BIGINT) AS simhash FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY 1, 2
+    """
+    # ann_topk_lsh / approx_distinct: genuinely engine-specific (probabilistic
+    # candidate recall / HLL estimator) — intentionally rows-only; pytest
+    # asserts recall@k vs brute force and ±5% vs exact count respectively.
     return sql

@@ -254,23 +254,46 @@ def minhash_lsh_pairs(
 
 # --------------------------------------------------------------- simhash
 
+def _md5_bit_sign(b: int) -> Column:
+    """±1 contribution of bit ``b`` (0..63) of the token's 64-bit md5-prefix
+    hash: hex nibble ``b // 4`` of md5(tok) (column ``h``), little-endian
+    within the nibble.  Chosen because md5 is byte-identical in Spark and
+    DuckDB, so a simhash built from it is oracle-reproducible (xxhash64,
+    the fast default, exists only in Spark)."""
+    nib = F.expr(f"locate(substr(h, {b // 4 + 1}, 1), '0123456789abcdef') - 1")
+    return F.when(F.shiftright(nib, b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over whitespace tokens.
 
-    Per bit b: sign of Σ_tokens (bit_b(xxhash64(token)) ? +1 : -1).
+    Per bit b: sign of Σ_tokens (bit_b(hash(token)) ? +1 : -1).
     Implemented as one explode + 64 conditional-sum aggregates (all JVM);
-    the shuffle carries one row of 64 ints per doc."""
+    the shuffle carries one row of 64 ints per doc.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — JVM intrinsic) or
+    ``"md5"`` (first 16 hex nibbles of md5 — identical in DuckDB, used by
+    the declared-query corpus so the oracle can mirror the fingerprints).
+    """
     tok = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(_lc(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
+    )
+    if hash_fn == "xxhash64":
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+        bit_sums = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    elif hash_fn == "md5":
+        tok = tok.withColumn("h", F.md5("tok"))
+        bit_sums = [F.sum(_md5_bit_sign(b)).alias(f"b{b}") for b in range(64)]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     agg = tok.groupBy("doc_id").agg(*bit_sums)
     fp = None
     for b in range(64):
@@ -285,15 +308,19 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Candidates via the pigeonhole band trick: split 64 bits into
     (max_hamming+1) chunks; any pair within the radius shares ≥1 exact
-    chunk → equi-join on (chunk_idx, chunk_value), then verify hamming."""
+    chunk → equi-join on (chunk_idx, chunk_value), then verify hamming.
+    Unlike MinHash banding this candidate step is EXACT (pigeonhole, not
+    probabilistic): the output equals all-pairs hamming ≤ k for the same
+    fingerprints — which is what the DuckDB oracle computes."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    fp = simhash64(df, text_col, id_col)
+    fp = simhash64(df, text_col, id_col, hash_fn=hash_fn)
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -86,6 +86,18 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality.  ArrayType carries no length in the schema, so
+    when the caller doesn't pass ``dim`` we fetch ONE int (size of one
+    vector) — never a full vector row — in a single bounded job."""
+    if dim is not None:
+        return dim
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        raise ValueError(f"cannot infer dim: {vec_col} has no rows")
+    return int(row["d"])
+
+
 def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id (long) from literal hyperplanes — all JVM math."""
     bucket = F.lit(0).cast("long")
@@ -108,6 +120,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     round_digits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH.
 
@@ -123,7 +136,7 @@ def lsh_topk(
     volume ≈ corpus × T / 2^bits.  At 100 TB the (table, bucket) pair is
     the ingest clustering key so probes prune files.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _infer_dim(corpus, vec_col, dim)
     all_planes = [
         random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -232,34 +245,61 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     bits: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    round_digits: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Candidates via hyperplane-LSH self-join on the bucket (near-identical
-    vectors agree on all sign bits with high probability), verified with
-    exact cosine.  Output: (id_a, id_b, cos), id_a < id_b."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bits, seed)
-    t = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    Candidates via hyperplane-LSH self-join on (table, bucket), verified
+    with exact cosine.  Output: (id_a, id_b, cos), id_a < id_b.
+
+    Single-table recall per pair is p^bits (p = 1 − θ/π) — only adequate
+    for near-identical vectors (cos ≥ ~0.95).  For lower thresholds pass
+    ``n_tables`` > 1: candidates are OR'd across T independent tables
+    (recall 1 − (1 − p^bits)^T) at the cost of T bucket rows per vector.
+    The verify step makes precision exact either way."""
+    dim = _infer_dim(df, vec_col, dim)
+    all_planes = [
+        random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(F.col(vec_col), all_planes[t]).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    a = t.alias("a")
-    b = t.alias("b")
+    # bucket rows carry only (id, tbl, bkt); vectors stay in a slim side
+    # table joined back onto the deduped candidate pairs — the band
+    # self-join never shuffles the vector payload T times.
+    t = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("__b")).select(
+        "id", "__b.tbl", "__b.bkt"
+    )
+    cand = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
-        )
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")), "id_b")
+        .select("id_a", "id_b", sim.alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
