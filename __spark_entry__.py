@@ -870,8 +870,10 @@ def q_label_centroids(spark, sf_dir):
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).getField("m").alias("__c"))
         .select(
             "label",
+            # + 0.0 collapses IEEE -0.0 to +0.0 (a near-zero mean rounds to
+            # a differently-signed zero per engine — '%.4f' would print it)
             F.concat_ws(
-                ",", F.transform("__c", lambda x: F.format_string("%.4f", x))
+                ",", F.transform("__c", lambda x: F.format_string("%.4f", x + F.lit(0.0)))
             ).alias("centroid"),
         )
         .orderBy("label")
@@ -1465,7 +1467,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 4) AS m
             FROM e GROUP BY 1, 2
         )
-        SELECT label, string_agg(printf('%.4f', m), ',' ORDER BY pos) AS centroid
+        SELECT label, string_agg(printf('%.4f', m + 0.0), ',' ORDER BY pos) AS centroid
         FROM per_pos GROUP BY label ORDER BY label
     """
     sql["top_tokens_per_lang"] = """

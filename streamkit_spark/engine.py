@@ -76,33 +76,17 @@ class StreamkitEngine:
         now = now_ms if now_ms is not None else _now_ms()
         token = self.watermarks.begin(space, now)
         try:
+            # Store.produce maintains the segment_status table itself by
+            # merging the statuses it just computed — no events re-scan
+            # (the r1 engine re-aggregated the segment per produce).
             statuses = self.store(store_id).produce(
                 space, segment, records, now_ms=now
             )
             last_ts = statuses[-1]["last_ts"] if statuses else now
             self.watermarks.note_committed(space, token, last_ts)
-            if statuses:
-                self._upsert_status(store_id, space, segment)
             return statuses
         finally:
             self.watermarks.end(space, token)
-
-    def _upsert_status(self, store_id: str, space: str, segment: str) -> None:
-        """Recompute this segment's status row and overwrite its slice of
-        the status table (partitioned by space → single-partition rewrite;
-        with Delta available this becomes a MERGE)."""
-        st = segment_status(
-            self.store(store_id).events(), space=space, segment=segment
-        )
-        path = self._status_path(store_id)
-        (
-            st.withColumn("space", F.lit(space))
-            .repartition(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("space", "segment")
-            .parquet(path)
-        )
 
     # -------------------------------------------------------------- read
 
@@ -167,13 +151,34 @@ class StreamkitEngine:
     def peek(
         self, store_id: str, space: str, segment: str, now_ms: int | None = None
     ) -> DataFrame:
-        """Watermark-clamped peek (node.go:259-298).  Fast path: the
-        maintained status table (no events scan); fallback recompute."""
+        """Watermark-clamped peek (node.go:259-298).
+
+        Fast path: the maintained status row pins the last sequence
+        (driver-side point read), so the events read is an equality filter
+        ``sequence == last`` — parquet stats prune every file but the tail
+        one — instead of a whole-segment sort-scan.  Falls back to the
+        scan peek when the segment's tail is above the watermark (the
+        result must then be the latest *visible* entry) or when no status
+        row exists."""
         now = now_ms if now_ms is not None else _now_ms()
         safe = self.watermarks.safe_max_timestamp(space, now)
-        return _peek(
-            self.store(store_id).events(), space, segment, max_ts=safe
-        )
+        store = self.store(store_id)
+        st = store.last_status(space, segment)
+        if (
+            st is not None
+            and st["last_ts"] is not None
+            and st["last_ts"] <= safe
+        ):
+            return (
+                store.events()
+                .filter(
+                    (F.col("space") == space)
+                    & (F.col("segment") == str(segment))
+                    & (F.col("sequence") == int(st["last_sequence"]))
+                )
+                .limit(1)
+            )
+        return _peek(store.events(), space, segment, max_ts=safe)
 
     def get_segment_status(
         self, store_id: str, space: str, segment: str | None = None

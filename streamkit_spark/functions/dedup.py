@@ -4,9 +4,10 @@ Strategies, cheapest first:
 
 * **exact** — md5(normalized text) groupBy.  One shuffle of (hash, id);
   map-side combine makes the shuffle proportional to distinct hashes.
-* **ngram-jaccard** — exact Jaccard over word-shingle sets, candidates =
-  pairs sharing ≥1 shingle.  Correct but the shingle self-join explodes on
-  common shingles; use on bounded corpora or after LSH banding.
+* **ngram-jaccard** — exact Jaccard over word-shingle sets via prefix
+  filtering (AllPairs/PPJoin): candidates only need to share a shingle in
+  their df-ordered prefixes, so the join keys are the RARE shingles —
+  exact results without the hot-shingle quadratic blowup.
 * **minhash LSH** — the scale path: per-doc signature of P minhashes
   (xxhash64 with P salts, all JVM-side), banded into B buckets; only
   same-bucket pairs are verified with exact Jaccard.  Shuffle volume is
@@ -97,38 +98,90 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all candidate pairs
-    (pairs sharing ≥1 shingle).  Output: (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard ≥ threshold.
+    """Exact n-gram Jaccard pairs via prefix filtering (the AllPairs /
+    PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW'07).  Output: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard ≥ threshold — identical to the naive
+    all-candidates computation, but without its hot-shingle skew.
 
-    Scale note: the shingle equi-join is the candidate generator; Catalyst
-    hash-partitions on the shingle so hot shingles skew — at full scale
-    prefer :func:`minhash_lsh_pairs`, which this function then verifies.
+    Why this scales where the raw shingle self-join doesn't: joining on
+    every shingle explodes quadratically on common shingles ("the end of"
+    appearing in D docs → D² candidate rows on one shuffle key).  Prefix
+    filtering orders each doc's shingles by ascending global document
+    frequency and emits only the first ``|A| - ⌈t·|A|⌉ + 1`` of them; any
+    pair with J ≥ t provably shares a prefix shingle (|A∩B| ≥ ⌈t·|A|⌉
+    elements can't all hide in the ⌈t·|A|⌉-1 suffix positions), so
+    candidate recall is exactly 1 — while the join keys are now the RARE
+    shingles, removing the skew by construction.  Candidates are verified
+    with exact jaccard over the full shingle arrays (broadcast, as in
+    :func:`minhash_lsh_pairs`).
+
+    The prefix length uses integer arithmetic (``⌈t·n⌉`` via a rational
+    t), never float ceil — a float ulp upward would shorten the prefix
+    and silently lose pairs.
     """
     sh = shingle_table(df, text_col, id_col, n)
-    # set sizes map-only from the shingle array — no second explode+shuffle
-    sizes = _spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.size(word_ngrams(_lc(text_col), n)).alias("n_shingles"),
+    # threshold as a rational t_num/t_den so every bound below is exact
+    # integer arithmetic
+    t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
+    # per-doc shingles sorted by (global df asc, shingle) — the aggregate
+    # is also the materialization barrier that stops Catalyst re-deriving
+    # the sorted array per downstream reference
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("o"))
+        .select(
+            "doc_id", F.transform("o", lambda x: x.getField("shingle")).alias("sh_all")
+        )
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    # prefix = first n - ceil(t*n) + 1 shingles; carry set size and prefix
+    # position for the PPJoin length/position filters
+    plen = F.expr(
+        f"cast(size(sh_all) - ((size(sh_all) * {t_num} + {t_den - 1}) div {t_den})"
+        " + 1 as int)"
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    prefix = ordered.select(
+        "doc_id",
+        F.size("sh_all").alias("nsh"),
+        F.posexplode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("rk", "shingle"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap requirement α = ceil(t/(1+t) · (|A|+|B|)); a shared prefix
+    # shingle at 0-based ranks (i, j) bounds the overlap by
+    # min(|A|-i, |B|-j), and the pair's globally-smallest common shingle
+    # always yields a passing row, so the filters lose no qualifying pair
+    alpha = F.expr(
+        f"((a.nsh + b.nsh) * {t_num} + {t_num + t_den} - 1) div {t_num + t_den}"
+    )
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: t·|A| ≤ |B| ≤ |A|/t
+        & (F.col("b.nsh") * t_den >= F.col("a.nsh") * t_num)
+        & (F.col("a.nsh") * t_den >= F.col("b.nsh") * t_num)
+        # position filter
+        & (F.least(F.col("a.nsh") - F.col("a.rk"), F.col("b.nsh") - F.col("b.rk")) >= alpha)
+    )
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact-jaccard verify on candidates, reusing the already-materialized
+    # shingle arrays (Spark re-uses the aggregate's exchange)
+    va = ordered.select(F.col("doc_id").alias("id_a"), F.col("sh_all").alias("__sa"))
+    vb = ordered.select(F.col("doc_id").alias("id_b"), F.col("sh_all").alias("__sb"))
     return (
-        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("inter").cast("double")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("inter"))
+                F.size(F.array_intersect("__sa", "__sb")).cast("double")
+                / F.size(F.array_union("__sa", "__sb"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))

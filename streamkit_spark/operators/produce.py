@@ -13,19 +13,25 @@ Reference semantics being reproduced (Go impl:
 * a produce returns the resulting SegmentStatus per chunk.
 
 Spark-first design: the store is a partitioned Parquet (or Delta, when
-available) table; appends are atomic at file granularity; single-winner
-conflict resolution is commit-time re-validation (optimistic concurrency —
-the reference's cross-process contract is also error-not-lock,
-docs/limitations.md:57-60).  Validation of an incoming batch is a
-DataFrame aggregation, not a driver loop — it scales to arbitrarily large
-produces.
+available) table; appends are atomic at file granularity.  Single-winner
+semantics for same-segment writers come from three layers: (1) in-process
+per-segment mutex (the reference's lock map), (2) cross-process per-segment
+flock held for the peek→append window, (3) a post-append tail verification
+that detects any write that slipped past both (stale status after a crash,
+lock-bypassing foreign writer), rolls back exactly the files this produce
+renamed in, repairs the status row, and raises SequenceMismatchError — the
+reference's error-not-lock contract for racers (docs/limitations.md:57-60).
+Validation of an incoming batch is a DataFrame aggregation, not a driver
+loop — it scales to arbitrarily large produces.
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,7 +39,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from streamkit_spark.errors import SequenceMismatchError, ValidationError
-from streamkit_spark.schema import EVENTS_SCHEMA, PRODUCE_CHUNK_SIZE
+from streamkit_spark.schema import (
+    EVENTS_SCHEMA,
+    PRODUCE_CHUNK_SIZE,
+    SEGMENT_STATUS_SCHEMA,
+)
+
+try:  # POSIX file locks for cross-process writer coordination
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None
+
+
+@contextlib.contextmanager
+def _flock(path: str, exclusive: bool):
+    """Advisory cross-process lock (fcntl.flock).  Producers take the store
+    lock SHARED (they may run concurrently across segments) and their
+    segment lock EXCLUSIVE; compact takes the store lock EXCLUSIVE, which
+    quiesces every producer for the swap.  flock is per open-file-
+    description, so two threads of one process also exclude each other."""
+    if fcntl is None:  # pragma: no cover
+        yield
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _part_dir(space: str, segment: str) -> str:
+    """Spark-compatible partition directory for one (space, segment):
+    values %-escaped exactly as Spark unescapes them on read."""
+    q = lambda v: urllib.parse.quote(str(v), safe="")
+    return f"space={q(space)}/segment={q(segment)}"
 
 # nullable on purpose: malformed input must reach the engine's own
 # validation (ValidationError), not fail at DataFrame construction
@@ -63,17 +105,29 @@ class Store:
         self.root = root
         self.store_id = store_id or str(uuid.uuid4())
         self.events_path = os.path.join(root, "events")
+        self.status_path = os.path.join(root, "segment_status")
+        self._locks_dir = os.path.join(root, ".locks")
         self._node_id = str(uuid.uuid4())
         # per-segment write locks (reference: bounded lock map,
         # pebblekit/store.go:25,57-90): same-segment produces serialize
-        # in-process, different segments run fully parallel; cross-process
-        # racers are still caught by the optimistic re-validation
+        # in-process, different segments run fully parallel.  Cross-process
+        # same-segment writers are excluded by a per-segment flock (see
+        # _produce), and any writer that bypasses the lock protocol is
+        # caught by the post-append verification (rollback + error).
         self._seg_locks: dict[tuple[str, str], threading.Lock] = {}
         self._seg_locks_guard = threading.Lock()
 
     def _segment_lock(self, space: str, segment: str):
         with self._seg_locks_guard:
             return self._seg_locks.setdefault((space, str(segment)), threading.Lock())
+
+    def _seg_flock_path(self, space: str, segment: str) -> str:
+        key = urllib.parse.quote(f"{space}__{segment}", safe="")
+        return os.path.join(self._locks_dir, f"seg-{key}.lock")
+
+    @property
+    def _store_lock_path(self) -> str:
+        return os.path.join(self._locks_dir, "store.lock")
 
     # ------------------------------------------------------------- read
 
@@ -88,9 +142,117 @@ class Store:
             not f.startswith((".", "_")) for f in os.listdir(self.events_path)
         )
 
+    # ----------------------------------------------------------- status
+
+    def statuses(self) -> DataFrame:
+        """The maintained segment_status table (A1, incrementally updated
+        at write time — reference: pebblekit/store.go:289-302)."""
+        if not os.path.isdir(self.status_path):
+            return self.spark.createDataFrame([], SEGMENT_STATUS_SCHEMA)
+        return self.spark.read.schema(SEGMENT_STATUS_SCHEMA).parquet(self.status_path)
+
+    def last_status(self, space: str, segment: str) -> dict | None:
+        """O(1) stored-status lookup: reads the one tiny parquet partition
+        for (space, segment) driver-side (pyarrow) — no Spark job.  This is
+        the columnar analog of the reference peeking its stored status row
+        / LAST_ENTRY pointer (pebblekit/store.go:219-228,294).
+
+        During a concurrent status swap two row versions may coexist for an
+        instant; the max-last_sequence row wins (monotone by construction).
+        """
+        import pyarrow.parquet as pq
+
+        part = os.path.join(self.status_path, _part_dir(space, segment))
+        if not os.path.isdir(part):
+            return None
+        best = None
+        for f in os.listdir(part):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(part, f))
+            for row in t.to_pylist():
+                if best is None or (row["last_sequence"] or 0) > (best["last_sequence"] or 0):
+                    best = row
+        return best
+
+    def _write_status_row(
+        self,
+        space: str,
+        segment: str,
+        first_sequence: int,
+        first_ts: int,
+        last_sequence: int,
+        last_ts: int,
+        last_trx_number: int,
+    ) -> None:
+        """Merge one produce's resulting status into the status table —
+        pure driver-side work on values the produce already computed (no
+        events scan, no Spark job; VERDICT r1 'incremental status upsert').
+
+        Write order makes readers race-safe without a lock: the new row
+        file lands first, old row files are removed after — a concurrent
+        reader sees one or both rows and `last_status` resolves by max
+        last_sequence."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part = os.path.join(self.status_path, _part_dir(space, segment))
+        os.makedirs(part, exist_ok=True)
+        old_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+        table = pa.table(
+            {
+                "first_sequence": pa.array([first_sequence], pa.int64()),
+                "first_ts": pa.array([first_ts], pa.int64()),
+                "last_sequence": pa.array([last_sequence], pa.int64()),
+                "last_ts": pa.array([last_ts], pa.int64()),
+                "last_trx_number": pa.array([last_trx_number], pa.int64()),
+            }
+        )
+        tmp = os.path.join(part, f".tmp-{uuid.uuid4()}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(part, f"{uuid.uuid4()}.parquet"))
+        for f in old_files:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(part, f))
+
+    def _repair_status(self, space: str, segment: str) -> None:
+        """Recompute one segment's status row from events (recovery path —
+        reference recompute fallback, pebblekit/store.go:368-409)."""
+        row = (
+            self.events()
+            .filter((F.col("space") == space) & (F.col("segment") == segment))
+            .agg(
+                F.min("sequence").alias("fs"),
+                F.min_by("ts", F.col("sequence")).alias("fts"),
+                F.max("sequence").alias("ls"),
+                F.max_by("ts", F.col("sequence")).alias("lts"),
+                F.max("trx_number").alias("lt"),
+            )
+            .first()
+        )
+        if row["ls"] is None:
+            return
+        self._write_status_row(
+            space, segment, row["fs"], row["fts"], row["ls"], row["lts"], row["lt"]
+        )
+
     def _last_state(self, space: str, segment: str) -> tuple[int, int]:
         """(last_sequence, last_trx_number) — the reference's pre-produce
-        Peek (pebblekit/store.go:219-228)."""
+        Peek (pebblekit/store.go:219-228).
+
+        Fast path: the maintained status row (driver-side point read, no
+        Spark job).  Fallback: events scan (bootstrap / stores written
+        before status maintenance existed).  A stale status row — possible
+        only after a crash inside the append/status window — is detected by
+        the post-append verification, which rolls the write back, repairs
+        the status row from events, and raises; the caller's retry then
+        sees the correct tail."""
+        st = self.last_status(space, segment)
+        if st is not None:
+            return int(st["last_sequence"] or 0), int(st["last_trx_number"] or 0)
+        return self._last_state_scan(space, segment)
+
+    def _last_state_scan(self, space: str, segment: str) -> tuple[int, int]:
         if not self._exists():
             return 0, 0
         row = (
@@ -143,7 +305,13 @@ class Store:
             # gaps or duplicates inside the batch (I1/I2 precondition)
             raise SequenceMismatchError(space, segment, -1, -1)
 
-        with self._segment_lock(space, segment):
+        # lock order: in-process segment lock → store flock (shared) →
+        # segment flock (exclusive).  compact() takes the store flock
+        # exclusively, so it never overlaps a produce; same-segment
+        # producers in other processes serialize on the segment flock.
+        with self._segment_lock(space, segment), _flock(
+            self._store_lock_path, exclusive=False
+        ), _flock(self._seg_flock_path(space, segment), exclusive=True):
             return self._produce_locked(space, segment, df, stats, now_ms)
 
     def _produce_locked(self, space, segment, df, stats, now_ms) -> list[dict]:
@@ -173,12 +341,53 @@ class Store:
             .select(*[f.name for f in EVENTS_SCHEMA.fields])
         )
 
-        # -- single-winner re-validation then atomic append (optimistic
-        # concurrency; Delta MERGE precondition when delta is available)
-        cur_seq, _ = self._last_state(space, segment)
-        if cur_seq != last_seq:
-            raise SequenceMismatchError(space, segment, last_seq + 1, cur_seq + 1)
-        self._append_files(stamped)
+        # -- append, then verify the tail actually reads back contiguous.
+        # The segment flock already excludes same-segment writers that
+        # honor the lock protocol; this check catches everything else —
+        # a stale status row after a crash, or a foreign writer bypassing
+        # the locks — and rolls the just-renamed files back so the
+        # violation is surfaced as an error, not silent duplicate
+        # sequences (I1/I2 stay invariant for either racer).  The scan is
+        # bounded: `sequence > last_seq` prunes every file whose max
+        # sequence stat is below the new tail.
+        appended = self._append_files(stamped)
+        tail = (
+            self.events()
+            .filter(
+                (F.col("space") == space)
+                & (F.col("segment") == segment)
+                & (F.col("sequence") > last_seq)
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.count_distinct("sequence").alias("dst"),
+                F.max("sequence").alias("mx"),
+            )
+            .first()
+        )
+        if tail["cnt"] != n or tail["dst"] != n or tail["mx"] != int(stats["max_seq"]):
+            for path in appended:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
+            self._repair_status(space, segment)
+            cur_seq, _ = self._last_state(space, segment)
+            raise SequenceMismatchError(space, segment, cur_seq + 1, stats["min_seq"])
+
+        # -- merge the status this produce just created (no events scan)
+        prior = None if last_seq == 0 else self.last_status(space, segment)
+        if last_seq > 0 and prior is None:
+            # legacy store without a status table: one-time bootstrap
+            self._repair_status(space, segment)
+        else:
+            self._write_status_row(
+                space,
+                segment,
+                first_sequence=prior["first_sequence"] if prior else base,
+                first_ts=prior["first_ts"] if prior else ts,
+                last_sequence=int(stats["max_seq"]),
+                last_ts=ts,
+                last_trx_number=last_trx + n_chunks,
+            )
 
         # -- SegmentStatus per chunk (reference returns one per commit)
         statuses = []
@@ -221,9 +430,19 @@ class Store:
         Streaming appends leave one small file per produce — the classic
         small-file problem; at scale this turns scans into metadata storms.
         Compaction restores the designed layout (space partitions, sorted
-        files → parquet min/max stats prune segment scans).  Written to a
-        staging dir then atomically swapped, so concurrent readers see
-        either the old or the new layout, never a partial one.
+        files → parquet min/max stats prune segment scans).
+
+        Concurrency contract: compact takes the store flock EXCLUSIVELY
+        while producers hold it shared, so no produce can rename a
+        committed file into the pre-swap directory (which would then be
+        deleted — acknowledged-write loss).  The snapshot is read and
+        rewritten *inside* the lock.  Readers take no lock: between the
+        two renames of the swap the events path briefly does not exist and
+        a concurrent reader sees an empty table for that instant — a
+        documented read race, never a write loss.  As defense-in-depth
+        against writers that bypassed the flock, any parquet file that
+        landed in the old directory after the snapshot is moved into the
+        new layout instead of deleted.
 
         Returns {"files_before": n, "files_after": m}."""
         import shutil
@@ -234,29 +453,47 @@ class Store:
                 total += sum(1 for f in files if f.endswith(".parquet"))
             return total
 
+        def parquet_files(root: str) -> set[str]:
+            out = set()
+            for d, _, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out.add(os.path.relpath(os.path.join(d, f), root))
+            return out
+
         if not self._exists():
             return {"files_before": 0, "files_after": 0}
-        before = count_files(self.events_path)
-        staging = self.events_path + ".compacting"
-        (
-            self.events()
-            .repartition(files_per_space, "space")
-            .sortWithinPartitions("space", "segment", "sequence")
-            .write.mode("overwrite")
-            .partitionBy("space")
-            .parquet(staging)
-        )
-        old = self.events_path + ".old"
-        os.rename(self.events_path, old)
-        os.rename(staging, self.events_path)
-        shutil.rmtree(old)
+        with _flock(self._store_lock_path, exclusive=True):
+            before = count_files(self.events_path)
+            snapshot = parquet_files(self.events_path)
+            staging = self.events_path + ".compacting"
+            (
+                self.events()
+                .repartition(files_per_space, "space")
+                .sortWithinPartitions("space", "segment", "sequence")
+                .write.mode("overwrite")
+                .partitionBy("space")
+                .parquet(staging)
+            )
+            old = self.events_path + ".old"
+            os.rename(self.events_path, old)
+            os.rename(staging, self.events_path)
+            # straggler sweep: files not in the snapshot were written after
+            # the rewrite began (lock-bypassing writer) — merge, don't drop
+            for rel in parquet_files(old) - snapshot:
+                dest = os.path.join(self.events_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(old, rel), dest)
+            shutil.rmtree(old)
         return {"files_before": before, "files_after": count_files(self.events_path)}
 
     # ---------------------------------------------------------- helpers
 
-    def _append_files(self, stamped: DataFrame) -> None:
+    def _append_files(self, stamped: DataFrame) -> list[str]:
         """Concurrent-safe append: write to a produce-private staging dir,
         then move the parquet files into the table with unique names.
+        Returns the destination paths (so a failed post-append verification
+        can roll this exact write back).
 
         The default Hadoop committer stages every concurrent write of one
         table under the SAME ``_temporary/0`` directory — parallel
@@ -267,6 +504,7 @@ class Store:
         import shutil
 
         staging = os.path.join(self.root, f".staging-{uuid.uuid4()}")
+        moved: list[str] = []
         try:
             (
                 stamped.repartition(1)
@@ -283,10 +521,10 @@ class Store:
                 src_dir = os.path.join(staging, entry)
                 for f in os.listdir(src_dir):
                     if f.endswith(".parquet"):
-                        os.rename(
-                            os.path.join(src_dir, f),
-                            os.path.join(dest_dir, f"{uuid.uuid4()}.parquet"),
-                        )
+                        dest = os.path.join(dest_dir, f"{uuid.uuid4()}.parquet")
+                        os.rename(os.path.join(src_dir, f), dest)
+                        moved.append(dest)
+            return moved
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 

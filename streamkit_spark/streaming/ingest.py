@@ -69,6 +69,7 @@ def ingest_batch(
         os.replace(tmp, plan_path)
 
     results: dict = {}
+    plan_dirty = False
     for space, segment in sorted(groups):
         rows = (
             batch.filter(
@@ -78,21 +79,72 @@ def ingest_batch(
             .select("payload", "metadata")
             .collect()
         )
+        key = f"{space}\x00{segment}"
         if plan:
-            base = plan[f"{space}\x00{segment}"]
+            base = plan.get(key)
+            if base is None:
+                # group absent from the persisted plan (source replayed a
+                # superset batch): fall back to the store tail and extend
+                # the plan so a further replay of THIS group is idempotent
+                base = store._last_state(space, segment)[0] + 1
+                plan[key] = base
+                plan_dirty = True
         else:
             base = store._last_state(space, segment)[0] + 1
         records = [
             (base + i, bytes(r["payload"]), r["metadata"])
             for i, r in enumerate(rows)
         ]
+        if plan_path is not None and plan_dirty:
+            tmp = plan_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(plan, f)
+            os.replace(tmp, plan_path)
+            plan_dirty = False
         try:
             store.produce(space, segment, records, now_ms=now_ms)
             results[(space, segment)] = len(records)
         except SequenceMismatchError:
-            # planned base already applied → replayed batch, skip
-            results[(space, segment)] = 0
+            # The planned span is occupied — but only OUR OWN rows make it
+            # a replay.  A foreign writer landing in the planned range
+            # would otherwise be silently misread as one (silent loss of
+            # this batch), so verify per-sequence payload fingerprints
+            # before skipping (bounded read: the batch's own span).
+            if _span_matches(store, space, segment, base, records):
+                results[(space, segment)] = 0
+            else:
+                raise
     return results
+
+
+def _span_matches(
+    store: Store, space: str, segment: str, base: int, records: list
+) -> bool:
+    """True iff events[base .. base+n-1] for this segment hold exactly the
+    payloads this batch planned to write (md5 per sequence)."""
+    import hashlib
+
+    if not records:
+        return True
+    end = base + len(records) - 1
+    stored = {
+        r["sequence"]: r["h"]
+        for r in (
+            store.events()
+            .filter(
+                (F.col("space") == space)
+                & (F.col("segment") == str(segment))
+                & F.col("sequence").between(base, end)
+            )
+            .select("sequence", F.md5(F.col("payload")).alias("h"))
+            .collect()
+        )
+    }
+    ours = {
+        seq: hashlib.md5(payload).hexdigest()
+        for seq, payload, _ in records
+    }
+    return stored == ours
 
 
 def stream_into_store(

@@ -96,3 +96,53 @@ def test_stream_into_store_end_to_end(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_ingest_replay_with_new_group_falls_back_to_tail(spark, tmp_path):
+    """A replayed batch containing a (space, segment) absent from the
+    persisted plan must not KeyError — the new group sequences from the
+    store tail and is recorded in the plan for further replays."""
+    store = Store(spark, str(tmp_path / "s"))
+    plan = str(tmp_path / "epoch-0.json")
+    ingest_batch(store, _raw(spark, [("sp", "a", b"x", None, 1)]),
+                 now_ms=1, plan_path=plan)
+    superset = _raw(spark, [
+        ("sp", "a", b"x", None, 1),
+        ("sp", "b", b"new", None, 2),  # not in the persisted plan
+    ])
+    out = ingest_batch(store, superset, now_ms=2, plan_path=plan)
+    assert out == {("sp", "a"): 0, ("sp", "b"): 1}
+    # replaying the superset again is now fully idempotent
+    again = ingest_batch(store, superset, now_ms=3, plan_path=plan)
+    assert again == {("sp", "a"): 0, ("sp", "b"): 0}
+    assert store.events().count() == 2
+
+
+def test_ingest_conflict_with_foreign_writer_is_surfaced(spark, tmp_path):
+    """If a foreign produce occupies the planned span with DIFFERENT
+    payloads, the replay check must raise, not silently skip (ADVICE r1:
+    silent data loss indistinguishable from a replay)."""
+    import pytest
+
+    from streamkit_spark.errors import SequenceMismatchError
+
+    store = Store(spark, str(tmp_path / "s"))
+    plan = str(tmp_path / "epoch-0.json")
+    batch = _raw(spark, [("sp", "a", b"mine", None, 1)])
+    # persist the plan without applying it: simulate crash-after-plan
+    import json
+    store.produce("sp", "a", [(1, b"seed", None)], now_ms=1)
+    with open(plan, "w") as f:
+        json.dump({"sp\x00a": 2}, f)
+    # foreign writer takes sequence 2 with a different payload
+    store.produce("sp", "a", [(2, b"foreign", None)], now_ms=2)
+    with pytest.raises(SequenceMismatchError):
+        ingest_batch(store, batch, now_ms=3, plan_path=plan)
+    # true replay (same payload already landed) still skips cleanly
+    plan2 = str(tmp_path / "epoch-1.json")
+    with open(plan2, "w") as f:
+        json.dump({"sp\x00a": 3}, f)
+    store.produce("sp", "a", [(3, b"mine", None)], now_ms=4)
+    out = ingest_batch(store, _raw(spark, [("sp", "a", b"mine", None, 1)]),
+                       now_ms=5, plan_path=plan2)
+    assert out == {("sp", "a"): 0}

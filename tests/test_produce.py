@@ -182,3 +182,69 @@ def test_compact_preserves_data_and_reduces_files(store):
     # appends keep working after compaction
     store.produce("s0", "g0", recs(7, 1), now_ms=99)
     assert store.events().count() == len(before) + 1
+
+
+def test_last_state_reads_status_table_not_events(store, spark):
+    """The pre-produce peek must come from the maintained status row
+    (reference: pebblekit/store.go:219-228 peeks the stored index), not an
+    events scan (VERDICT r1: write-path fast peek)."""
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    # after the first produce a status row exists; the scan fallback must
+    # not be touched anymore
+    def boom(*a, **k):
+        raise AssertionError("events scan used for pre-produce peek")
+
+    store._last_state_scan = boom
+    assert store._last_state("s0", "g0") == (3, 1)
+    store.produce("s0", "g0", recs(4, 2), now_ms=2)  # fast peek end-to-end
+    assert store._last_state("s0", "g0") == (5, 2)
+
+
+def test_status_row_merged_without_events_scan(store, spark):
+    """Status maintenance merges the statuses the produce computed —
+    a driver-side parquet write, not a segment re-aggregation."""
+    store.produce("s0", "g0", recs(1, 3), now_ms=10)
+    store.produce("s0", "g0", recs(4, 2), now_ms=20)
+    st = store.last_status("s0", "g0")
+    assert st["first_sequence"] == 1 and st["first_ts"] == 10
+    assert st["last_sequence"] == 5 and st["last_ts"] == 20
+    assert st["last_trx_number"] == 2
+    # the Spark-facing status table agrees with recompute-from-data
+    stored = {
+        (r["space"], r["segment"]): (r["first_sequence"], r["last_sequence"])
+        for r in store.statuses().collect()
+    }
+    assert stored == {("s0", "g0"): (1, 5)}
+
+
+def test_stale_status_is_detected_rolled_back_and_repaired(store, spark):
+    """Crash window: events written but status row stale.  The next
+    produce that trusts the stale row must NOT create duplicate sequences:
+    post-append verification rolls its files back, repairs the status row,
+    and raises; a retry from the repaired tail succeeds."""
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    store.produce("s0", "g0", recs(4, 2), now_ms=2)
+    # simulate the crash: status says last=3 although events go to 5
+    store._write_status_row("s0", "g0", 1, 1, 3, 1, 1)
+    with pytest.raises(SequenceMismatchError):
+        store.produce("s0", "g0", recs(4, 2), now_ms=3)  # stale peek -> dup
+    ev = store.events()
+    assert ev.count() == 5  # rolled back, no duplicates
+    assert invariants.check_all(ev) == {
+        "i1_contiguity": 0, "i2_density": 0, "i3_trx_monotonic": 0,
+    }
+    assert store.last_status("s0", "g0")["last_sequence"] == 5  # repaired
+    store.produce("s0", "g0", recs(6, 1), now_ms=4)  # retry from true tail
+    assert store.events().count() == 6
+
+
+def test_second_store_instance_sees_status(store, spark):
+    """A second Store handle on the same root (cross-process analog) peeks
+    the same status table and loses cleanly on conflict."""
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    other = Store(spark, store.root, store.store_id)
+    assert other._last_state("s0", "g0") == (3, 1)
+    with pytest.raises(SequenceMismatchError):
+        other.produce("s0", "g0", recs(3, 1), now_ms=2)
+    other.produce("s0", "g0", recs(4, 1), now_ms=3)
+    assert store._last_state("s0", "g0") == (4, 2)
