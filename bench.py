@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "asof_purchase_click",
     "doc_token_stats",
 ]
 

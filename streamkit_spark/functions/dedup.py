@@ -147,34 +147,64 @@ def ngram_jaccard_pairs(
         F.size("sh_all").alias("nsh"),
         F.posexplode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("rk", "shingle"),
     )
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # Candidate generation WITHOUT a self-join: group prefix rows by
+    # shingle and enumerate in-group pairs.  A self-join would instantiate
+    # the whole dfreq+sort pipeline twice (observed: Catalyst plans 4
+    # copies of it across prefix(a), prefix(b) and the two verify
+    # branches, each independently broadcast — bimodal 3 s/24 s runtimes
+    # depending on whether AQE reuses the exchanges).  Grouping keeps ONE
+    # reference; group sizes are bounded because prefixes hold the RARE
+    # shingles.
+    grouped = prefix.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "nsh", "rk")).alias("ds")
+    )
+    pair = grouped.filter(F.size("ds") > 1).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda y: F.struct(x.alias("x"), y.alias("y")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     # overlap requirement α = ceil(t/(1+t) · (|A|+|B|)); a shared prefix
     # shingle at 0-based ranks (i, j) bounds the overlap by
     # min(|A|-i, |B|-j), and the pair's globally-smallest common shingle
     # always yields a passing row, so the filters lose no qualifying pair
+    # (both filters are symmetric in x/y, so pair order is irrelevant)
+    xa, ya = F.col("p.x"), F.col("p.y")
     alpha = F.expr(
-        f"((a.nsh + b.nsh) * {t_num} + {t_num + t_den} - 1) div {t_num + t_den}"
-    )
-    cond = (
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        # length filter: t·|A| ≤ |B| ≤ |A|/t
-        & (F.col("b.nsh") * t_den >= F.col("a.nsh") * t_num)
-        & (F.col("a.nsh") * t_den >= F.col("b.nsh") * t_num)
-        # position filter
-        & (F.least(F.col("a.nsh") - F.col("a.rk"), F.col("b.nsh") - F.col("b.rk")) >= alpha)
+        f"((p.x.nsh + p.y.nsh) * {t_num} + {t_num + t_den - 1}) div {t_num + t_den}"
     )
     cand = (
-        a.join(b, cond)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        pair.filter(
+            # length filter: t·|A| ≤ |B| ≤ |A|/t
+            (ya["nsh"] * t_den >= xa["nsh"] * t_num)
+            & (xa["nsh"] * t_den >= ya["nsh"] * t_num)
+            # position filter
+            & (
+                F.least(xa["nsh"] - xa["rk"], ya["nsh"] - ya["rk"]) >= alpha
+            )
+        )
+        .select(
+            F.least(xa["doc_id"], ya["doc_id"]).alias("id_a"),
+            F.greatest(xa["doc_id"], ya["doc_id"]).alias("id_b"),
+        )
         .distinct()
     )
-    # exact-jaccard verify on candidates, reusing the already-materialized
-    # shingle arrays (Spark re-uses the aggregate's exchange)
-    va = ordered.select(F.col("doc_id").alias("id_a"), F.col("sh_all").alias("__sa"))
-    vb = ordered.select(F.col("doc_id").alias("id_b"), F.col("sh_all").alias("__sb"))
+    # exact-jaccard verify on candidates against map-only shingle arrays
+    # recomputed straight from the docs scan (cheap — no dfreq pipeline)
+    arrays = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
+    )
+    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
+    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
     return (
-        cand.join(va, "id_a")
+        va.join(F.broadcast(cand), "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",

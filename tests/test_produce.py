@@ -248,3 +248,33 @@ def test_second_store_instance_sees_status(store, spark):
         other.produce("s0", "g0", recs(3, 1), now_ms=2)
     other.produce("s0", "g0", recs(4, 1), now_ms=3)
     assert store._last_state("s0", "g0") == (4, 2)
+
+
+def test_concurrent_store_handles_race_single_winner(store, spark):
+    """Two Store handles (cross-process analog: separate in-process lock
+    maps, so only the per-segment flock serializes them) race the same
+    append from the same observed tail.  Exactly one must win; the loser
+    gets SequenceMismatchError; invariants hold (reference:
+    test/core_integration_test.go:48-88, docs/limitations.md:57-60)."""
+    import threading
+
+    store.produce("s0", "g0", recs(1, 3), now_ms=1)
+    other = Store(spark, store.root, store.store_id)
+    results = {}
+
+    def racer(name, st):
+        try:
+            st.produce("s0", "g0", recs(4, 2), now_ms=2)
+            results[name] = "won"
+        except SequenceMismatchError:
+            results[name] = "lost"
+
+    t1 = threading.Thread(target=racer, args=("a", store))
+    t2 = threading.Thread(target=racer, args=("b", other))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert sorted(results.values()) == ["lost", "won"], results
+    ev = store.events()
+    assert ev.count() == 5
+    assert invariants.check_all(ev) == {
+        "i1_contiguity": 0, "i2_density": 0, "i3_trx_monotonic": 0,
+    }
