@@ -487,8 +487,16 @@ def q_tpch_q14_promo_share(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_dedup_exact_groups(spark, sf_dir):
+    """The synthetic corpus has no byte-identical texts, so a bare run
+    matches vacuously (0 rows both engines — r1 advice).  Plant
+    deterministic duplicates (every 40th doc re-keyed by +1_000_000) so
+    the groupBy/min_by logic is exercised on real output: keep_id must be
+    the ORIGINAL id, n_docs the plant multiplicity."""
     docs = tables.load(spark, sf_dir, "documents")
-    return D.exact_duplicate_groups(docs)
+    planted = docs.filter(F.col("doc_id") % 40 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return D.exact_duplicate_groups(docs.unionByName(planted))
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -666,11 +674,16 @@ def q_tumbling_daily(spark, sf_dir):
 
 def q_set_click_no_purchase(spark, sf_dir):
     ev = _ev(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
-    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    # (user, day) granularity: every user both clicks and purchases at
+    # some point in the fixture, so the user-level EXCEPT was vacuously
+    # empty (0 rows both engines — r1 advice).  Days where a user clicked
+    # but bought nothing are plentiful and exercise the set op for real.
+    day = (F.expr("ts div 1000000") / F.lit(86400000)).cast("long").alias("day_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     # subtract = EXCEPT DISTINCT (set semantics; exceptAll would keep
     # surplus multiplicities)
-    return clicks.subtract(purch).orderBy("user_id")
+    return clicks.subtract(purch).orderBy("user_id", "day_id")
 
 
 def q_set_click_and_purchase(spark, sf_dir):
@@ -1171,7 +1184,12 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["dedup_exact_groups"] = f"""
         SELECT md5({_norm}) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+        FROM (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 40 = 0
+        ) GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
     """
     sql["doc_fingerprints"] = f"""
         SELECT doc_id, md5({_norm}) AS fp FROM documents
@@ -1303,11 +1321,13 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """
     sql["set_click_no_purchase"] = """
-        SELECT DISTINCT user_id FROM (
-            SELECT user_id FROM events WHERE event_type='click'
+        SELECT user_id, day_id FROM (
+            SELECT user_id, epoch_ms(ts) // 86400000 AS day_id
+            FROM events WHERE event_type='click'
             EXCEPT
-            SELECT user_id FROM events WHERE event_type='purchase'
-        ) ORDER BY user_id
+            SELECT user_id, epoch_ms(ts) // 86400000 AS day_id
+            FROM events WHERE event_type='purchase'
+        ) ORDER BY user_id, day_id
     """
     sql["set_click_and_purchase"] = """
         SELECT user_id FROM events WHERE event_type='click'
