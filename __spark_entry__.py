@@ -932,6 +932,59 @@ def q_doc_chunks(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_quality_rules(spark, sf_dir):
+    """Gopher/C4-style quality-rule report (functions/curation.quality_rules):
+    per-doc length / word-shape / repetition metrics + pass verdict."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.quality_rules(docs)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen (curation.contamination_report):
+    4-gram overlap between the corpus and a pseudo-benchmark slice
+    (doc_id % 97 == 0) — the GPT-3-style train/test leak check."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.contamination_report(docs, bench, n=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sample (curation.stratified_sample):
+    per-language rates, md5-bucket decision — reproducible, no rand()."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        C.stratified_sample(
+            docs, {"en": 0.5, "de": 0.25, "zh": 0.1}, default_rate=0.05
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_mixing_plan(spark, sf_dir):
+    """Token-budget mixing plan (curation.mixing_plan): per-source token
+    inventory → target tokens at the requested mix weights → sampling rate."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.mixing_plan(docs, {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 3000)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chop sequence packing (curation.pack_sequences) built on a
+    two-level distributed prefix sum — no global single-partition window."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=512, bucket_width=64)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1012,6 +1065,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_norms": q_embedding_norms,
         "embedding_near_dups": q_embedding_near_dups,
+        # corpus curation (functions/curation.py)
+        "quality_rules": q_quality_rules,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "mixing_plan": q_mixing_plan,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1747,6 +1806,110 @@ def oracle_sql() -> dict[str, str]:
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY 1, 2
+    """
+    # ---- corpus curation (functions/curation.py) ----
+    from streamkit_spark.functions.curation import (
+        ALL_STOPWORDS,
+        sample_bucket_sql,
+    )
+
+    _sw_list = "[" + ", ".join(f"'{w}'" for w in ALL_STOPWORDS) + "]"
+    _tok_cte = r"""
+        tok AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE string_split_regex(trim(text), '\s+') END AS t
+            FROM documents
+        )
+    """
+    sql["quality_rules"] = f"""
+        WITH {_tok_cte}, base AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_apply(t, x -> length(x))) AS DOUBLE) / len(t)
+                         END, 4) AS mean_word_len,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                         END, 4) AS frac_unique_words,
+                   CAST(len(list_filter(t, x -> list_contains({_sw_list}, lower(x)))) AS BIGINT)
+                       AS stopword_hits
+            FROM tok
+        ), bi AS (
+            SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS bigram
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), topbg AS (
+            SELECT doc_id,
+                   round(CAST(2 * max(c) AS DOUBLE) / n, 4) AS top_bigram_frac
+            FROM (SELECT doc_id, bigram, n, count(*) AS c FROM bi GROUP BY 1, 2, 3)
+            GROUP BY doc_id, n
+        )
+        SELECT b.doc_id, n_words, mean_word_len, frac_unique_words, stopword_hits,
+               COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+               (n_words >= 30 AND n_words <= 100000
+                AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                AND frac_unique_words >= 0.30 AND stopword_hits >= 1
+                AND COALESCE(top_bigram_frac, 0.0) <= 0.10) AS passes
+        FROM base b LEFT JOIN topbg USING (doc_id)
+        ORDER BY doc_id
+    """
+    sql["contamination"] = f"""
+        WITH {_tok_cte}, g AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i + 3], ' ') AS gram
+            FROM tok, unnest(generate_series(1, len(t) - 3)) AS u(i)
+            WHERE len(t) >= 4
+        ), b AS (
+            SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0
+        )
+        SELECT g.doc_id,
+               CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_ngrams,
+               CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+        FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+        GROUP BY 1 ORDER BY 1
+    """
+    _bucket = sample_bucket_sql("doc_id")
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_bucket} < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                           WHEN 'zh' THEN 0.1 ELSE 0.05 END) * 65536
+        ORDER BY doc_id
+    """
+    # weight literals mirror the Spark side bit-for-bit: python repr of
+    # w/Σw, CAST to DOUBLE so DuckDB does IEEE math, not DECIMAL
+    _wcase = (
+        "CAST(CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.2 "
+        "WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE)"
+    )
+    sql["mixing_plan"] = f"""
+        WITH per AS (
+            SELECT source, {_wcase} AS w,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+               round(w, 4) AS weight,
+               CAST(floor(w * 3000.0) AS BIGINT) AS target_tokens,
+               round(least(1.0, CAST(floor(w * 3000.0) AS DOUBLE)
+                                / CAST(greatest(n_tokens, 1) AS DOUBLE)), 4) AS rate
+        FROM per ORDER BY source
+    """
+    sql["pack_sequences"] = f"""
+        WITH {_tok_cte}, o AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS "offset"
+            FROM tok
+        )
+        SELECT doc_id, n_tokens, "offset",
+               CAST("offset" // 512 AS BIGINT) AS pack_id,
+               CAST("offset" % 512 AS BIGINT) AS pack_pos,
+               ("offset" % 512 + n_tokens > 512) AS straddles
+        FROM o ORDER BY doc_id
     """
     # ann_topk_lsh / approx_distinct: genuinely engine-specific (probabilistic
     # candidate recall / HLL estimator) — intentionally rows-only; pytest

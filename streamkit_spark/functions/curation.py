@@ -1,0 +1,373 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The four standard curation stages the reference's query surface stops short
+of — quality-rule filtering (Gopher/C4-style), benchmark-contamination
+screening, deterministic stratified sampling, and token-budget mixing —
+plus sequence packing (concat-and-chop into fixed context windows).
+
+Everything is declarative DataFrame ops over built-in JVM expressions:
+
+* quality rules: map-only per-doc expressions + one (doc, bigram) agg for
+  the repetition rule — partial-aggregable, no skew (bigram counts are
+  grouped per doc, never globally).
+* contamination: shingle equi-join where the benchmark side is broadcast
+  (benchmark suites are small by definition — MMLU-scale, not corpus-scale).
+* stratified sampling: pure map-side filter on a deterministic md5 bucket —
+  zero shuffle, reproducible across engines and runs (no rand()).
+* mixing plan: one tiny per-source agg.
+* packing: two-level distributed prefix-sum — per-bucket partial sums, a
+  driver-scale window over bucket totals, broadcast the bucket bases back.
+  No global single-partition window; at 100 TB the only full-data exchange
+  is the one groupBy on the (coarse) bucket key.
+
+Reference analog: fgrzl/streamkit has no corpus ops — these extend the
+surface for the training-data use case (brief: dedup/similarity/text are
+first-class).  Cross-engine determinism rules follow docs/PARITY.md: md5
+for hashing, DECIMAL-free ratio math with round(., 4) at the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from streamkit_spark.functions.text import STOPWORDS, tokens
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+# union of the per-language stopword lists — the corpus is multilingual, so
+# the "has common function words" rule must not assume English
+ALL_STOPWORDS = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+DEFAULT_RULES = {
+    "min_words": 30,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_frac_unique_words": 0.30,
+    "min_stopword_hits": 1,
+    "max_top_bigram_frac": 0.10,
+}
+
+
+def quality_rules(
+    df: DataFrame,
+    rules: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document quality-rule report (Gopher §A.1.1 / C4-style).
+
+    Output: (doc_id, n_words, mean_word_len, frac_unique_words,
+    stopword_hits, top_bigram_frac, passes) — one row per doc; ``passes``
+    is the AND of all rules.  Callers filter ``passes`` to curate.
+
+    All metrics except the repetition rule are map-only expressions.  The
+    top-bigram fraction (the Gopher "fraction of text in the most common
+    2-gram" repetition rule) needs one (doc, bigram) count + per-doc max —
+    both partial-aggregable, keyed by doc so there is no global hot key.
+    Ratios are rounded to 4dp to pin float determinism across engines.
+    """
+    r = {**DEFAULT_RULES, **(rules or {})}
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__t"),
+    ).select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_words"),
+        F.round(
+            F.when(F.size("__t") == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    F.col("__t"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                ).cast("double")
+                / F.size("__t")
+            ),
+            4,
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(F.size("__t") == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct("__t")).cast("double") / F.size("__t")
+            ),
+            4,
+        ).alias("frac_unique_words"),
+        F.size(F.filter("__t", lambda t: F.array_contains(sw, F.lower(t))))
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+
+    # top bigram fraction: 2·max(bigram count)/n_words (a bigram covers 2
+    # words; Gopher counts the fraction of text it occupies)
+    bg = df.select(F.col(id_col).alias("doc_id"), toks.alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    bigrams = bg.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, 2)),
+            )
+        ).alias("bigram"),
+        F.size("__t").alias("__n"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bigram", "__n")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.max("c") * 2).cast("double") / F.first("__n"), 4
+            ).alias("top_bigram_frac")
+        )
+    )
+
+    rep = base.join(top_bg, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+    passes = (
+        (F.col("n_words") >= r["min_words"])
+        & (F.col("n_words") <= r["max_words"])
+        & (F.col("mean_word_len") >= r["min_mean_word_len"])
+        & (F.col("mean_word_len") <= r["max_mean_word_len"])
+        & (F.col("frac_unique_words") >= r["min_frac_unique_words"])
+        & (F.col("stopword_hits") >= r["min_stopword_hits"])
+        & (F.col("top_bigram_frac") <= r["max_top_bigram_frac"])
+    )
+    return rep.withColumn("passes", passes).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Docs sharing any word n-gram with a benchmark set (train/test leak
+    screen, the n-gram-overlap decontamination from GPT-3 §C / PaLM).
+
+    Output: (doc_id, n_shared_ngrams, n_benchmark_docs) per contaminated
+    corpus doc.  Shingles are DISTINCT per doc on both sides, so a shared
+    n-gram counts once however often it repeats inside either document.
+
+    Plan: benchmark → distinct (gram, bench_id) pairs, **broadcast** (a
+    benchmark suite is ~10⁴ docs; the corpus is the 100 TB side) →
+    equi-join on the gram → per-doc count.  The corpus is scanned once,
+    map-side joined, and only matching (doc, gram, bench) rows shuffle
+    into the final per-doc agg."""
+    from streamkit_spark.functions.text import word_ngrams
+
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_shared_ngrams"),
+            F.count_distinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+N_SAMPLE_BUCKETS = 65_536  # 4 md5 hex nibbles
+
+
+def sample_bucket(id_col: Column | str, salt: str = "sk") -> Column:
+    """Deterministic per-row bucket in [0, 65536): the first 4 hex nibbles
+    of md5(salt:id).  Pure map-side expression, identical in DuckDB (see
+    the oracle twin), reproducible across runs — rand() is neither."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), c.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+
+
+def sample_bucket_sql(id_expr: str, salt: str = "sk") -> str:
+    """DuckDB twin of :func:`sample_bucket` (no hex→int cast in DuckDB —
+    fold the 4 nibbles by hand)."""
+    h = f"md5('{salt}:' || CAST({id_expr} AS VARCHAR))"
+    nib = lambda i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sk",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s], decided by the
+    row's deterministic hash bucket — a pure filter, no shuffle, no rand().
+
+    The same (salt, id) always lands in the same bucket, so resampling at
+    a higher rate is a superset of the lower-rate sample (nested samples —
+    the property you want when growing a training mix)."""
+    bucket = sample_bucket(id_col, salt)
+    thresholds = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(float(r)))]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(stratum_col)], F.lit(float(default_rate))
+    ) * F.lit(float(N_SAMPLE_BUCKETS))
+    return df.filter(bucket.cast("double") < thr)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixing plan
+# ---------------------------------------------------------------------------
+
+def mixing_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling plan to hit a token budget at target mix weights.
+
+    For each source: available tokens, target tokens (budget × weight /
+    Σweights), and the sampling rate min(1, target/available).  One
+    per-source aggregation — the plan table is driver-scale (#sources
+    rows) and feeds :func:`stratified_sample` keyed on source.
+
+    Output: (source, n_docs, n_tokens, weight, target_tokens, rate)."""
+    wsum = sum(weights.values())
+    wmap = F.create_map(
+        *[
+            x
+            for s, w in sorted(weights.items())
+            for x in (F.lit(s), F.lit(float(w) / wsum))
+        ]
+    )
+    per_src = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(text_col)).cast("long").alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("__nt").alias("n_tokens"))
+    )
+    weight = F.coalesce(wmap[F.col("source")], F.lit(0.0))
+    target = F.floor(weight * F.lit(float(token_budget))).cast("long")
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            target.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        ),
+        4,
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 4).alias("weight"),
+        target.alias("target_tokens"),
+        rate.alias("rate"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chop) via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "offset",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``val_col`` in ``order_col`` order, without a
+    global single-partition window.
+
+    Two levels: (1) bucket rows by ``order_col // bucket_width`` and window
+    *within* each bucket (parallel across buckets); (2) aggregate one total
+    per bucket and window over the bucket totals — a table of
+    N/bucket_width rows, driver-scale even at 100 TB row counts with a
+    sane width — then broadcast the per-bucket bases back.  The naive
+    ``Window.orderBy(order_col)`` form puts every row through ONE task;
+    this form's only full-data shuffle is the bucket-keyed window.
+
+    ``order_col`` must be numeric and unique (doc ids).  The sum is exact
+    (longs)."""
+    bkt = (F.col(order_col) / F.lit(bucket_width)).cast("long")
+    rows = df.withColumn("__bkt", bkt)
+
+    totals = rows.groupBy("__bkt").agg(F.sum(val_col).alias("__tot"))
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "__bkt", F.coalesce(F.sum("__tot").over(wb), F.lit(0)).alias("__base")
+    )
+
+    wi = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        rows.join(F.broadcast(bases), "__bkt")
+        .withColumn(
+            out_col,
+            (F.col("__base") + F.coalesce(F.sum(val_col).over(wi), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("__bkt", "__base")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Assign documents to fixed-size context windows by concat-and-chop:
+    documents are laid out in ``id_col`` order and the token stream is cut
+    every ``budget`` tokens (the standard GPT-style pre-training packing —
+    no per-bin search, deterministic, and streamable).
+
+    Output per doc: (doc_id, n_tokens, offset, pack_id, pack_pos,
+    straddles) where ``offset`` is the doc's global token offset,
+    ``pack_id = offset // budget``, ``pack_pos = offset % budget`` and
+    ``straddles`` marks docs chopped by a window boundary.  Built on
+    :func:`prefix_sum` — see there for why this scales."""
+    with_tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    out = prefix_sum(
+        with_tokens, "doc_id", "n_tokens", out_col="offset", bucket_width=bucket_width
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        (F.col("offset") / budget).cast("long").alias("pack_id"),
+        (F.col("offset") % budget).alias("pack_pos"),
+        ((F.col("offset") % budget) + F.col("n_tokens") > budget).alias("straddles"),
+    ).orderBy("doc_id")

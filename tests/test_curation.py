@@ -1,0 +1,212 @@
+"""Corpus-curation operators (functions/curation.py): quality rules,
+contamination, stratified sampling, mixing plan, sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamkit_spark import tables
+from streamkit_spark.functions import curation as C
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return tables.load(spark, SF_DIR, "documents")
+
+
+# ---------------------------------------------------------------------------
+# quality rules
+# ---------------------------------------------------------------------------
+
+def test_quality_rules_metrics_match_python(spark, docs):
+    rows = C.quality_rules(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        toks = texts[r["doc_id"]].strip().split()
+        assert r["n_words"] == len(toks)
+        assert r["mean_word_len"] == pytest.approx(
+            sum(map(len, toks)) / len(toks), abs=1e-4
+        )
+        assert r["frac_unique_words"] == pytest.approx(
+            len(set(toks)) / len(toks), abs=1e-4
+        )
+        bigrams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        top = max((bigrams.count(b) for b in set(bigrams)), default=0)
+        assert r["top_bigram_frac"] == pytest.approx(
+            2 * top / len(toks) if toks else 0.0, abs=1e-4
+        )
+
+
+def test_quality_rules_passes_is_rule_conjunction(spark, docs):
+    out = C.quality_rules(docs)
+    bad = out.filter(
+        F.col("passes")
+        != (
+            (F.col("n_words") >= 30)
+            & (F.col("n_words") <= 100_000)
+            & (F.col("mean_word_len") >= 2.0)
+            & (F.col("mean_word_len") <= 12.0)
+            & (F.col("frac_unique_words") >= 0.30)
+            & (F.col("stopword_hits") >= 1)
+            & (F.col("top_bigram_frac") <= 0.10)
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_quality_rules_custom_thresholds(spark, docs):
+    none_pass = C.quality_rules(docs, rules={"min_words": 10**9})
+    assert none_pass.filter("passes").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+def test_contamination_finds_planted_overlap(spark, docs):
+    # plant: re-keyed copies of 3 benchmark docs must be flagged with the
+    # full shingle overlap of their source
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    copies = bench.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    corpus = docs.unionByName(copies)
+    out = C.contamination_report(corpus, bench, n=4)
+    flagged = {r["doc_id"] for r in out.collect()}
+    for r in copies.select("doc_id").collect():
+        assert r["doc_id"] in flagged
+
+
+def test_contamination_excludes_self_matches(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = C.contamination_report(bench, bench, n=4)
+    # a benchmark doc matching ONLY itself must not appear
+    ids = {r["doc_id"] for r in out.collect()}
+    solo = {
+        r["doc_id"]
+        for r in bench.select("doc_id").collect()
+        if r["doc_id"] not in ids
+    }
+    # sanity: self-join of the benchmark with itself minus self-matches is
+    # small (only genuinely shared shingles between distinct docs)
+    assert len(solo) >= 1
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_nested(spark, docs):
+    lo = C.stratified_sample(docs, {"en": 0.2}, default_rate=0.0)
+    hi = C.stratified_sample(docs, {"en": 0.6}, default_rate=0.0)
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids  # nested: raising the rate only adds rows
+    again = {
+        r["doc_id"]
+        for r in C.stratified_sample(docs, {"en": 0.2}, default_rate=0.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert again == lo_ids  # deterministic across runs
+
+
+def test_stratified_sample_rate_is_approximate(spark, docs):
+    n_en = docs.filter("lang = 'en'").count()
+    got = C.stratified_sample(docs, {"en": 0.5}, default_rate=0.0).count()
+    # md5 buckets are uniform; allow generous slack on a small fixture
+    assert 0.25 * n_en <= got <= 0.75 * n_en
+
+
+def test_stratified_sample_salt_changes_selection(spark, docs):
+    a = {
+        r["doc_id"]
+        for r in C.stratified_sample(docs, {"en": 0.5}, salt="a")
+        .select("doc_id")
+        .collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in C.stratified_sample(docs, {"en": 0.5}, salt="b")
+        .select("doc_id")
+        .collect()
+    }
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# mixing plan
+# ---------------------------------------------------------------------------
+
+def test_mixing_plan_targets_and_rates(spark, docs):
+    plan = C.mixing_plan(docs, {"src0": 3.0, "src1": 1.0}, 1000)
+    rows = {r["source"]: r for r in plan.collect()}
+    assert rows["src0"]["target_tokens"] == 750
+    assert rows["src1"]["target_tokens"] == 250
+    for r in rows.values():
+        if r["source"] not in ("src0", "src1"):
+            assert r["rate"] == 0.0 and r["target_tokens"] == 0
+        else:
+            expected = min(1.0, r["target_tokens"] / max(r["n_tokens"], 1))
+            assert r["rate"] == pytest.approx(expected, abs=1e-4)
+
+
+def test_mixing_plan_feeds_stratified_sample(spark, docs):
+    plan = C.mixing_plan(docs, {"src0": 1.0}, 500)
+    rates = {r["source"]: r["rate"] for r in plan.collect()}
+    sampled = C.stratified_sample(docs, rates, stratum_col="source")
+    assert 0 < sampled.count() < docs.count()
+
+
+# ---------------------------------------------------------------------------
+# prefix sum / packing
+# ---------------------------------------------------------------------------
+
+def test_prefix_sum_matches_naive_global_window(spark, docs):
+    df = docs.select("doc_id", F.length("text").cast("long").alias("v"))
+    fast = C.prefix_sum(df, "doc_id", "v", bucket_width=16)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn("offset", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    assert (
+        fast.select("doc_id", "offset")
+        .exceptAll(naive.select("doc_id", "offset"))
+        .count()
+        == 0
+    )
+    assert fast.count() == naive.count()
+
+
+def test_prefix_sum_bucket_width_invariance(spark, docs):
+    df = docs.select("doc_id", F.length("text").cast("long").alias("v"))
+    a = C.prefix_sum(df, "doc_id", "v", bucket_width=7)
+    b = C.prefix_sum(df, "doc_id", "v", bucket_width=5000)
+    assert a.select("doc_id", "offset").exceptAll(b.select("doc_id", "offset")).count() == 0
+
+
+def test_pack_sequences_invariants(spark, docs):
+    out = C.pack_sequences(docs, budget=256, bucket_width=32).collect()
+    # offsets are the exclusive prefix sum in doc_id order
+    running = 0
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        assert r["offset"] == running
+        assert r["pack_id"] == r["offset"] // 256
+        assert r["pack_pos"] == r["offset"] % 256
+        assert r["straddles"] == (r["pack_pos"] + r["n_tokens"] > 256)
+        running += r["n_tokens"]
+
+
+def test_prefix_sum_full_data_window_is_bucket_partitioned(spark, docs):
+    """The per-row window must partition by the bucket key; the only
+    unpartitioned window allowed is the one over the (tiny) bucket-totals
+    table.  Guard: the physical plan's unpartitioned window sits above an
+    aggregate, never above the raw scan."""
+    df = docs.select("doc_id", F.length("text").cast("long").alias("v"))
+    plan = (
+        C.prefix_sum(df, "doc_id", "v", bucket_width=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(__bkt" in plan  # row-level window: bucketed
