@@ -584,13 +584,32 @@ def q_embedding_norms(spark, sf_dir):
 
 def q_embedding_near_dups(spark, sf_dir):
     """Multi-table hyperplane-LSH near-dup pairs, exact-cosine verified.
-    The fixture's max pairwise cosine is ~0.5, so the threshold is 0.45
-    (14 pairs at sf0.01 — non-vacuous); 24 tables × 3 bits gives
-    per-pair recall 1-(1-p³)^24 ≈ 0.9995 at p(0.45)≈0.65, and the oracle
-    is the exact all-pairs computation."""
+
+    The fixture's natural max pairwise cosine is ~0.5 — no true near-dups —
+    so plant them: every 40th vector re-keyed (+1e6) with +0.05 on
+    coordinate 0 (unit vectors → cos ≈ 0.9987 to its source).  That is the
+    regime LSH near-dup mining is FOR: p(0.9987) ≈ 0.984, 8 bits × 4
+    tables → per-pair recall 1-(1-p⁸)⁴ ≈ 0.9998 with candidates cut
+    ~2⁸/T vs all-pairs.  (The old threshold-0.45 variant collided every
+    bucket — LSH degenerates to all-pairs below ~0.9; that setting lives
+    on in pytest recall tests, not here.)  Oracle = exact all-pairs
+    cosine ≥ 0.95 over the same planted corpus."""
     emb = tables.load(spark, sf_dir, "embeddings")
+    embd = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # (element, index) two-param transform — 0-based index
+    planted = embd.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = embd.unionByName(planted)
     return SIM.embedding_near_dup_pairs(
-        emb, threshold=0.45, bits=3, n_tables=24, round_digits=4, dim=64
+        corpus, threshold=0.95, bits=8, n_tables=4, round_digits=4, dim=64
     )
 
 
@@ -1319,9 +1338,18 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
     """
     sql["embedding_near_dups"] = """
-        WITH v AS (
+        WITH base AS (
             SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
+        ), planted AS (
+            -- mirror of the Spark-side plant: +0.05 on coordinate 0
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_apply(list_zip(e, range(1, len(e) + 1)),
+                              p -> CASE WHEN p[2] = 1 THEN p[1] + 0.05
+                                   ELSE p[1] END) AS e
+            FROM base WHERE vec_id % 40 = 0
+        ), v AS (
+            SELECT * FROM base UNION ALL SELECT * FROM planted
         )
         SELECT id_a, id_b, cos FROM (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1330,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_sum(list_apply(a.e, x -> x * x)))
                             * sqrt(list_sum(list_apply(b.e, x -> x * x)))), 4) AS cos
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        WHERE cos >= 0.45
+        WHERE cos >= 0.95
         ORDER BY id_a, id_b
     """
     sql["asof_purchase_click"] = """
@@ -1733,10 +1761,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
             FROM v ORDER BY vec_id LIMIT 8
         ), vc AS (
+            -- assignment score = dot/norm(centroid): argmax-equivalent to
+            -- cosine (1/norm(v) is a common positive factor) and mirrors
+            -- the Spark side's pre-computed-centroid-norm fast path
             SELECT v.vec_id, cent.ci,
                    list_sum(list_apply(list_zip(v.e, cent.ce), p -> p[1] * p[2]))
-                   / (sqrt(list_sum(list_apply(v.e, x -> x * x)))
-                      * sqrt(list_sum(list_apply(cent.ce, x -> x * x)))) AS s
+                   / sqrt(list_sum(list_apply(cent.ce, x -> x * x))) AS s
             FROM v, cent
         ), ranked AS (
             SELECT vec_id, ci,

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -22,6 +24,17 @@ from pyspark.sql import functions as F
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a (possibly single-file) input across the cluster before
+    expression-heavy per-row work — interpreted-HOF bucket/score passes on
+    a one-partition parquet would serialize on a single core.  At real
+    scale inputs arrive in many partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def lit_vec(vals) -> Column:
@@ -34,13 +47,22 @@ def lit_vec(vals) -> Column:
     return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i in double, left-to-right fold (deterministic)."""
+def _dot_raw(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i fold WITHOUT the defensive double-casts — for hot loops
+    where the caller already holds double arrays (pre-cast corpus column,
+    ``lit_vec`` literals).  Higher-order functions run interpreted (no
+    whole-stage codegen), so shaving the two per-element cast transforms
+    per (row × centroid/plane) is a real constant-factor win."""
     return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, left-to-right fold (deterministic)."""
+    return _dot_raw(_as_double(a), _as_double(b))
 
 
 def l2_norm(a: Column) -> Column:
@@ -109,12 +131,15 @@ def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
 
 
 def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit bucket id (long) from literal hyperplanes — all JVM math."""
+    """Sign-bit bucket id (long) from literal hyperplanes — all JVM math.
+
+    ``vec`` may be float or double; elements widen exactly inside the
+    zip_with multiply, so no per-plane cast pass is issued."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        bit = F.when(dot(vec, lit_vec(plane)) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            _dot_raw(vec, lit_vec(plane)) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
 
@@ -150,34 +175,52 @@ def lsh_topk(
         random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)
     ]
 
-    def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+    def bucketed(df: DataFrame, idc: str, out_id: str) -> DataFrame:
+        """Slim (id, tbl, bkt) band rows — vectors do NOT ride along, so the
+        candidate join never shuffles a vector T times."""
         buckets = F.array(
             *[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    hyperplane_bucket(F.col(vecc), all_planes[t]).alias("bkt"),
+                    hyperplane_bucket(F.col(vec_col), all_planes[t]).alias("bkt"),
                 )
                 for t in range(n_tables)
             ]
         )
         return df.select(
-            F.col(idc).alias(out_id),
-            F.col(vecc).alias(f"__{out_id}_vec"),
-            F.explode(buckets).alias("__b"),
-        ).select(out_id, f"__{out_id}_vec", "__b.tbl", "__b.bkt")
+            F.col(idc).alias(out_id), F.explode(buckets).alias("__b")
+        ).select(out_id, "__b.tbl", "__b.bkt")
 
-    c = bucketed(corpus, id_col, vec_col, "neighbor_id")
-    q = bucketed(queries, id_col, vec_col, "query_id")
+    spread = _spread(corpus)
+    c = bucketed(spread, id_col, "neighbor_id")
+    q = bucketed(queries, id_col, "query_id")
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__query_id_vec", "__neighbor_id_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
+    # join the vectors back with their norms precomputed ONCE per vector
+    # (the exchange materializes them); per-pair verify is then a single
+    # dot fold + one divide — bit-identical to inline cosine
+    cvecs = spread.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    sim = _dot_raw(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = cand.select("query_id", "neighbor_id", sim.alias("cos"))
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(cvecs, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cos"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -204,36 +247,61 @@ def ivf_topk(
     nearest inverted lists.
 
     The inverted-list assignment is exactly the partition key you'd cluster
-    the table by at scale — probing then prunes 1-nprobe/C of the data."""
+    the table by at scale — probing then prunes 1-nprobe/C of the data.
+
+    Assignment scores by dot(v, c)/‖c‖, not full cosine: argmax is
+    identical (1/‖v‖ is a common positive factor) and it cuts the per-
+    (row × centroid) interpreted-HOF work to one fold — the assignment
+    pass IS the map cost of IVF at scale.  ‖c‖ is pre-computed driver-side
+    with the same left-fold order the oracle's ``sqrt(list_sum(...))``
+    uses, so scores stay bit-identical across engines."""
     cent_rows = (
         corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [list(r[0]) for r in cent_rows]
 
+    def _fold_norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    norms = [_fold_norm(c) for c in centroids]
+
     def nearest_lists(vec: Column, n: int) -> Column:
-        """array of the n nearest centroid ids by cosine."""
+        """array of the n nearest centroid ids by dot/‖c‖ (≡ cosine argsort)."""
         scored = F.array(
             *[
                 F.struct(
-                    cosine(vec, lit_vec(cvec)).alias("s"),
+                    (_dot_raw(vec, lit_vec(cvec)) / F.lit(norms[ci])).alias("s"),
                     F.lit(ci).alias("c"),
                 )
                 for ci, cvec in enumerate(centroids)
             ]
         )
+        if n == 1:
+            # argmax needs no sort; struct max breaks score ties by higher
+            # centroid id, same as the sort-descending path
+            return F.array(F.array_max(scored).getField("c"))
         return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
 
-    c = corpus.select(
+    # raw float arrays go straight into _dot_raw: zip_with widens each
+    # element exactly inside the multiply, so no cast pass exists for
+    # Catalyst's projection collapse to re-evaluate per centroid; vector
+    # norms are computed once per row here, not once per candidate pair
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         nearest_lists(F.col(vec_col), 1)[0].alias("__list"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
     )
-    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    sim = _dot_raw(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -287,9 +355,10 @@ def embedding_near_dup_pairs(
     # bucket rows carry only (id, tbl, bkt); vectors stay in a slim side
     # table joined back onto the deduped candidate pairs — the band
     # self-join never shuffles the vector payload T times.
-    t = df.select(F.col(id_col).alias("id"), F.explode(buckets).alias("__b")).select(
-        "id", "__b.tbl", "__b.bkt"
-    )
+    spread = _spread(df)
+    t = spread.select(
+        F.col(id_col).alias("id"), F.explode(buckets).alias("__b")
+    ).select("id", "__b.tbl", "__b.bkt")
     cand = (
         t.alias("a")
         .join(
@@ -301,13 +370,34 @@ def embedding_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    # norms land once per vector (materialized by the join exchange), so
+    # the per-pair verify is one dot fold + one divide — bit-identical to
+    # the inline cosine (same sqrt/multiply/divide order)
+    vecs = spread.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    sim = _dot_raw(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")), "id_b")
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", sim.alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
@@ -335,13 +425,23 @@ def kmeans_centroids(
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     k = len(centroids)  # corpus may be smaller than the requested k
+    def _fold_norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
     vecs = df.select(F.col(vec_col).alias("v")).cache()
     try:
         for _ in range(iters):
+            # assignment scores by dot/‖c‖ — argmax-equivalent to cosine
+            # (1/‖v‖ is a common positive factor) at a third of the
+            # interpreted-HOF folds per (row × centroid)
+            norms = [_fold_norm(cent) for cent in centroids]
             scored = F.array(
                 *[
                     F.struct(
-                        cosine(F.col("v"), lit_vec(cent)).alias("s"),
+                        (_dot_raw(F.col("v"), lit_vec(cent)) / F.lit(norms[ci])).alias("s"),
                         F.lit(ci).alias("c"),
                     )
                     for ci, cent in enumerate(centroids)
