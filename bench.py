@@ -43,6 +43,9 @@ HEADLINE = [
     "ann_topk_ivf",
     "asof_purchase_click",
     "doc_token_stats",
+    "embedding_near_dups",
+    "quality_rules",
+    "pack_sequences",
 ]
 
 
