@@ -487,6 +487,117 @@ class Store:
             shutil.rmtree(old)
         return {"files_before": before, "files_after": count_files(self.events_path)}
 
+    def recover(
+        self,
+        verify_status: bool = False,
+        spaces: list[str] | None = None,
+        staging_ttl_ms: int = 0,
+    ) -> dict:
+        """Startup recovery sweep — the analog of the reference's WAL
+        orphan recovery (azurekit/store.go:553-612: startup replay of
+        orphaned transaction entities + the 5-minute background monitor).
+
+        The parquet Store has no WAL: a produce is atomic at the file
+        rename, so a crash can only leave three kinds of debris, each
+        swept here under the exclusive store flock (which waits out every
+        in-flight produce, so nothing live is touched):
+
+        1. **Orphaned produce staging dirs** (``.staging-*``): a producer
+           crashed before its renames — the write was never acknowledged,
+           the files never entered the table; delete.  ``staging_ttl_ms``
+           adds an age guard for operators who run recover with lockless
+           writers around.
+        2. **Interrupted compact**: crash between compact's two renames
+           leaves no events dir and an ``.old`` — roll back (the rewrite
+           in ``.compacting`` may be incomplete; the old layout is the
+           acknowledged state).  A crash after the swap but before the
+           straggler sweep leaves a complete NEW table plus ``.old``;
+           the old dir is reported, not deleted — it only holds unmerged
+           stragglers if a lock-bypassing writer raced the compact, and
+           that call is an operator's to make.
+        3. **Stale/missing status rows** (crash inside the append→status
+           window) + orphaned ``.tmp-*`` status files.  With
+           ``verify_status=True`` every segment tail is recomputed from
+           events (one distributed agg; scope with ``spaces`` at scale)
+           and mismatched rows rewritten.  Without it, stale rows also
+           self-heal lazily: the next produce's post-append verification
+           rolls back, repairs, and retries clean (``_produce_locked``).
+
+        Returns a report dict of what was swept/repaired.
+        """
+        import shutil
+
+        report = {
+            "staging_removed": 0,
+            "compact_rolled_back": False,
+            "old_dir_present": False,
+            "status_tmp_removed": 0,
+            "status_repaired": 0,
+        }
+        with _flock(self._store_lock_path, exclusive=True):
+            old = self.events_path + ".old"
+            compacting = self.events_path + ".compacting"
+            if not os.path.isdir(self.events_path) and os.path.isdir(old):
+                # crash mid-swap: the old layout is the acknowledged state
+                os.rename(old, self.events_path)
+                report["compact_rolled_back"] = True
+            if os.path.isdir(compacting):
+                shutil.rmtree(compacting, ignore_errors=True)
+            report["old_dir_present"] = os.path.isdir(old)
+
+            now_ms = time.time() * 1000
+            if os.path.isdir(self.root):
+                for e in os.listdir(self.root):
+                    if not e.startswith(".staging-"):
+                        continue
+                    p = os.path.join(self.root, e)
+                    if now_ms - os.path.getmtime(p) * 1000 >= staging_ttl_ms:
+                        shutil.rmtree(p, ignore_errors=True)
+                        report["staging_removed"] += 1
+
+            if os.path.isdir(self.status_path):
+                for d, _, files in os.walk(self.status_path):
+                    for f in files:
+                        if f.startswith(".tmp-"):
+                            with contextlib.suppress(FileNotFoundError):
+                                os.remove(os.path.join(d, f))
+                            report["status_tmp_removed"] += 1
+
+            if verify_status and self._exists():
+                ev = self.events()
+                if spaces:
+                    ev = ev.filter(F.col("space").isin(spaces))
+                actual = (
+                    ev.groupBy("space", "segment")
+                    .agg(
+                        F.min("sequence").alias("fs"),
+                        F.min_by("ts", F.col("sequence")).alias("fts"),
+                        F.max("sequence").alias("ls"),
+                        F.max_by("ts", F.col("sequence")).alias("lts"),
+                        F.max("trx_number").alias("lt"),
+                    )
+                    .collect()
+                )
+                for row in actual:
+                    st = self.last_status(row["space"], row["segment"])
+                    if (
+                        st is None
+                        or st["last_sequence"] != row["ls"]
+                        or st["last_trx_number"] != row["lt"]
+                        or st["first_sequence"] != row["fs"]
+                    ):
+                        self._write_status_row(
+                            row["space"],
+                            row["segment"],
+                            row["fs"],
+                            row["fts"],
+                            row["ls"],
+                            row["lts"],
+                            row["lt"],
+                        )
+                        report["status_repaired"] += 1
+        return report
+
     # ---------------------------------------------------------- helpers
 
     def _append_files(self, stamped: DataFrame) -> list[str]:
