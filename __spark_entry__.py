@@ -951,6 +951,178 @@ def q_doc_chunks(spark, sf_dir):
     ).orderBy("doc_id", "chunk_idx")
 
 
+def q_tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): revenue between two nations by year and
+    direction.  Both nation dims broadcast; the fact-fact joins shuffle on
+    their keys."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_1's share of ASIA ECONOMY
+    revenue by order year.  Share numerator/denominator stay DECIMAL until
+    the final divide (cross-engine float determinism)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    cust = tables.load(spark, sf_dir, "customer")
+    supp = tables.load(spark, sf_dir, "supplier")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution, sans the comment
+    filter — the fixture has no o_comment): customers per order count,
+    zero-order customers included via the left join."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): suppliers achieving the maximum quarterly
+    revenue.  The max comparison happens in exact DECIMAL (a double round
+    boundary could split engines); rounding only at output."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = tables.load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("__rev")
+    )
+    maxrev = rev.agg(F.max("__rev").alias("__maxrev"))
+    return (
+        rev.join(F.broadcast(maxrev), F.col("__rev") == F.col("__maxrev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue, sans p_container): average
+    yearly revenue loss if Brand#3 orders below 20% of the part's average
+    quantity were dropped.  The 20%-of-avg comparison is exact DECIMAL:
+    qty < avg/5  ⇔  5·qty·n < sum (no FP boundary)."""
+    part = tables.load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = tables.load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty_sum"),
+        F.count("*").alias("__qty_n"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .filter(
+            F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("__qty_n")
+            < F.col("__qty_sum")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher/C4-style quality-rule report (functions/curation.quality_rules):
     per-doc length / word-shape / repetition metrics + pass verdict."""
@@ -1044,6 +1216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
         # LLM-data ops
         "dedup_exact_groups": q_dedup_exact_groups,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1836,6 +2013,83 @@ def oracle_sql() -> dict[str, str]:
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY 1, 2
+    """
+    sql["tpch_q7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                     4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    sql["tpch_q8_market_share"] = """
+        WITH base AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+        FROM base GROUP BY 1 ORDER BY 1
+    """
+    sql["tpch_q13_order_distribution"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1)
+        GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """
+    sql["tpch_q15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 4) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+        ORDER BY s_suppkey
+    """
+    sql["tpch_q17_small_quantity"] = """
+        WITH per_part AS (
+            SELECT l_partkey AS pp_key,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+                   count(*) AS qty_n
+            FROM lineitem GROUP BY 1)
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0, 4) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN per_part ON l_partkey = pp_key
+        WHERE p_brand = 'Brand#3'
+          AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum
     """
     # ---- corpus curation (functions/curation.py) ----
     from streamkit_spark.functions.curation import (
