@@ -1018,8 +1018,10 @@ def q_tpch_q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
         1 - F.col("l_discount").cast("decimal(18,2)")
     )
+    # part is NOT hint-broadcast: an ECONOMY filter still keeps ~1/6 of a
+    # 100 TB part table; AQE broadcasts it at small SF on its own
     base = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -1106,9 +1108,12 @@ def q_tpch_q17_small_quantity(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__qty_sum"),
         F.count("*").alias("__qty_n"),
     )
+    # per_part is one row per distinct part — shuffle-join it (a broadcast
+    # hint would ship the whole part inventory to every executor at scale);
+    # the Brand#3 dim filter side stays broadcast
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(
             F.col("l_quantity").cast("decimal(18,2)") * 5 * F.col("__qty_n")
             < F.col("__qty_sum")

@@ -1,0 +1,67 @@
+"""Physical-plan assertions for the round-2 TPC-H shapes and curation
+ops: dims broadcast, filters pushed to the scan, no scale-hostile hints."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as E
+from streamkit_spark.plans.inspect import explain_str, pushed_filters
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name, mode="simple"):
+    return explain_str(E.queries()[name](spark, SF_DIR), mode)
+
+
+def test_q7_broadcasts_nations_and_pushes_date_filter(spark):
+    df = E.queries()["tpch_q7_nation_volume"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    pushed = " | ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # date range reached the lineitem scan
+
+
+def test_q8_part_filter_pushed_not_hint_broadcast(spark):
+    df = E.queries()["tpch_q8_market_share"](spark, SF_DIR)
+    pushed = " | ".join(pushed_filters(df))
+    assert "EqualTo(p_type,ECONOMY)" in pushed
+    # the logical plan must not carry a broadcast HINT on part — at 100 TB
+    # an ECONOMY filter is still 1/6 of the table; AQE may still choose a
+    # runtime broadcast at small SF, which is exactly the point
+    logical = explain_str(df, "extended")
+    hints = re.findall(r"ResolvedHint.*", logical)
+    assert not any("part" in h for h in hints)
+
+
+def test_q15_max_revenue_is_decimal_compared(spark):
+    # the max-revenue equality must happen on DECIMAL, not rounded double
+    df = E.queries()["tpch_q15_top_supplier"](spark, SF_DIR)
+    analyzed = explain_str(df, "extended")
+    assert "decimal" in analyzed.lower()
+
+
+def test_q17_per_part_join_not_hint_broadcast(spark):
+    df = E.queries()["tpch_q17_small_quantity"](spark, SF_DIR)
+    logical = explain_str(df, "extended")
+    # exactly one broadcast hint (the Brand#3 dim side), not two — the
+    # per-part aggregate side must stay a shuffle join at scale
+    assert len(re.findall(r"UnresolvedHint broadcast|ResolvedHint", logical)) <= 2
+
+
+def test_curation_sampling_is_scan_plus_filter_only(spark):
+    df = E.queries()["stratified_sample"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    # no aggregate and no join anywhere: pure scan -> filter -> project
+    assert "Aggregate" not in plan and "Join" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    plan = _plan(spark, "contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_windows_are_bucket_partitioned(spark):
+    plan = _plan(spark, "pack_sequences", mode="formatted")
+    # the row-level running sum must be partitioned by the bucket key
+    assert "partitionBy=[__bkt" in plan.replace(" ", "") or "__bkt" in plan
