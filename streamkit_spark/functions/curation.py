@@ -141,6 +141,76 @@ def quality_rules(
     return rep.withColumn("passes", passes).orderBy("doc_id")
 
 
+def quality_metric_columns(
+    text_col: str = "text", rules: dict | None = None
+) -> dict[str, Column]:
+    """ROW-LOCAL quality metrics — the streaming-safe variant of
+    :func:`quality_rules`.
+
+    Same metric names and semantics, but the repetition rule computes the
+    per-doc top-bigram count with array expressions instead of a groupBy
+    (count each distinct bigram inside the row).  That is O(n²) in the
+    doc's token count — right for streams and bounded-length documents;
+    the batch :func:`quality_rules` aggregate form is the pick for
+    arbitrarily long documents.  Returns {metric: Column} including
+    ``passes``; splice into any select, batch or streaming."""
+    r = {**DEFAULT_RULES, **(rules or {})}
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    bg = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    top_bg_count = F.when(F.size(bg) == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda b: F.size(F.filter(bg, lambda x: x == b)),
+            )
+        )
+    )
+    n_words = F.size(toks).cast("long")
+    cols: dict[str, Column] = {
+        "n_words": n_words,
+        "mean_word_len": F.round(
+            F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                ).cast("double")
+                / F.size(toks)
+            ),
+            4,
+        ),
+        "frac_unique_words": F.round(
+            F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            ),
+            4,
+        ),
+        "stopword_hits": F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+        ).cast("long"),
+        "top_bigram_frac": F.round(
+            F.when(n_words == 0, F.lit(0.0)).otherwise(
+                (top_bg_count * 2).cast("double") / n_words
+            ),
+            4,
+        ),
+    }
+    cols["passes"] = (
+        (cols["n_words"] >= r["min_words"])
+        & (cols["n_words"] <= r["max_words"])
+        & (cols["mean_word_len"] >= r["min_mean_word_len"])
+        & (cols["mean_word_len"] <= r["max_mean_word_len"])
+        & (cols["frac_unique_words"] >= r["min_frac_unique_words"])
+        & (cols["stopword_hits"] >= r["min_stopword_hits"])
+        & (cols["top_bigram_frac"] <= r["max_top_bigram_frac"])
+    )
+    return cols
+
+
 # ---------------------------------------------------------------------------
 # Benchmark contamination
 # ---------------------------------------------------------------------------
