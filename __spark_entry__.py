@@ -2200,7 +2200,52 @@ def oracle_sql() -> dict[str, str]:
                ("offset" % 512 + n_tokens > 512) AS straddles
         FROM o ORDER BY doc_id
     """
-    # ann_topk_lsh / approx_distinct: genuinely engine-specific (probabilistic
-    # candidate recall / HLL estimator) — intentionally rows-only; pytest
-    # asserts recall@k vs brute force and ±5% vs exact count respectively.
+    # ann_topk_lsh: the hyperplanes are seeded numpy — embed them as SQL
+    # literals and replicate the sign-bit bucketing in DuckDB, so even the
+    # probabilistic candidate set is mirrored bit-for-bit (same left-fold
+    # dot, same >= 0 sign rule, same multi-table OR).
+    from streamkit_spark.functions.similarity import random_hyperplanes
+
+    def _dot_sql(plane) -> str:
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return f"list_sum(list_apply(list_zip(e, {arr}), p -> p[1] * p[2]))"
+
+    _tables_sql = []
+    for t in range(8):
+        planes = random_hyperplanes(64, 4, 42 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(planes[i])} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(4)
+        )
+        _tables_sql.append(
+            f"SELECT vec_id, {t} AS tbl, {bits} AS bkt FROM v"
+        )
+    _buckets_union = "\n            UNION ALL ".join(_tables_sql)
+    sql["ann_topk_lsh"] = f"""
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), b AS (
+            {_buckets_union}
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM b q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
+            WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        ), scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_sum(list_apply(list_zip(q.e, n.e), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(n.e, x -> x * x)))), 4) AS cos
+            FROM cand
+            JOIN v q ON cand.query_id = q.vec_id
+            JOIN v n ON cand.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # approx_distinct stays rows-only: the HLL estimator is genuinely
+    # engine-specific; pytest asserts the estimate is within 5% of exact.
     return sql

@@ -85,24 +85,33 @@ class LeaseStore:
     # -- lease.go surface -------------------------------------------------
 
     def acquire(self, key: str, holder: str, ttl_ms: int) -> bool:
-        """Grant if unowned, expired, or re-acquired by the same holder."""
+        """Grant if unowned, expired, or re-acquired by the same holder.
+
+        The expired-lease sweep persists even on the refusal path —
+        lease.go's ``removeExpiredLocked`` mutates state before the
+        holder check, so e.g. a failed renew at t ≥ expiry REMOVES the
+        expired lease and a subsequent release by the old holder fails
+        (caught by the model-based property test)."""
         with _flock(self._lock_path, exclusive=True):
             now = self._clock()
             leases = self._sweep(self._read(), now)
             cur = leases.get(key)
             if cur is not None and cur["holder"] != holder:
+                self._write(leases)
                 return False
             leases[key] = {"holder": holder, "expires_at": now + ttl_ms}
             self._write(leases)
             return True
 
     def renew(self, key: str, holder: str, ttl_ms: int) -> bool:
-        """Extend only the current holder's unexpired lease."""
+        """Extend only the current holder's unexpired lease.  The sweep
+        persists on failure too (see :meth:`acquire`)."""
         with _flock(self._lock_path, exclusive=True):
             now = self._clock()
             leases = self._sweep(self._read(), now)
             cur = leases.get(key)
             if cur is None or cur["holder"] != holder:
+                self._write(leases)
                 return False
             leases[key] = {"holder": holder, "expires_at": now + ttl_ms}
             self._write(leases)
