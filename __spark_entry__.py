@@ -1128,6 +1128,50 @@ def q_tpch_q17_small_quantity(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability per doc under the corpus's own
+    add-one-smoothed unigram LM (curation.unigram_logprob) — the
+    degenerate perplexity quality filter."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.unigram_logprob(docs)
+
+
+def q_pii_report(spark, sf_dir):
+    """PII detection + redaction fingerprint (curation.pii_report).  The
+    fixture is PII-clean, so plant deterministic emails/urls (every 25th
+    doc) and ip/phone (every 50th) — non-vacuous output, exercised
+    patterns."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com see https://ex.org/d"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 50 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".7 tel +1-555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return C.pii_report(planted)
+
+
 def q_quality_rules(spark, sf_dir):
     """Gopher/C4-style quality-rule report (functions/curation.quality_rules):
     per-doc length / word-shape / repetition metrics + pass verdict."""
@@ -1272,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixing_plan": q_mixing_plan,
         "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
+        "pii_report": q_pii_report,
     }
 
 
@@ -2199,6 +2245,55 @@ def oracle_sql() -> dict[str, str]:
                CAST("offset" % 512 AS BIGINT) AS pack_pos,
                ("offset" % 512 + n_tokens > 512) AS straddles
         FROM o ORDER BY doc_id
+    """
+    sql["unigram_logprob"] = f"""
+        WITH {_tok_cte}, tk AS (
+            SELECT doc_id, unnest(t) AS tok FROM tok
+        ), vocab AS (
+            SELECT tok, count(*) AS c FROM tk GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V
+            FROM vocab
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(CAST(c + 1 AS DOUBLE) / (N + V))), 4) AS logprob
+        FROM tk JOIN vocab USING (tok), tot
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    from streamkit_spark.functions.curation import PII_PATTERNS
+
+    _planted = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 25 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com see https://ex.org/d'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE '' END
+               || CASE WHEN doc_id % 50 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+                       || '.7 tel +1-555-123-4567'
+                  ELSE '' END AS text
+        FROM documents
+    """
+    _n_cols = ",\n               ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT) AS n_{k}"
+        for k in PII_PATTERNS
+    )
+    _redact = "text"
+    for _k in sorted(PII_PATTERNS):
+        _redact = f"regexp_replace({_redact}, '{PII_PATTERNS[_k]}', '<PII>', 'g')"
+    sql["pii_report"] = f"""
+        WITH planted AS ({_planted})
+        SELECT doc_id,
+               {_n_cols},
+               md5({_redact}) AS redacted_md5
+        FROM planted
+        WHERE len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) > 0
+           OR len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) > 0
+           OR len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) > 0
+           OR len(regexp_extract_all(text, '{PII_PATTERNS["url"]}')) > 0
+        ORDER BY doc_id
     """
     # ann_topk_lsh: the hyperplanes are seeded numpy — embed them as SQL
     # literals and replicate the sign-bit bucketing in DuckDB, so even the

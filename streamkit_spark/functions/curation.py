@@ -257,6 +257,104 @@ def contamination_report(
 
 
 # ---------------------------------------------------------------------------
+# Unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed unigram model — the cheapest useful LM-quality score
+    (the degenerate case of the perplexity filters in CCNet/Gopher; docs
+    full of out-of-distribution tokens score low).
+
+    p(w) = (count(w) + 1) / (N + V);  score(doc) = mean over tokens of
+    ln p(w).  Two aggregations (vocab counts, per-doc mean) + one
+    broadcast-able join of tokens against the vocab table.  The vocab
+    table is |V| rows; at web scale hash-partition it instead of
+    broadcasting (the join key is the token, combiners do the rest).
+
+    Output: (doc_id, n_tokens, logprob) — logprob rounded to 4dp."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("N"), F.count("*").alias("V")
+    )
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log((F.col("c") + 1).cast("double") / (F.col("N") + F.col("V"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("__lp"), 4).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround) so the DuckDB oracle mirrors exactly.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "url": r"https?://[^\s]+",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """{kind: count-of-matches} — map-only regexp_extract_all sizes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token`` — the standard scrub pass
+    before training.  Order of application is fixed (sorted kinds) so the
+    result is deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in sorted(PII_PATTERNS):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], token)
+    return c
+
+
+def pii_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII counts + the redacted text's fingerprint, docs with any
+    hit only.  Map-only; at 100 TB this fuses into the ingest scan."""
+    counts = pii_counts(text_col)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        F.md5(redact_pii(text_col)).alias("redacted_md5"),
+    )
+    any_hit = None
+    for kind in counts:
+        cond = F.col(f"n_{kind}") > 0
+        any_hit = cond if any_hit is None else (any_hit | cond)
+    return out.filter(any_hit).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

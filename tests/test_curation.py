@@ -210,3 +210,61 @@ def test_prefix_sum_full_data_window_is_bucket_partitioned(spark, docs):
         .toString()
     )
     assert "windowspecdefinition(__bkt" in plan  # row-level window: bucketed
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring / PII
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_orders_ood_docs_low(spark, docs):
+    from pyspark.sql import Row
+
+    # a doc made of corpus-frequent tokens must outscore one of unseen tokens
+    common = docs.limit(1).select("text").first()["text"]
+    weird = "zxqv jkwpy qqqzz mmvvk " * 8
+    extra = spark.createDataFrame(
+        [Row(doc_id=900001, text=common), Row(doc_id=900002, text=weird)]
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    out = {r["doc_id"]: r["logprob"] for r in C.unigram_logprob(corpus).collect()}
+    assert out[900001] > out[900002]
+
+
+def test_unigram_logprob_is_mean_of_token_logprobs(spark, docs):
+    import math
+
+    sample = docs.limit(30).select("doc_id", "text")
+    rows = sample.collect()
+    toks = {r["doc_id"]: r["text"].strip().split() for r in rows}
+    from collections import Counter
+
+    counts = Counter(t for ts in toks.values() for t in ts)
+    N, V = sum(counts.values()), len(counts)
+    out = {r["doc_id"]: r for r in C.unigram_logprob(sample).collect()}
+    for did, ts in toks.items():
+        want = sum(math.log((counts[t] + 1) / (N + V)) for t in ts) / len(ts)
+        assert out[did]["logprob"] == pytest.approx(want, abs=1e-3)
+        assert out[did]["n_tokens"] == len(ts)
+
+
+def test_pii_detection_and_redaction(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail bob@x.io or call +1-555-123-4567"),
+            Row(doc_id=2, text="server 192.168.0.1 docs https://ex.org/a b"),
+            Row(doc_id=3, text="nothing sensitive here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in C.pii_report(df).collect()}
+    assert set(out) == {1, 2}  # doc 3 clean -> absent
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] >= 1
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_url"] == 1
+    redacted = df.select("doc_id", C.redact_pii("text").alias("r")).collect()
+    joined = " ".join(r["r"] for r in redacted)
+    assert "bob@x.io" not in joined
+    assert "192.168.0.1" not in joined
+    assert "https://ex.org/a" not in joined
+    assert "<PII>" in joined
+    assert "nothing sensitive here" in joined  # clean text untouched
