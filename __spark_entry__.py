@@ -1225,6 +1225,30 @@ def q_pack_sequences(spark, sf_dir):
     return C.pack_sequences(docs, budget=512, bucket_width=64)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected-component duplicate clusters over the near-dup pair graph
+    (hash-to-min label propagation, dedup.duplicate_clusters).  Output:
+    every clustered doc with its canonical representative and cluster
+    size.  Oracle: recursive-CTE transitive closure over the exact-Jaccard
+    pair set (recall argument as dedup_minhash_lsh)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    cl = D.duplicate_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cl.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition metrics (text.repetition_stats): duplicate
+    word fraction + most-frequent 2/3-gram character coverage per doc."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1318,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "unigram_logprob": q_unigram_logprob,
         "pii_report": q_pii_report,
+        "dedup_clusters": q_dedup_clusters,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2340,6 +2366,88 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # dedup_clusters: transitive closure over the exact-Jaccard pair set
+    # (same recall argument as dedup_minhash_lsh) via recursive CTE;
+    # cluster_id = min doc_id of the component.
+    sql["dedup_clusters"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM jp
+            UNION
+            SELECT id_b, id_a FROM jp
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+        ), cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cl ORDER BY doc_id
+    """
+    # repetition_stats: Gopher-style repetition metrics; argmax tie-break
+    # (count DESC, gram DESC) mirrored via row_number.
+    sql["repetition_stats"] = """
+        WITH toks AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents
+        ), words AS (
+            SELECT doc_id, len(w) AS n_words,
+                   round(1.0 - len(list_distinct(w))::DOUBLE
+                         / greatest(len(w), 1), 4) AS dup_word_frac
+            FROM toks
+        ), g2 AS (
+            SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] AS gram
+            FROM toks, unnest(range(1, len(w))) AS t(i)
+        ), c2 AS (
+            SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2, 3
+        ), t2 AS (
+            SELECT doc_id, gram,
+                   round(cnt * length(gram)::DOUBLE / n_chars, 4) AS frac,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM c2
+        ), g3 AS (
+            SELECT doc_id, n_chars, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), c3 AS (
+            SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2, 3
+        ), t3 AS (
+            SELECT doc_id, gram,
+                   round(cnt * length(gram)::DOUBLE / n_chars, 4) AS frac,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram DESC) AS rn
+            FROM c3
+        )
+        SELECT w.doc_id, w.n_words, w.dup_word_frac,
+               coalesce(t2.gram, '') AS top_bigram,
+               coalesce(t2.frac, 0.0) AS top_bigram_frac,
+               coalesce(t3.gram, '') AS top_trigram,
+               coalesce(t3.frac, 0.0) AS top_trigram_frac
+        FROM words w
+        LEFT JOIN t2 ON w.doc_id = t2.doc_id AND t2.rn = 1
+        LEFT JOIN t3 ON w.doc_id = t3.doc_id AND t3.rn = 1
+        ORDER BY w.doc_id
     """
     # approx_distinct stays rows-only: the HLL estimator is genuinely
     # engine-specific; pytest asserts the estimate is within 5% of exact.

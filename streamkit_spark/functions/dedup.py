@@ -444,3 +444,96 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------- duplicate clusters
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of a near-duplicate pair graph.
+
+    Input: (id_a, id_b) candidate/verified pairs (any extra columns are
+    ignored).  Output: (doc_id, cluster_id) for every doc appearing in at
+    least one pair, where cluster_id = min(doc_id) of its component —
+    i.e. the canonical representative every member should dedup to.
+
+    Algorithm: hash-to-min label propagation with pointer-jumping
+    shortcuts (the MapReduce CC family of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14).  Each round:
+
+    1. every node takes min(own label, neighbours' labels) — one shuffle
+       join (edges ⋈ labels) + one map-side-combined groupBy(min);
+    2. labels follow their own pointer one extra hop
+       (label := label(label)), halving path lengths, so convergence is
+       O(log diameter) rounds, not O(diameter).
+
+    Near-duplicate components are near-cliques (diameter ≤ 3 in
+    practice), so 2–3 rounds converge even at corpus scale.  Per-round
+    shuffle volume is O(|edges|) fixed-width rows — independent of
+    document size, and |edges| ≪ |docs| after LSH banding.  Lineage is
+    truncated every round with localCheckpoint (iterative plans otherwise
+    grow exponentially in Catalyst); on a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` so the cut
+    survives executor loss.
+
+    Reference parity: the reference engine (a KV event store) has no graph
+    dedup; this is a north-star LLM-curation operator (SURVEY §2 note on
+    dedup as a first-class extension).
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label := label(label)
+        ptr = neigh.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            neigh.join(ptr, neigh["label"] == ptr["p_id"], "left")
+            .select("id", F.coalesce("p_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deduplicated corpus: drop every clustered doc except its
+    canonical representative (cluster_id == doc_id); singletons (docs in
+    no pair) pass through untouched.  One broadcast-sized anti-join when
+    the cluster table is small (it is: |clustered docs| ≪ |docs|), else a
+    shuffle anti-join on doc_id."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["doc_id"], "left_anti"
+    )

@@ -249,3 +249,89 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     ).filter(F.col("n_tokens") > 0)
+
+
+# --------------------------------------------- repetition (Gopher-style)
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics in the style of the Gopher data
+    quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1):
+
+    * ``dup_word_frac`` — fraction of tokens that repeat an earlier token
+      (1 − distinct/total);
+    * ``top_bigram`` / ``top_bigram_frac`` — the most frequent word
+      2-gram and the fraction of document characters its occurrences
+      cover (count × gram length / chars);
+    * ``top_trigram`` / ``top_trigram_frac`` — same for 3-grams.
+
+    Repetitious text is a strong low-quality signal for LLM corpora
+    (boilerplate, keyword stuffing, generation loops).
+
+    All JVM expressions: tokenization + a non-distinct n-gram explode,
+    two-level aggregate (map-side combined count, then per-doc argmax via
+    ``max(struct(cnt, gram))`` — deterministic tie-break: highest count,
+    then lexicographically greatest gram, mirrored in the oracle).
+    Shuffle volume is O(tokens) small rows; no window over a global
+    partition; scales linearly with corpus size."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("w"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+    word_stats = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("w"))
+            / F.greatest(F.size("w"), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_word_frac"),
+    )
+
+    def _top(n: int, name: str) -> DataFrame:
+        grams = base.select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.when(F.size("w") < n, F.array().cast("array<string>")).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        cnt = grams.groupBy("doc_id", "n_chars", "gram").agg(
+            F.count("*").alias("cnt")
+        )
+        return cnt.groupBy("doc_id").agg(
+            F.max(F.struct("cnt", "gram")).alias("t"),
+            F.first("n_chars").alias("n_chars"),
+        ).select(
+            "doc_id",
+            F.col("t.gram").alias(f"top_{name}"),
+            F.round(
+                F.col("t.cnt") * F.length("t.gram") / F.col("n_chars").cast("double"),
+                4,
+            ).alias(f"top_{name}_frac"),
+        )
+
+    out = (
+        word_stats.join(_top(2, "bigram"), "doc_id", "left")
+        .join(_top(3, "trigram"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram", F.lit("")).alias("top_trigram"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+        )
+    )
+    return out

@@ -56,3 +56,46 @@ def test_simhash_flags_near_identical(docs_with_dupes):
     pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(docs_with_dupes, max_hamming=6).collect()}
     assert (1, 2) in pairs  # identical token streams → hamming 0
     assert (1, 4) in pairs  # one token differs → small hamming
+
+
+def test_duplicate_clusters_components(spark):
+    # two components: a chain 1-2-3-4 (diameter 3, exercises pointer
+    # jumping) and a pair 10-11; 99 is absent from any pair
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical_drops_non_representatives(spark, docs_with_dupes):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "id_a long, id_b long")
+    clusters = D.duplicate_clusters(pairs)
+    kept = sorted(
+        r["doc_id"]
+        for r in D.dedup_keep_canonical(docs_with_dupes, clusters).collect()
+    )
+    # 2 and 4 collapse into canonical 1; singletons 3 and 5 pass through
+    assert kept == [1, 3, 5]
+
+
+def test_repetition_stats_flags_loops(spark):
+    from streamkit_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all these words are entirely unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["dup_word_frac"] > 0.8
+    assert rows[1]["top_bigram"] == "spam spam"
+    # 5 occurrences x 9 chars / 29 chars > 1 (overlapping occurrences)
+    assert rows[1]["top_bigram_frac"] > 0.9
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] < 0.5
