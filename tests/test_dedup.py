@@ -99,3 +99,47 @@ def test_repetition_stats_flags_loops(spark):
     assert rows[1]["top_bigram_frac"] > 0.9
     assert rows[2]["dup_word_frac"] == 0.0
     assert rows[2]["top_bigram_frac"] < 0.5
+
+
+def test_duplicate_clusters_matches_union_find_model(spark):
+    """Property: on random graphs, hash-to-min label propagation equals a
+    sequential union-find (small, fixed seed set to keep Spark round-trips
+    bounded; each case still covers chains, cliques, and isolated pairs)."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = rng.randint(2, 24)
+        m = rng.randint(1, 30)
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(m)
+                )
+            }
+        )
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in __import__("streamkit_spark.functions.dedup", fromlist=["d"])
+            .duplicate_clusters(pairs)
+            .collect()
+        }
+        assert got == want, f"seed={seed}"
