@@ -1225,6 +1225,26 @@ def q_pack_sequences(spark, sf_dir):
     return C.pack_sequences(docs, budget=512, bucket_width=64)
 
 
+def q_array_funcs(spark, sf_dir):
+    """§2.8 array surface over a real array column: size / fold-sum /
+    element_at / min / max / sort / distinct, all JVM expressions (scalar
+    outputs only — the driver canonicalizer can't sort array cells)."""
+    emb = tables.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_coord"),
+        F.round(F.array_min(vd), 4).alias("min_coord"),
+        F.round(F.array_max(vd), 4).alias("max_coord"),
+        F.round(F.element_at(F.reverse(F.array_sort(vd)), 2), 4).alias("second_largest"),
+        F.size(F.array_distinct("embedding")).cast("long").alias("n_distinct"),
+    ).orderBy("vec_id")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-component duplicate clusters over the near-dup pair graph
     (hash-to-min label propagation, dedup.duplicate_clusters).  Output:
@@ -1344,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_report": q_pii_report,
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
+        "array_funcs": q_array_funcs,
     }
 
 
@@ -2448,6 +2469,18 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN t2 ON w.doc_id = t2.doc_id AND t2.rn = 1
         LEFT JOIN t3 ON w.doc_id = t3.doc_id AND t3.rn = 1
         ORDER BY w.doc_id
+    """
+    sql["array_funcs"] = """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 4) AS vec_sum,
+               round(embedding[1]::DOUBLE, 4) AS first_coord,
+               round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4) AS min_coord,
+               round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_coord,
+               round(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[2], 4)
+                   AS second_largest,
+               len(list_distinct(embedding)) AS n_distinct
+        FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
     """
     # approx_distinct stays rows-only: the HLL estimator is genuinely
     # engine-specific; pytest asserts the estimate is within 5% of exact.

@@ -254,30 +254,12 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
-    threshold: float = 0.8,
-    seed: int = 42,
-) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH, verified with exact
-    Jaccard.  Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
-
-    B bands of R=num_hashes/B rows: candidate probability ≈
-    1-(1-j^R)^B — at 64/16 the S-curve knees near j≈0.6, comfortably
-    below the 0.8 default threshold (high recall), and the exact-Jaccard
-    verify removes false positives, so the result equals
-    :func:`ngram_jaccard_pairs` on any corpus where LSH recall holds.
-    """
-    assert num_hashes % bands == 0
+def band_row_table(sig: DataFrame, bands: int, num_hashes: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature table: bucket =
+    xxhash64 over the band's slice of the signature.  B small fixed-width
+    rows per doc — the only thing the LSH equi-join ever shuffles."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, ngram, seed)
-    # band key = xxhash64 of the band's slice of the signature
-    band_rows = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -299,6 +281,43 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def sig_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard estimate = fraction of agreeing signature slots.
+    Unbiased, std ≈ sqrt(j(1-j)/P) (~0.05 at P=64) — the verify step when
+    shingle sets are no longer on hand (e.g. checking against a persisted
+    signature index)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree.cast("double") / F.size(sig_a)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH, verified with exact
+    Jaccard.  Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+
+    B bands of R=num_hashes/B rows: candidate probability ≈
+    1-(1-j^R)^B — at 64/16 the S-curve knees near j≈0.6, comfortably
+    below the 0.8 default threshold (high recall), and the exact-Jaccard
+    verify removes false positives, so the result equals
+    :func:`ngram_jaccard_pairs` on any corpus where LSH recall holds.
+    """
+    assert num_hashes % bands == 0
+    sig = minhash_signature(df, text_col, id_col, num_hashes, ngram, seed)
+    band_rows = band_row_table(sig, bands, num_hashes)
     cand = (
         band_rows.alias("x")
         .join(
