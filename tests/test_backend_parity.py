@@ -86,3 +86,21 @@ def test_binary_payload_and_map_roundtrip(backends):
         )
         assert bytes(row["payload"]) == b"payload-3", fmt
         assert row["metadata"] == {"k": "3"}, fmt
+
+
+def test_csv_backend_flat_table_parity(spark, tmp_path):
+    """CSV is in BATCH_FORMATS for FLAT tables only (no binary/map/array
+    columns — Spark's CSV source cannot represent them; the events table
+    therefore never uses it).  Parity check on the documents table."""
+    from streamkit_spark import tables
+    from streamkit_spark.functions.text import text_stats
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 50)
+    path = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").mode("overwrite").csv(path)
+    csv_docs = read_source(spark, "csv", path, schema=docs.schema)
+
+    base = _norm(text_stats(docs).collect())
+    other = _norm(text_stats(csv_docs).collect())
+    assert base == other and len(base) == 50
