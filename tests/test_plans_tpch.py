@@ -65,3 +65,30 @@ def test_pack_sequences_windows_are_bucket_partitioned(spark):
     plan = _plan(spark, "pack_sequences", mode="formatted")
     # the row-level running sum must be partitioned by the bucket key
     assert "partitionBy=[__bkt" in plan.replace(" ", "") or "__bkt" in plan
+
+
+def test_array_funcs_pushes_id_filter(spark):
+    df = E.queries()["array_funcs"](spark, SF_DIR)
+    pushed = " | ".join(pushed_filters(df))
+    assert "vec_id" in pushed  # predicate reached the parquet scan
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan  # pure scan -> project
+
+
+def test_repetition_stats_no_global_window(spark):
+    """Argmax is a two-level aggregate, never a global (unpartitioned)
+    window — the latter single-partitions the corpus at scale."""
+    df = E.queries()["repetition_stats"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_duplicate_clusters_joins_are_equi(spark):
+    """The CC loop and the LSH candidate step must stay equi-joins —
+    a cartesian anywhere here is quadratic at corpus scale."""
+    from streamkit_spark.functions import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    plan = explain_str(D.duplicate_clusters(pairs, max_iter=1), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
