@@ -46,6 +46,7 @@ HEADLINE = [
     "embedding_near_dups",
     "quality_rules",
     "pack_sequences",
+    "repetition_stats",
 ]
 
 
