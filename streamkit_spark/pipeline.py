@@ -28,6 +28,13 @@ class CurationConfig:
     min_quality: float = 0.3
     min_tokens: int = 5
     use_lsh: bool = True  # False → exact shingle-join candidates (oracle-able)
+    # near-dup drop policy.  False (default): drop every id_b of a
+    # qualifying pair — conservative, keeps docs whose only similar
+    # neighbours were already dropped.  True: collapse each CONNECTED
+    # COMPONENT of the pair graph to its min-id representative (the
+    # transitive policy of Lee et al. 2022, "Deduplicating Training Data
+    # Makes Language Models Better") via dedup.duplicate_clusters.
+    cluster_dedup: bool = False
 
 
 def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
@@ -48,8 +55,12 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
         near_pairs = D.ngram_jaccard_pairs(
             exact, n=cfg.ngram, threshold=cfg.jaccard_threshold
         )
-    drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = exact.join(drop_ids, "doc_id", "left_anti")
+    if cfg.cluster_dedup:
+        clusters = D.duplicate_clusters(near_pairs)
+        kept = D.dedup_keep_canonical(exact, clusters)
+    else:
+        drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        kept = exact.join(drop_ids, "doc_id", "left_anti")
     scored = kept.withColumn("quality", F.round(TX.quality_score("text"), 4)).withColumn(
         "n_tokens", TX.token_count("text").cast("long")
     )

@@ -193,3 +193,135 @@ class NearDupIndex:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+
+_VEC_SCHEMA = "vec_id long, vec array<double>, norm double"
+_VBAND_SCHEMA = "vec_id long, tbl int, bkt long"
+
+
+class EmbeddingDupIndex:
+    """Incremental embedding near-dedup: the vector twin of
+    :class:`NearDupIndex` for multimodal/embedding pipelines.
+
+    State per accepted vector: the (double-cast) vector + its norm and
+    ``n_tables`` hyperplane-bucket rows — O(dim) doubles, so the verify
+    step is EXACT cosine (unlike text, where shingles are dropped and the
+    verdict is a signature estimate).  Candidates via multi-table
+    hyperplane LSH (recall 1-(1-p^bits)^T, p = 1-θ/π — single-table is
+    only adequate for cos ≥ ~0.95; see similarity.embedding_near_dup_pairs).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        threshold: float = 0.95,
+        bits: int = 8,
+        n_tables: int = 4,
+        seed: int = 42,
+    ) -> None:
+        from streamkit_spark.functions.similarity import random_hyperplanes
+
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.threshold = threshold
+        self.bits = bits
+        self.n_tables = n_tables
+        self.planes = [
+            random_hyperplanes(dim, bits, seed + 1000 * t) for t in range(n_tables)
+        ]
+        self.vec_path = os.path.join(path, "vecs")
+        self.band_path = os.path.join(path, "vbands")
+
+    def _read(self, path: str, schema: str) -> DataFrame:
+        if os.path.exists(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def vecs(self) -> DataFrame:
+        return self._read(self.vec_path, _VEC_SCHEMA)
+
+    def band_rows(self) -> DataFrame:
+        return self._read(self.band_path, _VBAND_SCHEMA)
+
+    def process_batch(
+        self, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Annotate ``batch`` with (dup_of, cos) vs the index + earlier
+        batch rows; register novel vectors idempotently."""
+        from streamkit_spark.functions.similarity import (
+            _dot_raw,
+            hyperplane_bucket,
+            l2_norm,
+        )
+
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        prepared = batch.select(
+            F.col(id_col).alias("vec_id"),
+            vd.alias("vec"),
+            l2_norm(vd).alias("norm"),
+        ).localCheckpoint(eager=True)
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    hyperplane_bucket(F.col("vec"), self.planes[t]).alias("bkt"),
+                )
+                for t in range(self.n_tables)
+            ]
+        )
+        bands_new = prepared.select(
+            "vec_id", F.explode(buckets).alias("b")
+        ).select("vec_id", "b.tbl", "b.bkt")
+
+        cand_idx = (
+            bands_new.alias("n")
+            .join(
+                self.band_rows().alias("o"),
+                (F.col("n.tbl") == F.col("o.tbl"))
+                & (F.col("n.bkt") == F.col("o.bkt"))
+                & (F.col("n.vec_id") != F.col("o.vec_id")),
+            )
+            .select(F.col("n.vec_id").alias("id"), F.col("o.vec_id").alias("prior"))
+        )
+        cand_self = (
+            bands_new.alias("a")
+            .join(
+                bands_new.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.vec_id") > F.col("b.vec_id")),
+            )
+            .select(F.col("a.vec_id").alias("id"), F.col("b.vec_id").alias("prior"))
+        )
+        cand = cand_idx.unionByName(cand_self).distinct()
+
+        all_vecs = self.vecs().unionByName(prepared)
+        cos = _dot_raw(F.col("vn.vec"), F.col("vo.vec")) / (
+            F.col("vn.norm") * F.col("vo.norm")
+        )
+        verified = (
+            cand.join(prepared.alias("vn"), cand["id"] == F.col("vn.vec_id"))
+            .join(all_vecs.alias("vo"), cand["prior"] == F.col("vo.vec_id"))
+            .select("id", "prior", cos.alias("cos"))
+            .filter(F.col("cos") >= F.lit(self.threshold))
+        )
+        best = verified.groupBy("id").agg(
+            F.min("prior").alias("dup_of"),
+            F.min_by("cos", "prior").alias("cos"),
+        )
+        annotated = (
+            batch.join(best, batch[id_col] == best["id"], "left")
+            .drop("id")
+            .localCheckpoint(eager=True)
+        )
+
+        novel = annotated.filter(F.col("dup_of").isNull()).select(
+            F.col(id_col).alias("vec_id")
+        )
+        to_add = novel.join(self.vecs().select("vec_id"), "vec_id", "left_anti")
+        prepared.join(to_add, "vec_id").write.mode("append").parquet(self.vec_path)
+        bands_new.join(to_add, "vec_id").write.mode("append").parquet(self.band_path)
+        return annotated

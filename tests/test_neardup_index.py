@@ -82,3 +82,53 @@ def test_streaming_attach_annotates_and_registers(spark, tmp_path):
     }
     assert out == {1: None, 2: None, 3: 1}
     assert sorted(r["doc_id"] for r in idx.sigs().collect()) == [1, 2]
+
+
+def test_embedding_index_cross_batch(spark, tmp_path):
+    import random
+
+    from streamkit_spark.streaming.neardup import EmbeddingDupIndex
+
+    rng = random.Random(7)
+
+    def vec(seed=None, base=None, jitter=0.0):
+        if base is None:
+            return [rng.gauss(0, 1) for _ in range(16)]
+        return [x + rng.gauss(0, jitter) for x in base]
+
+    v1, v2 = vec(), vec()
+    idx = EmbeddingDupIndex(
+        spark, str(tmp_path / "edx"), dim=16, threshold=0.95, bits=6, n_tables=6
+    )
+    b1 = idx.process_batch(
+        spark.createDataFrame(
+            [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+        )
+    ).collect()
+    assert all(r["dup_of"] is None for r in b1)
+
+    # near-copy of v1 in a later batch + an unrelated vector
+    b2 = {
+        r["vec_id"]: r
+        for r in idx.process_batch(
+            spark.createDataFrame(
+                [(3, vec(base=v1, jitter=0.01)), (4, vec())],
+                "vec_id long, embedding array<double>",
+            )
+        ).collect()
+    }
+    assert b2[3]["dup_of"] == 1 and b2[3]["cos"] > 0.95
+    assert b2[4]["dup_of"] is None
+    assert sorted(r["vec_id"] for r in idx.vecs().collect()) == [1, 2, 4]
+
+    # replay of batch 2 is recognized, state unchanged
+    n = idx.vecs().count()
+    replay = {
+        r["vec_id"]: r["dup_of"]
+        for r in idx.process_batch(
+            spark.createDataFrame(
+                [(4, b2[4]["embedding"])], "vec_id long, embedding array<double>"
+            )
+        ).collect()
+    }
+    assert replay[4] is None and idx.vecs().count() == n

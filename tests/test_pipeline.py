@@ -34,3 +34,31 @@ def test_report_shape(spark):
     rep = curation_report(docs, CurationConfig(use_lsh=False)).collect()
     assert {r["lang"] for r in rep} <= {"de", "en", "es", "fr", "zh"}
     assert all(r["n_docs"] > 0 and r["total_tokens"] > 0 for r in rep)
+
+
+def test_cluster_dedup_policy_differs_on_star_components(spark):
+    """Pair-drop keeps docs whose only similar neighbour was dropped;
+    cluster-collapse keeps one representative per connected component.
+    Star component: 2~10 and 3~10 but 2 !~ 3."""
+    from streamkit_spark.pipeline import CurationConfig, curate
+
+    hub = "the quick brown fox jumps over the lazy dog again and again today"
+    # spoke A: shares a long prefix with hub; spoke B shares a long suffix;
+    # A and B overlap too little with each other to pair
+    spoke_a = "the quick brown fox jumps over the happy cat every single day"
+    spoke_b = "sleepy bears wander over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(2, spoke_a), (3, spoke_b), (10, hub)], "doc_id long, text string"
+    )
+    cfg = dict(jaccard_threshold=0.2, min_quality=0.0, min_tokens=1, use_lsh=False)
+
+    pair_kept = sorted(
+        r["doc_id"]
+        for r in curate(docs, CurationConfig(**cfg)).collect()
+    )
+    cluster_kept = sorted(
+        r["doc_id"]
+        for r in curate(docs, CurationConfig(cluster_dedup=True, **cfg)).collect()
+    )
+    assert pair_kept == [2, 3]      # 10 dropped; 2,3 not similar, both kept
+    assert cluster_kept == [2]      # whole component collapses to min id
