@@ -65,3 +65,33 @@ def register_store_views(
             FROM {p}events GROUP BY space, segment)
         """
     )
+
+
+def register_curation_views(
+    spark: SparkSession, docs: DataFrame, prefix: str = "doc_"
+) -> list[str]:
+    """LLM-curation operator surface as SQL views over a document relation
+    (SURVEY §7: every operator reachable from ``spark.sql``).  Views are
+    logical plans — nothing materializes until queried, and pushdown
+    applies through them.
+
+    * ``{p}stats`` — token/char/quality/lang columns per doc
+    * ``{p}repetition`` — Gopher repetition metrics per doc
+    * ``{p}fingerprints`` — md5 content fingerprint per doc
+    * ``{p}quality`` — pass/fail quality-rule columns per doc
+    """
+    from streamkit_spark.functions import text as TX
+    from streamkit_spark.functions.curation import quality_rules
+
+    p = prefix
+    views = {
+        f"{p}stats": TX.text_stats(docs),
+        f"{p}repetition": TX.repetition_stats(docs),
+        f"{p}fingerprints": docs.select(
+            "doc_id", TX.fingerprint("text").alias("fp")
+        ),
+        f"{p}quality": quality_rules(docs),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

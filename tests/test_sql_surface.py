@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from streamkit_spark.operators.produce import Store
 from streamkit_spark.operators.status import segment_status
@@ -55,3 +56,33 @@ def test_fixture_views_register(spark):
         """
     ).collect()
     assert len(joined) == 5
+
+
+def test_curation_views_queryable_from_sql(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.sql import register_curation_views
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 100)
+    names = register_curation_views(spark, docs)
+    assert names == [
+        "doc_fingerprints", "doc_quality", "doc_repetition", "doc_stats",
+    ]
+    # joins across the op views work and agree on cardinality
+    row = spark.sql(
+        """
+        SELECT count(*) AS n,
+               count(DISTINCT f.fp) AS n_fp,
+               sum(CASE WHEN q.passes THEN 1 ELSE 0 END) AS n_pass
+        FROM doc_stats s
+        JOIN doc_fingerprints f USING (doc_id)
+        JOIN doc_quality q USING (doc_id)
+        JOIN doc_repetition r USING (doc_id)
+        """
+    ).first()
+    assert row["n"] == 100 and 0 < row["n_pass"] <= 100
+    # repetition metrics filterable in plain SQL
+    loops = spark.sql(
+        "SELECT count(*) AS n FROM doc_repetition WHERE dup_word_frac > 0.5"
+    ).first()["n"]
+    assert loops >= 0
