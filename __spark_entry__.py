@@ -1245,6 +1245,31 @@ def q_array_funcs(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_binary_payload_stats(spark, sf_dir):
+    """Opaque-binary-column analytics (multimodal data model: payload as
+    bytes + typed metadata): byte length, content hash, per-type
+    dedup-by-hash — all JVM expressions.  The fixture has no binary
+    column, so the JSON props string is encoded to bytes in-query; the
+    operators (octet length, md5-of-bytes, distinct-hash count) are the
+    multimodal ones."""
+    ev = _ev(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.encode(F.col("props"), "UTF-8").alias("payload"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.min(F.octet_length("payload")).cast("long").alias("min_bytes"),
+            F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+            F.countDistinct(F.md5("payload")).alias("distinct_payloads"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected-component duplicate clusters over the near-dup pair graph
     (hash-to-min label propagation, dedup.duplicate_clusters).  Output:
@@ -1365,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "array_funcs": q_array_funcs,
+        "binary_payload_stats": q_binary_payload_stats,
     }
 
 
@@ -2481,6 +2507,15 @@ def oracle_sql() -> dict[str, str]:
                    AS second_largest,
                len(list_distinct(embedding)) AS n_distinct
         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """
+    sql["binary_payload_stats"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(octet_length(props::BLOB)) AS BIGINT) AS total_bytes,
+               CAST(min(octet_length(props::BLOB)) AS BIGINT) AS min_bytes,
+               CAST(max(octet_length(props::BLOB)) AS BIGINT) AS max_bytes,
+               count(DISTINCT md5(props)) AS distinct_payloads
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     # approx_distinct stays rows-only: the HLL estimator is genuinely
     # engine-specific; pytest asserts the estimate is within 5% of exact.
