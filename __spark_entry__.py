@@ -1245,6 +1245,23 @@ def q_array_funcs(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def q_vocab_spectrum(spark, sf_dir):
+    """Corpus token-frequency spectrum (Zipf/Heaps diagnostics): for each
+    occurrence count, how many distinct vocabulary tokens occur that many
+    times.  Two map-side-combined aggregates — shuffle ∝ vocabulary, then
+    ∝ distinct frequencies; no windows, no joins."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    return (
+        freq.groupBy("freq")
+        .agg(F.count("*").alias("n_tokens"))
+        .orderBy("freq")
+    )
+
+
 def q_binary_payload_stats(spark, sf_dir):
     """Opaque-binary-column analytics (multimodal data model: payload as
     bytes + typed metadata): byte length, content hash, per-type
@@ -1391,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "array_funcs": q_array_funcs,
         "binary_payload_stats": q_binary_payload_stats,
+        "vocab_spectrum": q_vocab_spectrum,
     }
 
 
@@ -2507,6 +2525,15 @@ def oracle_sql() -> dict[str, str]:
                    AS second_largest,
                len(list_distinct(embedding)) AS n_distinct
         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+    """
+    sql["vocab_spectrum"] = """
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ), freq AS (
+            SELECT tok, count(*) AS freq FROM tok GROUP BY 1
+        )
+        SELECT freq, count(*) AS n_tokens FROM freq GROUP BY 1 ORDER BY 1
     """
     sql["binary_payload_stats"] = """
         SELECT event_type,
