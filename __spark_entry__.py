@@ -569,7 +569,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     against brute force)."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, queries, k=5, bits=4, n_tables=8, round_digits=4)
+    return SIM.lsh_topk(emb, queries, k=5, bits=4, n_tables=8, round_digits=4, dim=64)
 
 
 def q_embedding_norms(spark, sf_dir):

@@ -182,7 +182,14 @@ class NearDupIndex:
     ):
         """Run the index over a streaming document source via foreachBatch
         (the one-writer-at-a-time home the contract above requires);
-        annotated batches append to ``sink_path`` as parquet."""
+        annotated batches append to ``sink_path`` as parquet.
+
+        Delivery: the INDEX is replay-idempotent (anti-join on doc_id),
+        but the plain parquet sink append is at-least-once — a batch
+        replayed after a crash appends its annotations twice.  Readers
+        dedup on doc_id, or point the sink at an idempotent target (Delta
+        with txnAppId/txnVersion) when available — the same T7/T11 trade
+        the reference documents (docs/limitations.md:9-17)."""
 
         def _once(batch: DataFrame, epoch_id: int) -> None:
             out = self.process_batch(batch, text_col=text_col, id_col=id_col)
