@@ -69,10 +69,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # best-of-2: machine contention (co-tenant JVMs) inflates single
-        # runs 2-3x; the min is the honest intrinsic cost
+        # best-of-3: machine contention (co-tenant JVMs) inflates single
+        # runs 2-6x (observed: 3.9s intrinsic -> 16s under a co-running
+        # JVM); the min is the honest intrinsic cost
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
