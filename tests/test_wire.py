@@ -80,3 +80,44 @@ def test_malformed_lines_surface_as_nulls(spark):
     bad = spark.createDataFrame([("not json",), ('{"space": 3}',)], "value string")
     rows = parse_envelope_lines(bad).collect()
     assert all(r["sequence"] is None for r in rows)
+
+
+def test_wire_to_store_ingestion_end_to_end(spark, tmp_path):
+    """Full receive pipeline: entries formatted to wire lines (transport),
+    parsed back, and ingested into a SECOND store with produce semantics —
+    the engine's replication-over-the-wire analog of the reference's
+    bidi-stream consume→produce loop."""
+    from streamkit_spark.operators import invariants
+    from streamkit_spark.streaming.ingest import stream_into_store
+
+    src_store = _store(spark, tmp_path)
+    wire_dir = str(tmp_path / "wire2")
+    format_envelope_lines(src_store.events()).coalesce(1).write.mode(
+        "overwrite"
+    ).text(wire_dir)
+
+    dst = Store(spark, str(tmp_path / "dst"))
+    lines = spark.readStream.text(wire_dir)
+    incoming = parse_envelope_lines(lines).select(
+        "space", "segment", "payload", "metadata",
+        F.col("sequence").alias("__order"),
+    )
+    q = stream_into_store(incoming, dst, str(tmp_path / "wire_ckpt"), "wire_rt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def key_rows(store):
+        return {
+            (r["space"], r["segment"], r["sequence"]): (
+                bytes(r["payload"]),
+                tuple(sorted(r["metadata"].items())) if r["metadata"] else None,
+            )
+            for r in store.events().collect()
+        }
+
+    assert key_rows(dst) == key_rows(src_store)
+    assert invariants.check_all(dst.events()) == {
+        "i1_contiguity": 0, "i2_density": 0, "i3_trx_monotonic": 0,
+    }
