@@ -467,7 +467,11 @@ def simhash_pairs(
 
 # ------------------------------------------------- duplicate clusters
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
     """Connected components of a near-duplicate pair graph.
 
     Input: (id_a, id_b) candidate/verified pairs (any extra columns are
@@ -475,9 +479,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     least one pair, where cluster_id = min(doc_id) of its component —
     i.e. the canonical representative every member should dedup to.
 
-    Algorithm: hash-to-min label propagation with pointer-jumping
-    shortcuts (the MapReduce CC family of Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14).  Each round:
+    Algorithm: below ``small_graph_threshold`` edges, a driver-side
+    union-find (the edge list of a near-dup graph is tiny next to its
+    corpus; a bounded collect beats distributed-round overhead).  Above
+    it, hash-to-min label propagation with pointer-jumping shortcuts
+    (the MapReduce CC family of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).  Each round:
 
     1. every node takes min(own label, neighbours' labels) — one shuffle
        join (edges ⋈ labels) + one map-side-combined groupBy(min);
@@ -506,6 +513,36 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Hybrid (the GraphFrames/GraphX practice): a near-dup pair graph is
+    # tiny next to its corpus (|edges| ≪ |docs| after LSH) — below the
+    # threshold the edge list fits trivially on the driver and a
+    # union-find beats 3-4 distributed rounds of fixed job overhead.
+    # The distributed loop below is the ≥threshold path (and is covered
+    # by tests passing small_graph_threshold=0).
+    if edges.count() <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():  # bounded by small_graph_threshold
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict[int, int] = {}
+        for v in parent:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -58,7 +58,8 @@ def test_simhash_flags_near_identical(docs_with_dupes):
     assert (1, 4) in pairs  # one token differs → small hamming
 
 
-def test_duplicate_clusters_components(spark):
+@pytest.mark.parametrize("threshold", [100_000, 0])  # driver / distributed path
+def test_duplicate_clusters_components(spark, threshold):
     # two components: a chain 1-2-3-4 (diameter 3, exercises pointer
     # jumping) and a pair 10-11; 99 is absent from any pair
     pairs = spark.createDataFrame(
@@ -66,7 +67,9 @@ def test_duplicate_clusters_components(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in D.duplicate_clusters(pairs).collect()
+        for r in D.duplicate_clusters(
+            pairs, small_graph_threshold=threshold
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
@@ -102,9 +105,10 @@ def test_repetition_stats_flags_loops(spark):
 
 
 def test_duplicate_clusters_matches_union_find_model(spark):
-    """Property: on random graphs, hash-to-min label propagation equals a
-    sequential union-find (small, fixed seed set to keep Spark round-trips
-    bounded; each case still covers chains, cliques, and isolated pairs)."""
+    """Property: on random graphs, the DISTRIBUTED hash-to-min path
+    (forced via small_graph_threshold=0) equals a sequential union-find
+    (small, fixed seed set to keep Spark round-trips bounded; each case
+    still covers chains, cliques, and isolated pairs)."""
     import random
 
     for seed in range(4):
@@ -139,7 +143,7 @@ def test_duplicate_clusters_matches_union_find_model(spark):
         got = {
             r["doc_id"]: r["cluster_id"]
             for r in __import__("streamkit_spark.functions.dedup", fromlist=["d"])
-            .duplicate_clusters(pairs)
+            .duplicate_clusters(pairs, small_graph_threshold=0)
             .collect()
         }
         assert got == want, f"seed={seed}"

@@ -90,5 +90,7 @@ def test_duplicate_clusters_joins_are_equi(spark):
     from streamkit_spark.functions import dedup as D
 
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
-    plan = explain_str(D.duplicate_clusters(pairs, max_iter=1), "simple")
+    plan = explain_str(
+        D.duplicate_clusters(pairs, max_iter=1, small_graph_threshold=0), "simple"
+    )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
