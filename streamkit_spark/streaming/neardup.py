@@ -332,3 +332,24 @@ class EmbeddingDupIndex:
         prepared.join(to_add, "vec_id").write.mode("append").parquet(self.vec_path)
         bands_new.join(to_add, "vec_id").write.mode("append").parquet(self.band_path)
         return annotated
+
+    def attach(
+        self,
+        stream: DataFrame,
+        sink_path: str,
+        checkpoint: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        """foreachBatch wrapper, same contract as NearDupIndex.attach
+        (index replay-idempotent; plain parquet sink is at-least-once)."""
+
+        def _once(batch: DataFrame, epoch_id: int) -> None:
+            out = self.process_batch(batch, id_col=id_col, vec_col=vec_col)
+            out.write.mode("append").parquet(sink_path)
+
+        return (
+            stream.writeStream.foreachBatch(_once)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -132,3 +132,35 @@ def test_embedding_index_cross_batch(spark, tmp_path):
         ).collect()
     }
     assert replay[4] is None and idx.vecs().count() == n
+
+
+def test_embedding_index_streaming_attach(spark, tmp_path):
+    import random
+
+    from streamkit_spark.streaming.neardup import EmbeddingDupIndex
+
+    rng = random.Random(11)
+    v1 = [rng.gauss(0, 1) for _ in range(16)]
+    v2 = [rng.gauss(0, 1) for _ in range(16)]
+    near1 = [x + rng.gauss(0, 0.01) for x in v1]
+    batch = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, near1)], "vec_id long, embedding array<double>"
+    )
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    batch.repartition(1).write.mode("append").parquet(str(src))
+    idx = EmbeddingDupIndex(
+        spark, str(tmp_path / "edx2"), dim=16, threshold=0.95, bits=6, n_tables=6
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = idx.attach(stream, str(tmp_path / "vout"), str(tmp_path / "vckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r["vec_id"]: r["dup_of"]
+        for r in spark.read.parquet(str(tmp_path / "vout")).collect()
+    }
+    assert out == {1: None, 2: None, 3: 1}
+    assert sorted(r["vec_id"] for r in idx.vecs().collect()) == [1, 2]
