@@ -1,3 +1,3 @@
-from streamkit_spark.functions import dedup, similarity, text
+from streamkit_spark.functions import curation, dedup, multimodal, similarity, text
 
-__all__ = ["text", "dedup", "similarity"]
+__all__ = ["text", "dedup", "similarity", "curation", "multimodal"]

@@ -1,13 +1,24 @@
+from streamkit_spark.streaming.joins import interval_join
+from streamkit_spark.streaming.neardup import EmbeddingDupIndex, NearDupIndex
 from streamkit_spark.streaming.subscribe import (
     at_least_once_dedup,
     status_stream,
     subscribe_segment_status,
 )
 from streamkit_spark.streaming.watermark import SpaceWatermarks
+from streamkit_spark.streaming.wire import (
+    format_envelope_lines,
+    parse_envelope_lines,
+)
 
 __all__ = [
     "SpaceWatermarks",
     "status_stream",
     "subscribe_segment_status",
     "at_least_once_dedup",
+    "NearDupIndex",
+    "EmbeddingDupIndex",
+    "interval_join",
+    "format_envelope_lines",
+    "parse_envelope_lines",
 ]
