@@ -6,11 +6,13 @@ coalescing), shuffle partitions sized to cores locally (on a cluster this
 is overridden to ~2-3x total cores), UTC session timezone so results are
 oracle-comparable, Arrow enabled for the Pandas-UDF slow path.
 
-``spark.sql.legacy.parquet.nanosAsLong=true`` is required to read the
-driver fixtures' TIMESTAMP(NANOS) column as a raw long; the engine treats
-event time as integer epoch units end-to-end (the reference does the same —
-int64 ms, /root/reference/pkg/api/messages.go:102-110), which keeps time
-arithmetic in whole-stage codegen and avoids timezone drift entirely.
+The engine treats event time as integer epoch units end-to-end (the
+reference does the same — int64 ms,
+/root/reference/pkg/api/messages.go:102-110), which keeps time arithmetic
+in whole-stage codegen and avoids timezone drift entirely.  Fixture
+timestamp columns of any parquet flavor are converted at load
+(``tables.normalize_events``); ``nanosAsLong`` is kept for fixtures that
+ship TIMESTAMP(NANOS), which Spark cannot otherwise read as a long.
 """
 
 from __future__ import annotations

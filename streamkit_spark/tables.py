@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -36,9 +37,37 @@ def _prepare(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Pin the events table to the engine's time contract: ``ts`` is an
+    int64 epoch-nanos column (reference models time as int64 —
+    pkg/api/messages.go:105).
+
+    The driver fixture has shipped ``ts`` as parquet TIMESTAMP(NANOS)
+    (readable only as a long behind ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (arrives as ``timestamp_ntz``).  Accept any flavor.
+    The ntz conversion diffs against the ntz epoch, so it is session-
+    timezone-independent and bit-identical to DuckDB's ``epoch_ns(ts)``.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "timestamp_ntz":
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
+    elif t == "timestamp":
+        df = df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prepare(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_events(df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

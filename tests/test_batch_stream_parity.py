@@ -21,8 +21,11 @@ def fixture_stream(spark, tmp_path_factory):
 
     d = tmp_path_factory.mktemp("events_stream")
     shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
-    batch = tables.load(spark, SF_DIR, "events")
-    return spark.readStream.schema(batch.schema).parquet(str(d))
+    # raw file schema (ts may be a timestamp flavor), then the same
+    # epoch-ns normalization tables.load applies to the batch side
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = spark.readStream.schema(raw).parquet(str(d))
+    return tables.normalize_events(stream)
 
 
 def test_grouped_counts_parity(spark, fixture_stream):
