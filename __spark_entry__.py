@@ -1311,6 +1311,33 @@ def q_repetition_stats(spark, sf_dir):
     return TX.repetition_stats(docs).orderBy("doc_id")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dup pairs by winnowing fingerprints (dedup.
+    substring_dup_pairs — Schleimer et al. SIGMOD'03 / the Lee et al.
+    ACL'22 ExactSubstr goal): pairs sharing ≥2 distinct window-min
+    fingerprints, i.e. long verbatim overlaps.  The md5 gram hash is
+    byte-identical in DuckDB, so the pair set is fully oracle-checked."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(
+        docs, k=16, w=8, min_shared=2
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-rebalanced corpus sample (curation.temperature_sample,
+    alpha=0.5): low-resource languages keep (nearly) everything, the
+    dominant one is downsampled toward the budget — deterministic
+    md5-bucket decisions, reproducible across runs."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        C.temperature_sample(docs, alpha=0.5, budget_docs=400)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1409,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_funcs": q_array_funcs,
         "binary_payload_stats": q_binary_payload_stats,
         "vocab_spectrum": q_vocab_spectrum,
+        "dedup_substring": q_dedup_substring,
+        "temperature_sample": q_temperature_sample,
     }
 
 
@@ -2294,7 +2323,48 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
         GROUP BY 1 ORDER BY 1
     """
+    # winnowing (k=16, w=8): grams at 1-based pos 1..max(len-15,1); window
+    # start positions 1..max(ng-8,0)+1, each the min gram hash of the w
+    # following rows — mirrors dedup.winnow_fingerprints exactly
+    sql["dedup_substring"] = """
+        WITH g AS (
+            SELECT doc_id, i AS pos,
+                   md5(substr(lower(text), i, 16)) AS h,
+                   greatest(length(lower(text)) - 15, 1) AS ng
+            FROM documents,
+                 unnest(generate_series(1,
+                        greatest(length(lower(text)) - 15, 1))) AS u(i)
+        ), wm AS (
+            SELECT doc_id, pos, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+            FROM g
+        ), fp AS (
+            SELECT DISTINCT doc_id, fp FROM wm
+            WHERE pos <= greatest(ng - 8, 0) + 1
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        ORDER BY 1, 2
+    """
     _bucket = sample_bucket_sql("doc_id")
+    sql["temperature_sample"] = f"""
+        WITH c AS (
+            SELECT lang AS s, CAST(count(*) AS DOUBLE) AS n
+            FROM documents GROUP BY 1
+        ), r AS (
+            SELECT s, round(least(1.0, 400.0 * pow(n, 0.5)
+                            / (SELECT sum(pow(n, 0.5)) FROM c) / n), 6) AS rate
+            FROM c
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r ON d.lang = r.s
+        WHERE {_bucket} < rate * 65536.0
+        ORDER BY doc_id
+    """
     sql["stratified_sample"] = f"""
         SELECT doc_id, lang, source FROM documents
         WHERE {_bucket} < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25

@@ -47,6 +47,8 @@ HEADLINE = [
     "quality_rules",
     "pack_sequences",
     "repetition_stats",
+    "dedup_substring",
+    "temperature_sample",
 ]
 
 

@@ -459,6 +459,52 @@ def mixing_plan(
     ).orderBy("source")
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.7,
+    budget_docs: int = 1000,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sk",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing: sample stratum ``s`` at a
+    rate proportional to ``n_s^alpha / n_s``, normalized so the expected
+    kept total is ``budget_docs`` — the multilingual upsampling scheme of
+    mBERT / XLM-R (Conneau & Lample, NeurIPS'19 §3.1): ``alpha < 1``
+    flattens the distribution, boosting low-resource strata relative to
+    their raw frequency, without ever upweighting a stratum past rate 1.
+
+    Decisions reuse the deterministic md5 bucket of
+    :func:`stratified_sample` (nested samples, no rand()); rates are
+    rounded to 6 decimals on both engines so the bucket comparison can't
+    straddle a float ulp.  Plan: one tiny per-stratum count aggregate,
+    broadcast back as a rate table, then a pure map-side filter — no
+    second shuffle of the corpus."""
+    counts = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    wsum = counts.agg(F.sum(F.pow("__n", F.lit(alpha))).alias("__wsum"))
+    rates = counts.crossJoin(F.broadcast(wsum)).select(
+        "__s",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_docs))
+                * F.pow("__n", F.lit(alpha))
+                / F.col("__wsum")
+                / F.col("__n"),
+            ),
+            6,
+        ).alias("__rate"),
+    )
+    bucket = sample_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(rates), df[stratum_col] == F.col("__s"))
+        .filter(bucket.cast("double") < F.col("__rate") * F.lit(float(N_SAMPLE_BUCKETS)))
+        .drop("__s", "__rate")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chop) via distributed prefix sum
 # ---------------------------------------------------------------------------

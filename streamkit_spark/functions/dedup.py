@@ -318,15 +318,31 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     sig = minhash_signature(df, text_col, id_col, num_hashes, ngram, seed)
     band_rows = band_row_table(sig, bands, num_hashes)
+    # Group-and-enumerate same-bucket pairs instead of a band_rows⋈band_rows
+    # self-join: the self-join plans the signature pipeline (shingle explode
+    # + 64-way min aggregate, the expensive part) once per branch, and AQE
+    # exchange reuse is not guaranteed (observed bimodal runtimes in the
+    # jaccard operator).  Grouping keeps exactly ONE signature computation;
+    # bucket group sizes are duplicate-cluster-sized, so the in-row pair
+    # enumeration is bounded.
     cand = (
-        band_rows.alias("x")
-        .join(
-            band_rows.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # exact-Jaccard verify on candidates only
@@ -592,4 +608,121 @@ def dedup_keep_canonical(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
         F.broadcast(losers), df[id_col] == losers["doc_id"], "left_anti"
+    )
+
+
+# ------------------------------------------------- substring (winnowing)
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document — (doc_id, fp).
+
+    Winnowing (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms
+    for Document Fingerprinting", SIGMOD'03, the MOSS algorithm): hash
+    every k-char gram of the lowercased text, then keep the MINIMUM hash
+    of each window of ``w`` consecutive grams.  Detection guarantee (not
+    probabilistic): two documents sharing an exact substring of at least
+    ``k + w - 1`` characters select at least one identical fingerprint,
+    because the shared region contains a full window of identical gram
+    hashes whose minimum is position-independent.  Expected density is
+    ~2/(w+1) fingerprints per character — the scale lever exact-substring
+    dedup needs (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22, builds suffix arrays for this; winnowing gets
+    the same ≥L-match detection with a per-partition streaming pass).
+
+    Plan shape: gram hashing is one in-row array expression (map-only);
+    window minima go through a (doc, window)→min groupBy whose map-side
+    combine collapses the w-fold window membership BEFORE the exchange, so
+    the shuffle carries ~one row per gram, and the following distinct
+    shrinks it to the fingerprint set.  The md5 hex-string hash is
+    byte-identical in DuckDB, so the whole operator is oracle-checkable.
+    """
+    txt = _lc(text_col)
+    n_grams = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(txt.substr(i, F.lit(k))),
+    )
+    g = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"greatest(length(lower({text_col})) - {k - 1}, 1)").alias("ng"),
+        F.posexplode(grams).alias("pos0", "h"),
+    )
+    # gram at 0-based pos0 is a member of windows [pos0 - w + 1, pos0],
+    # clamped to the valid window range [0, ng - w] (short docs: window 0
+    # only, spanning every gram — mirrors a slice past the array end)
+    win_lo = F.greatest(F.col("pos0") - F.lit(w - 1), F.lit(0))
+    win_hi = F.least(F.col("pos0"), F.greatest(F.col("ng") - F.lit(w), F.lit(0)))
+    wins = g.filter(win_lo <= win_hi).select(
+        "doc_id",
+        F.explode(F.sequence(win_lo, win_hi)).alias("win"),
+        "h",
+    )
+    return (
+        wins.groupBy("doc_id", "win")
+        .agg(F.min("h").alias("fp"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing long exact substrings, by winnowing
+    fingerprint agreement: (doc_a, doc_b, shared_fps) with doc_a < doc_b
+    and ≥ ``min_shared`` distinct shared fingerprints.
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    before the join — the document-frequency cut that removes boilerplate
+    strings (license headers, navigation chrome) which would otherwise be
+    quadratic hot keys, exactly the skew control ngram_jaccard_pairs gets
+    from prefix filtering.  At 100 TB the join is then keyed on rare
+    fingerprints only; everything upstream is map-side.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    # Group-and-enumerate instead of a fp⋈fp self-join: a self-join would
+    # instantiate the whole fingerprint pipeline twice (the ngram_jaccard
+    # lesson — Catalyst plans each branch independently), and grouping
+    # also gives the df-cut for free: fingerprints in > max_df documents
+    # (boilerplate strings — quadratic hot keys) are dropped before any
+    # pair is emitted.
+    grouped = fp.groupBy("fp").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    sized = grouped.filter(F.size("ds") > 1)
+    if max_df is not None:
+        sized = sized.filter(F.size("ds") <= max_df)
+    pairs = sized.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + 2, F.size("ds")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )

@@ -268,3 +268,39 @@ def test_pii_detection_and_redaction(spark):
     assert "https://ex.org/a" not in joined
     assert "<PII>" in joined
     assert "nothing sensitive here" in joined  # clean text untouched
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_flattens_and_is_deterministic(spark, docs):
+    out = C.temperature_sample(docs, alpha=0.5, budget_docs=400)
+    n = out.count()
+    assert 320 <= n <= 480  # expected 400 ± binomial spread
+    base = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha < 1 boosts low-resource strata relative to the dominant one
+    dominant = max(base, key=base.get)
+    smallest = min(base, key=base.get)
+    assert kept[smallest] / base[smallest] > kept[dominant] / base[dominant]
+    # md5-bucket decisions: same call → identical sample, no rand()
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in C.temperature_sample(docs, alpha=0.5, budget_docs=400).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_temperature_alpha_one_is_proportional(spark, docs):
+    """alpha=1 collapses to uniform rate budget/N for every stratum."""
+    total = docs.count()
+    out = C.temperature_sample(docs, alpha=1.0, budget_docs=total)
+    assert out.count() == total  # rate clamps to 1 everywhere

@@ -147,3 +147,79 @@ def test_duplicate_clusters_matches_union_find_model(spark):
             .collect()
         }
         assert got == want, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# winnowing exact-substring dedup
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing detection GUARANTEE (not probabilistic): two docs sharing
+    an exact substring of >= k + w - 1 chars select at least one identical
+    fingerprint (Schleimer et al. SIGMOD'03 theorem 1)."""
+    shared = "this exact span of text is copied verbatim between documents"
+    rows = [
+        (1, "prefix junk alpha " + shared + " trailing content one"),
+        (2, "totally other beginning " + shared + " and a different end"),
+        (3, "no overlap here at all just independent words nothing alike"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.substring_dup_pairs(docs, k=16, w=8, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_match_python_model(spark):
+    """Engine fingerprints equal a direct per-doc python winnowing
+    implementation (same k-gram md5, same window-min), including the
+    short-doc (len < k) and few-grams (< w) degenerate windows and
+    multibyte text."""
+    import hashlib
+
+    k, w = 16, 8
+    texts = {
+        1: "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox",
+        2: "short",
+        3: "word " * 30,
+        4: "tête-à-tête naïve café " * 4,
+    }
+    expect = set()
+    for d, t in texts.items():
+        s = t.lower()
+        grams = [
+            hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()
+            for i in range(max(len(s) - k + 1, 1))
+        ]
+        nw = max(len(grams) - w + 1, 1)
+        fps = {min(grams[j : j + w]) for j in range(nw)}
+        expect |= {(d, f) for f in fps}
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in D.winnow_fingerprints(docs, k=k, w=w).collect()
+    }
+    assert got == expect
+
+
+def test_substring_pairs_max_df_drops_boilerplate(spark):
+    """A fingerprint shared by every doc (boilerplate header) is cut by
+    max_df before pair enumeration; the rare shared span still pairs."""
+    header = "standard license header present in every single document here"
+    rare = "unique collaborative passage appearing in exactly two documents"
+    rows = [(i, header + f" filler {i} " + ("x" * i)) for i in range(1, 6)]
+    rows[3] = (4, rows[3][1] + " " + rare)
+    rows[4] = (5, rows[4][1] + " " + rare)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cut = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.substring_dup_pairs(
+            docs, k=16, w=8, min_shared=1, max_df=3
+        ).collect()
+    }
+    assert (4, 5) in cut
+    assert (1, 2) not in cut  # header-only pair died with the hot fps
