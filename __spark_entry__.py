@@ -1192,6 +1192,34 @@ def q_contamination(spark, sf_dir):
     return C.contamination_report(docs, bench, n=4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup pairs (similarity.semantic_dedup_pairs, Abbas et al.
+    2023): high-cosine pairs inside the same deterministic IVF coarse
+    cluster — cluster-scoped semantic dedup, never all-pairs.  τ=0.35
+    because the fixture embeddings are well-spread (corpus max pairwise
+    cos ≈ 0.51): the threshold is relative to the corpus geometry, and
+    0.35 yields a non-trivial, non-vacuous pair set to verify."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup_pairs(
+        emb, n_clusters=8, threshold=0.35, round_digits=4
+    )
+
+
+def q_decontaminated(spark, sf_dir):
+    """The decontaminated corpus (curation.decontaminate): drop every doc
+    sharing a 4-gram with the pseudo-benchmark slice (doc_id % 97) — the
+    removal stage the contamination report feeds (GPT-3 §C semantics)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        C.decontaminate(docs, bench, n=4, max_shared=0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic hash-bucket stratified sample (curation.stratified_sample):
     per-language rates, md5-bucket decision — reproducible, no rand()."""
@@ -1438,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_spectrum": q_vocab_spectrum,
         "dedup_substring": q_dedup_substring,
         "temperature_sample": q_temperature_sample,
+        "decontaminated": q_decontaminated,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2322,6 +2352,59 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
         FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
         GROUP BY 1 ORDER BY 1
+    """
+    # SemDeDup: same coarse quantizer as ann_topk_ivf (first-8-by-id
+    # centroids, dot/norm(c) argmax with ties to the higher centroid id),
+    # then exact cosine over in-cluster pairs only
+    sql["semantic_dedup"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+            FROM v ORDER BY vec_id LIMIT 8
+        ), vc AS (
+            SELECT v.vec_id, cent.ci,
+                   list_sum(list_apply(list_zip(v.e, cent.ce), p -> p[1] * p[2]))
+                   / sqrt(list_sum(list_apply(cent.ce, x -> x * x))) AS s
+            FROM v, cent
+        ), assign AS (
+            SELECT vec_id, ci AS cluster FROM (
+                SELECT vec_id, ci,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, ci DESC) AS rn
+                FROM vc) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster
+            FROM assign a JOIN assign b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        )
+        SELECT p.id_a, p.id_b, CAST(p.cluster AS INT) AS cluster,
+               round(list_sum(list_apply(list_zip(va.e, vb.e), q -> q[1] * q[2]))
+                     / (sqrt(list_sum(list_apply(va.e, x -> x * x)))
+                        * sqrt(list_sum(list_apply(vb.e, x -> x * x)))), 4) AS cos
+        FROM pairs p
+        JOIN v va ON p.id_a = va.vec_id
+        JOIN v vb ON p.id_b = vb.vec_id
+        WHERE round(list_sum(list_apply(list_zip(va.e, vb.e), q -> q[1] * q[2]))
+                    / (sqrt(list_sum(list_apply(va.e, x -> x * x)))
+                       * sqrt(list_sum(list_apply(vb.e, x -> x * x)))), 4) >= 0.35
+        ORDER BY id_a, id_b
+    """
+    sql["decontaminated"] = f"""
+        WITH {_tok_cte}, g AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i + 3], ' ') AS gram
+            FROM tok, unnest(generate_series(1, len(t) - 3)) AS u(i)
+            WHERE len(t) >= 4
+        ), b AS (
+            SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0
+        ), bad AS (
+            SELECT DISTINCT g.doc_id
+            FROM g JOIN b ON g.gram = b.gram AND g.doc_id <> b.bench_id
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d ANTI JOIN bad ON d.doc_id = bad.doc_id
+        ORDER BY d.doc_id
     """
     # winnowing (k=16, w=8): grams at 1-based pos 1..max(len-15,1); window
     # start positions 1..max(ng-8,0)+1, each the min gram hash of the w

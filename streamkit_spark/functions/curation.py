@@ -256,6 +256,34 @@ def contamination_report(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    max_shared: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The decontaminated corpus: drop every document sharing more than
+    ``max_shared`` distinct word n-grams with the benchmark set (GPT-3
+    §C removes on ANY overlap — ``max_shared=0``; a small positive value
+    tolerates idiom-level collisions on short grams).
+
+    Plan: contaminated ids come from the :func:`contamination_report`
+    broadcast-join pipeline (benchmark side broadcast, corpus scanned
+    once); the removal is a left-anti join on doc_id.  The contaminated
+    set is ≪ corpus, so at scale this anti-join is itself broadcast —
+    the corpus never shuffles."""
+    bad = (
+        contamination_report(corpus, benchmark, n, text_col, id_col)
+        .filter(F.col("n_shared_ngrams") > max_shared)
+        .select(F.col("doc_id").alias("__bad_id"))
+    )
+    return corpus.join(
+        F.broadcast(bad), corpus[id_col] == F.col("__bad_id"), "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram language-model scoring
 # ---------------------------------------------------------------------------

@@ -230,29 +230,14 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    round_digits: int | None = None,
-) -> DataFrame:
-    """IVF-flat ANN: centroids = deterministic corpus sample (id order, no
-    k-means dependency); every vector is assigned to its nearest centroid
-    (broadcast of C vectors, map-only); each query probes the ``nprobe``
-    nearest inverted lists.
+def _coarse_quantizer(corpus, n_centroids, id_col, vec_col):
+    """IVF coarse quantizer: centroids = deterministic corpus sample (first
+    ``n_centroids`` by id — reproducible, no k-means dependency), returned
+    as a closure mapping a vector column to its n nearest centroid ids.
 
-    The inverted-list assignment is exactly the partition key you'd cluster
-    the table by at scale — probing then prunes 1-nprobe/C of the data.
-
-    Assignment scores by dot(v, c)/‖c‖, not full cosine: argmax is
-    identical (1/‖v‖ is a common positive factor) and it cuts the per-
-    (row × centroid) interpreted-HOF work to one fold — the assignment
-    pass IS the map cost of IVF at scale.  ‖c‖ is pre-computed driver-side
+    Scores by dot(v, c)/‖c‖, not full cosine: argmax is identical (1/‖v‖
+    is a common positive factor) and it cuts the per-(row × centroid)
+    interpreted-HOF work to one fold.  ‖c‖ is pre-computed driver-side
     with the same left-fold order the oracle's ``sqrt(list_sum(...))``
     uses, so scores stay bit-identical across engines."""
     cent_rows = (
@@ -284,6 +269,36 @@ def ivf_topk(
             # centroid id, same as the sort-descending path
             return F.array(F.array_max(scored).getField("c"))
         return F.slice(F.reverse(F.array_sort(scored)), 1, n).getField("c")
+
+    return nearest_lists
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: centroids = deterministic corpus sample (id order, no
+    k-means dependency); every vector is assigned to its nearest centroid
+    (broadcast of C vectors, map-only); each query probes the ``nprobe``
+    nearest inverted lists.
+
+    The inverted-list assignment is exactly the partition key you'd cluster
+    the table by at scale — probing then prunes 1-nprobe/C of the data.
+
+    Assignment scores by dot(v, c)/‖c‖, not full cosine: argmax is
+    identical (1/‖v‖ is a common positive factor) and it cuts the per-
+    (row × centroid) interpreted-HOF work to one fold — the assignment
+    pass IS the map cost of IVF at scale.  ‖c‖ is pre-computed driver-side
+    with the same left-fold order the oracle's ``sqrt(list_sum(...))``
+    uses, so scores stay bit-identical across engines."""
+    nearest_lists = _coarse_quantizer(corpus, n_centroids, id_col, vec_col)
 
     # raw float arrays go straight into _dot_raw: zip_with widens each
     # element exactly inside the multiply, so no cast pass exists for
@@ -359,15 +374,29 @@ def embedding_near_dup_pairs(
     t = spread.select(
         F.col(id_col).alias("id"), F.explode(buckets).alias("__b")
     ).select("id", "__b.tbl", "__b.bkt")
+    # Group-and-enumerate same-bucket pairs rather than a t⋈t self-join:
+    # the self-join plans the bucket pipeline (interpreted hyperplane dot
+    # folds × bits × tables — the expensive part) once per branch; the
+    # aggregate computes it exactly once, and bucket groups are
+    # near-dup-cluster-sized so in-row enumeration is bounded.
     cand = (
-        t.alias("a")
-        .join(
-            t.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.id") < F.col("b.id")),
+        t.groupBy("tbl", "bkt")
+        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # norms land once per vector (materialized by the join exchange), so
@@ -399,6 +428,89 @@ def embedding_near_dup_pairs(
             "id_b",
         )
         .select("id_a", "id_b", sim.alias("cos"))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic duplicates are pairs in the SAME coarse cluster with cosine
+    ≥ threshold — cross-cluster pairs are never examined, which is the
+    scale trick: at fixed cluster size the pair work grows linearly with
+    the corpus (they run 50k clusters over LAION).  Output:
+    (id_a, id_b, cluster, cos), id_a < id_b.
+
+    Clusters come from the deterministic IVF coarse quantizer shared with
+    :func:`ivf_topk` (first-C-by-id sample, dot/‖c‖ argmax), so the whole
+    operator is reproducible and oracle-checkable end-to-end;
+    :func:`kmeans_centroids` drops in for data-adaptive clusters with the
+    same plan shape.
+
+    Plan: broadcast centroid literals → map-only assignment →
+    group-and-enumerate in-cluster id pairs (ONE assignment pipeline — no
+    self-join) → slim pair list broadcast back onto the vector+norm table
+    for the exact-cosine verify."""
+    nearest = _coarse_quantizer(df, n_clusters, id_col, vec_col)
+    spread = _spread(df)
+    assigned = spread.select(
+        F.col(id_col).alias("id"),
+        nearest(F.col(vec_col), 1)[0].alias("cluster"),
+    )
+    cand = (
+        assigned.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(
+            "cluster",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("cluster", "p.id_a", "p.id_b")
+    )
+    vecs = spread.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    sim = _dot_raw(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("__va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("__vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "cluster", sim.alias("cos"))
         .filter(F.col("cos") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )

@@ -304,3 +304,26 @@ def test_temperature_alpha_one_is_proportional(spark, docs):
     total = docs.count()
     out = C.temperature_sample(docs, alpha=1.0, budget_docs=total)
     assert out.count() == total  # rate clamps to 1 everywhere
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "unrelated words entirely here now folks"),
+        (3, "the benchmark alpha beta gamma delta question"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in C.decontaminate(docs, bench, n=4, max_shared=0).collect()
+    }
+    assert kept == {2}  # 1 and 3 share a 4-gram with the benchmark
+    # tolerance: doc 3 shares exactly one distinct 4-gram
+    kept1 = {
+        r["doc_id"]
+        for r in C.decontaminate(docs, bench, n=4, max_shared=1).collect()
+    }
+    assert 3 in kept1 and 1 not in kept1

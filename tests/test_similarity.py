@@ -136,3 +136,46 @@ def test_near_dup_multi_table_recall_at_085(spark):
         ).collect()
     }
     assert single.issubset(exact)
+
+
+def test_semantic_dedup_finds_planted_near_dup(spark):
+    """SemDeDup: a planted near-identical vector is flagged against its
+    source (same coarse cluster, cosine above threshold), and every
+    reported pair respects the threshold and cluster-scoping."""
+    import numpy as np
+
+    from streamkit_spark.functions.similarity import semantic_dedup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((20, [float(x) for x in base[3] + 0.01 * rng.randn(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_pairs(
+        df, n_clusters=4, threshold=0.95, round_digits=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (3, 20) in pairs
+    assert all(r["cos"] >= 0.95 for r in out)
+
+
+def test_semantic_dedup_never_crosses_clusters(spark):
+    """Pairs are only ever scored within one coarse cluster: every output
+    pair's members map to the same argmax centroid."""
+    from streamkit_spark.functions.similarity import (
+        _coarse_quantizer,
+        semantic_dedup_pairs,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    out = semantic_dedup_pairs(emb, n_clusters=8, threshold=0.35).collect()
+    assert len(out) > 0
+    nearest = _coarse_quantizer(emb, 8, "vec_id", "embedding")
+    assign = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", nearest(F.col("embedding"), 1)[0].alias("c")
+        ).collect()
+    }
+    for r in out:
+        assert assign[r["id_a"]] == assign[r["id_b"]] == r["cluster"]
