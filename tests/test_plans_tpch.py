@@ -94,3 +94,54 @@ def test_duplicate_clusters_joins_are_equi(spark):
         D.duplicate_clusters(pairs, max_iter=1, small_graph_threshold=0), "simple"
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_substring_dedup_single_documents_scan(spark):
+    """Group-and-enumerate pairs: the winnowing fingerprint pipeline must
+    be planned ONCE — exactly one scan of documents.parquet, no join at
+    all (pairs come from in-group enumeration, not a self-join)."""
+    plan = _plan(spark, "dedup_substring")
+    assert len(re.findall(r"documents\.parquet", plan)) <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_single_signature_pipeline(spark):
+    """The banded-LSH candidate stage must not replan the signature
+    aggregate: documents is scanned once for signatures plus (at most)
+    the two map-only verify branches — never four."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert len(re.findall(r"documents\.parquet", plan)) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_assignment_is_map_only(spark):
+    """SemDeDup: centroid assignment must be a map-side expression over
+    broadcast literals (no join before the in-cluster grouping), and the
+    verify joins must be equi-joins."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # assignment scan + the two map-only verify sides (id_a / id_b) — and
+    # never a fourth from a replanned assignment pipeline
+    assert len(re.findall(r"embeddings\.parquet", plan)) <= 3
+    assert "SortMergeJoin" not in plan  # slim pair list broadcasts
+
+
+def test_temperature_sample_single_corpus_pass(spark):
+    """The rate table is a broadcast back-join: the corpus is scanned for
+    counts and once for the filter — and the filter side carries no
+    shuffle of corpus rows."""
+    df = E.queries()["temperature_sample"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminated_is_double_broadcast(spark):
+    """Benchmark grams broadcast into the contamination join AND the bad-id
+    set broadcast into the anti-join — the corpus is never the shuffled
+    side of either."""
+    df = E.queries()["decontaminated"](spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
