@@ -35,6 +35,12 @@ class CurationConfig:
     # transitive policy of Lee et al. 2022, "Deduplicating Training Data
     # Makes Language Models Better") via dedup.duplicate_clusters.
     cluster_dedup: bool = False
+    # additionally drop docs sharing long verbatim substrings (winnowing
+    # pairs with >= substring_min_shared agreeing fingerprints — the
+    # ExactSubstr stage of Lee et al. 2022; 0 disables)
+    substring_min_shared: int = 0
+    substring_k: int = 16
+    substring_w: int = 8
 
 
 def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
@@ -61,6 +67,15 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
     else:
         drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
         kept = exact.join(drop_ids, "doc_id", "left_anti")
+    if cfg.substring_min_shared > 0:
+        sub_pairs = D.substring_dup_pairs(
+            kept,
+            k=cfg.substring_k,
+            w=cfg.substring_w,
+            min_shared=cfg.substring_min_shared,
+        )
+        sub_drop = sub_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        kept = kept.join(sub_drop, "doc_id", "left_anti")
     scored = kept.withColumn("quality", F.round(TX.quality_score("text"), 4)).withColumn(
         "n_tokens", TX.token_count("text").cast("long")
     )

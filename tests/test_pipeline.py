@@ -62,3 +62,27 @@ def test_cluster_dedup_policy_differs_on_star_components(spark):
     )
     assert pair_kept == [2, 3]      # 10 dropped; 2,3 not similar, both kept
     assert cluster_kept == [2]      # whole component collapses to min id
+
+
+def test_substring_stage_drops_verbatim_overlap(spark):
+    """The optional ExactSubstr stage removes docs sharing long verbatim
+    spans that word-level near-dup misses (different surrounding text)."""
+    span = "copied boilerplate passage that appears verbatim in several documents"
+    rows = [
+        (1, "first doc with totally original content about query engines and clusters plus " + span, "en", "s", 120),
+        (2, span + " but otherwise this document discusses unrelated matters like sailing and maps entirely", "en", "s", 120),
+        (3, "an untouched control document with enough normal words to pass every quality threshold easily today", "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = {r["doc_id"] for r in curate(docs, CurationConfig(min_quality=0.0, min_tokens=1)).collect()}
+    assert base == {1, 2, 3}  # jaccard over full docs stays below threshold
+    sub = {
+        r["doc_id"]
+        for r in curate(
+            docs,
+            CurationConfig(min_quality=0.0, min_tokens=1, substring_min_shared=2),
+        ).collect()
+    }
+    assert sub == {1, 3}  # doc 2 dropped: shares the verbatim span with 1
