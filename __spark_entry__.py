@@ -1351,6 +1351,17 @@ def q_dedup_substring(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_substring_maxdf(spark, sf_dir):
+    """Winnowing pairs WITH the document-frequency cut exercised
+    (max_df=16 drops boilerplate fingerprints — the hot-key control that
+    makes the pair join safe at corpus scale).  min_shared=1 so the cut
+    visibly changes the result vs dedup_substring."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.substring_dup_pairs(
+        docs, k=16, w=8, min_shared=1, max_df=16
+    ).orderBy("doc_a", "doc_b")
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-rebalanced corpus sample (curation.temperature_sample,
     alpha=0.5): low-resource languages keep (nearly) everything, the
@@ -1468,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "decontaminated": q_decontaminated,
         "semantic_dedup": q_semantic_dedup,
+        "dedup_substring_maxdf": q_dedup_substring_maxdf,
     }
 
 
@@ -2431,6 +2443,33 @@ def oracle_sql() -> dict[str, str]:
         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2
+        ORDER BY 1, 2
+    """
+    sql["dedup_substring_maxdf"] = """
+        WITH g AS (
+            SELECT doc_id, i AS pos,
+                   md5(substr(lower(text), i, 16)) AS h,
+                   greatest(length(lower(text)) - 15, 1) AS ng
+            FROM documents,
+                 unnest(generate_series(1,
+                        greatest(length(lower(text)) - 15, 1))) AS u(i)
+        ), wm AS (
+            SELECT doc_id, pos, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+            FROM g
+        ), fp AS (
+            SELECT DISTINCT doc_id, fp FROM wm
+            WHERE pos <= greatest(ng - 8, 0) + 1
+        ), fpc AS (
+            SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc
+                FROM fp) WHERE dfc <= 16
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
         ORDER BY 1, 2
     """
     _bucket = sample_bucket_sql("doc_id")
