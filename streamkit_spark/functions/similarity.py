@@ -134,14 +134,38 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-bit bucket id (long) from literal hyperplanes — all JVM math.
 
     ``vec`` may be float or double; elements widen exactly inside the
-    zip_with multiply, so no per-plane cast pass is issued."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        bit = F.when(
-            _dot_raw(vec, lit_vec(plane)) >= 0, F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + F.shiftleft(bit, i)
-    return bucket
+    zip_with multiply, so no per-plane cast pass is issued.
+
+    Built as ONE fold over a single 2-D plane literal rather than
+    ``bits`` separate shiftleft terms: the per-plane formulation issued
+    one expression parse + a py4j Column-op chain per plane (measured as
+    seconds of pure plan-construction latency at 8 tables × 8 bits —
+    same pathology as ``lit_vec``'s docstring), while the fold parses
+    once per table.  Bit order is preserved: folding the REVERSED plane
+    list with ``acc*2 + bit`` leaves plane 0 at the least-significant
+    bit, exactly the old ``Σ bit_i << i``."""
+    if len(planes) == 0:
+        # bits=0 degenerate: one global bucket (the all-pairs reference
+        # mode used by recall tests) — an empty array literal would have
+        # VOID element type and break the fold's lambda typing
+        return F.lit(0).cast("long")
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")"
+            for p in reversed(list(planes))
+        )
+        + ")"
+    )
+    two = F.lit(2).cast("long")
+    return F.aggregate(
+        planes_lit,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * two
+        + F.when(_dot_raw(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
 
 
 def lsh_topk(
