@@ -1351,6 +1351,17 @@ def q_dedup_substring(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (curation.dsir_weights, Xie et al.
+    NeurIPS'23): hashed-bigram bucket models, per-doc log importance of
+    the corpus against the pseudo-benchmark target slice."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    return C.dsir_weights(docs, target, n=2, n_buckets=4096)
+
+
 def q_dedup_substring_maxdf(spark, sf_dir):
     """Winnowing pairs WITH the document-frequency cut exercised
     (max_df=16 drops boilerplate fingerprints — the hot-key control that
@@ -1480,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "semantic_dedup": q_semantic_dedup,
         "dedup_substring_maxdf": q_dedup_substring_maxdf,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2444,6 +2456,35 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING count(*) >= 2
         ORDER BY 1, 2
+    """
+    # DSIR: bigram multiset (no DISTINCT), 3-nibble md5 bucket, add-one
+    # smoothed bucket models, ln ratio — mirrors curation.dsir_weights
+    _nib = lambda h, i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    _dsir_h = "md5('dsir:' || gram)"
+    _dsir_bucket = (
+        f"({_nib(_dsir_h, 1)} * 256 + {_nib(_dsir_h, 2)} * 16 + {_nib(_dsir_h, 3)})"
+    )
+    sql["dsir_weights"] = f"""
+        WITH {_tok_cte}, g AS (
+            SELECT doc_id, array_to_string(t[i:i + 1], ' ') AS gram
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), cg AS (
+            SELECT doc_id, {_dsir_bucket} AS b FROM g
+        ), tg AS (
+            SELECT {_dsir_bucket} AS b FROM g WHERE doc_id % 97 = 0
+        ), ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY 1),
+        cr AS (SELECT b, count(*) AS cr FROM cg GROUP BY 1),
+        nt AS (SELECT count(*) AS Nt FROM tg),
+        nr AS (SELECT count(*) AS Nr FROM cg)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                            / CAST(Nt + 4096 AS DOUBLE))
+                         - ln(CAST(cr.cr + 1 AS DOUBLE)
+                              / CAST(Nr + 4096 AS DOUBLE))), 4) AS log_w
+        FROM cg LEFT JOIN ct ON cg.b = ct.b
+        JOIN cr ON cg.b = cr.b, nt, nr
+        GROUP BY doc_id ORDER BY doc_id
     """
     sql["dedup_substring_maxdf"] = """
         WITH g AS (

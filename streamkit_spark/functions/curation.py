@@ -284,6 +284,82 @@ def decontaminate(
     )
 
 
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS'23 §2.2): hash word
+    n-grams (the occurrence multiset, not the distinct set) into B
+    buckets, fit add-one-smoothed bag-of-ngrams models over buckets for
+    the target and the raw corpus, and score every raw document with
+
+        log w(x) = Σ_grams  ln p_target(b) − ln p_raw(b).
+
+    High-weight documents look like the target distribution; resampling
+    ∝ w(x) is the paper's selection step (expose the deterministic
+    weights — a top-slice or Gumbel perturbation composes downstream).
+
+    Plan: two bucket-count aggregates (≤ B rows each — broadcast), one
+    map-side join of the corpus gram stream against them, one per-doc
+    sum.  The corpus is scanned once and never shuffled except as
+    (doc, partial-sum) combiner rows.  Output: (doc_id, n_grams, log_w
+    rounded 4dp), docs with ≥ 1 n-gram only."""
+    from streamkit_spark.functions.text import tokens
+
+    def grams(df: DataFrame) -> DataFrame:
+        t = tokens(text_col)
+        return (
+            df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+            .filter(F.size("__t") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    # 3 md5 nibbles → [0, 4096); byte-identical in the DuckDB twin
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col("gram"))), 1, 3),
+        16,
+        10,
+    ).cast("long")
+    cg = grams(corpus).select("doc_id", bucket.alias("b"))
+    tg = grams(target).select(bucket.alias("b"))
+    ct = tg.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = cg.groupBy("b").agg(F.count("*").alias("cr"))
+    nt = tg.agg(F.count("*").alias("Nt"))
+    nr = cg.agg(F.count("*").alias("Nr"))
+    B = F.lit(n_buckets)
+    lr = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        / (F.col("Nt") + B).cast("double")
+    ) - F.log((F.col("cr") + 1).cast("double") / (F.col("Nr") + B).cast("double"))
+    return (
+        cg.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select("doc_id", lr.alias("__lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("__lr"), 4).alias("log_w"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram language-model scoring
 # ---------------------------------------------------------------------------

@@ -327,3 +327,26 @@ def test_decontaminate_removes_overlapping_docs(spark):
         for r in C.decontaminate(docs, bench, n=4, max_shared=1).collect()
     }
     assert 3 in kept1 and 1 not in kept1
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Importance weights rank documents resembling the target
+    distribution above off-distribution ones (DSIR's selection property),
+    and weights are deterministic."""
+    style_a = "spark query engine shuffle partition broadcast join plan"
+    style_b = "garden flower bloom petal sunshine meadow butterfly bee"
+    rows = (
+        [(i, f"{style_a} doc {i} " + style_a) for i in range(10)]
+        + [(100 + i, f"{style_b} doc {i} " + style_b) for i in range(10)]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, style_a + f" target {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_w"] for r in C.dsir_weights(corpus, target).collect()}
+    a_mean = sum(w[i] for i in range(10)) / 10
+    b_mean = sum(w[100 + i] for i in range(10)) / 10
+    assert a_mean > b_mean
+    w2 = {r["doc_id"]: r["log_w"] for r in C.dsir_weights(corpus, target).collect()}
+    assert w == w2
