@@ -136,3 +136,38 @@ def test_segment_status_parity_fixture_binding(spark, fixture_stream):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_normalize_events_invariant_to_parquet_timestamp_unit(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (r1) and
+    TIMESTAMP(MICROS)/ntz (r2).  tables.load must produce the identical
+    epoch-ns int64 column for either physical encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_vals = [1704067798778549000, 1704068166738090000, 1704068217102229000]
+    ids = [1, 2, 3]
+    for unit, sub in [("ns", "as_ns"), ("us", "as_us")]:
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [v // (1 if unit == "ns" else 1000) for v in ns_vals],
+                    pa.timestamp(unit),
+                ),
+            }
+        )
+        pq.write_table(tbl, d / "events.parquet")
+    got_ns = {
+        (r["event_id"], r["ts"])
+        for r in tables.load(spark, str(tmp_path / "as_ns"), "events").collect()
+    }
+    got_us = {
+        (r["event_id"], r["ts"])
+        for r in tables.load(spark, str(tmp_path / "as_us"), "events").collect()
+    }
+    expect = set(zip(ids, ns_vals))
+    assert got_us == expect
+    assert got_ns == expect
