@@ -876,12 +876,28 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """HLL approx distinct (rows-only: estimator differs across engines;
-    pytest asserts the estimate is within 5% of exact)."""
+    """HLL approx distinct, oracle-checked via a tolerance predicate: the
+    HLL sketch itself is engine-specific (DuckDB's estimate would never
+    hash-match Spark's), so the QUERY computes the accuracy contract —
+    |approx − exact| / exact < 5% — as a boolean, plus the exact count
+    which IS engine-portable.  The oracle asserts the same exact counts
+    and that the boolean is true for every group."""
     ev = _ev(spark, sf_dir)
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                < 0.05
+            ).alias("within_tol"),
+        )
         .orderBy("event_type")
     )
 
@@ -1343,11 +1359,13 @@ def q_dedup_substring(spark, sf_dir):
     """Exact-substring dup pairs by winnowing fingerprints (dedup.
     substring_dup_pairs — Schleimer et al. SIGMOD'03 / the Lee et al.
     ACL'22 ExactSubstr goal): pairs sharing ≥2 distinct window-min
-    fingerprints, i.e. long verbatim overlaps.  The md5 gram hash is
-    byte-identical in DuckDB, so the pair set is fully oracle-checked."""
+    fingerprints, i.e. long verbatim overlaps.  hash_fn="md5" (not the
+    xxhash64 production default) because md5 is byte-identical in DuckDB,
+    so the pair set is fully oracle-checked; a pytest asserts both hash
+    paths select the same pairs on this fixture."""
     docs = tables.load(spark, sf_dir, "documents")
     return D.substring_dup_pairs(
-        docs, k=16, w=8, min_shared=2
+        docs, k=16, w=8, min_shared=2, hash_fn="md5"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -1369,7 +1387,7 @@ def q_dedup_substring_maxdf(spark, sf_dir):
     visibly changes the result vs dedup_substring."""
     docs = tables.load(spark, sf_dir, "documents")
     return D.substring_dup_pairs(
-        docs, k=16, w=8, min_shared=1, max_df=16
+        docs, k=16, w=8, min_shared=1, max_df=16, hash_fn="md5"
     ).orderBy("doc_a", "doc_b")
 
 
@@ -1398,8 +1416,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the correctness driver checks the FIRST 50 dict
+    # entries (insertion order).  Rounds 1-2 verified the 50 entries now
+    # listed at the BOTTOM (all hash-matched in CORRECTNESS_r01/r02;
+    # regression-guarded by CORRECTNESS_local + pytest).  Round 3 leads
+    # with the 36 queries that had not yet been driver-checked, plus new
+    # round-3 queries, so the union of driver files covers everything.
     return {
-        # streamkit read surface
+        # --- round-2 ops not yet driver-verified (VERDICT r2 item #1) ---
+        "dedup_substring": q_dedup_substring,
+        "dedup_substring_maxdf": q_dedup_substring_maxdf,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminated": q_decontaminated,
+        "temperature_sample": q_temperature_sample,
+        "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
+        "quality_rules": q_quality_rules,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "contamination": q_contamination,
+        "stratified_sample": q_stratified_sample,
+        "mixing_plan": q_mixing_plan,
+        "unigram_logprob": q_unigram_logprob,
+        "pii_report": q_pii_report,
+        "array_funcs": q_array_funcs,
+        "binary_payload_stats": q_binary_payload_stats,
+        "vocab_spectrum": q_vocab_spectrum,
+        "curation_report": q_curation_report,
+        "doc_chunks": q_doc_chunks,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "doc_quality": q_doc_quality,
+        "char_ngram_count": q_char_ngram_count,
+        "corr_stats": q_corr_stats,
+        "customers_without_orders": q_customers_without_orders,
+        "orders_above_avg": q_orders_above_avg,
+        "approx_distinct": q_approx_distinct,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        "math_funcs": q_math_funcs,
+        "median_quantity": q_median_quantity,
+        "lang_id_confusion": q_lang_id_confusion,
+        "embedding_norms": q_embedding_norms,
+        # --- new in round 3 (keep inside the 50-entry driver window) ---
+        # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
         "s2_consume_space": q_s2_consume_space,
@@ -1415,7 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_first_entry": q_w3_first_entry,
         "x3_json_extract": q_x3_json_extract,
         "f5_validation_count": q_f5_validation_count,
-        # relational extensions
         "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
         "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
@@ -1433,7 +1494,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
-        # LLM-data ops
         "dedup_exact_groups": q_dedup_exact_groups,
         "doc_fingerprints": q_doc_fingerprints,
         "doc_token_stats": q_doc_token_stats,
@@ -1442,7 +1502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_bruteforce": q_ann_topk_bruteforce,
-        # time-series / windows / set ops
         "asof_purchase_click": q_asof_purchase_click,
         "range_join_nearby": q_range_join_nearby,
         "session_stats": q_session_stats,
@@ -1453,45 +1512,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": q_pivot_user_events,
         "label_centroids": q_label_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "curation_report": q_curation_report,
-        "doc_chunks": q_doc_chunks,
-        "top_tokens_per_lang": q_top_tokens_per_lang,
-        # quality / stats / subqueries
-        "doc_quality": q_doc_quality,
-        "char_ngram_count": q_char_ngram_count,
-        "corr_stats": q_corr_stats,
-        "customers_without_orders": q_customers_without_orders,
-        "orders_above_avg": q_orders_above_avg,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "approx_distinct": q_approx_distinct,
-        # scalar surface
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "math_funcs": q_math_funcs,
-        "median_quantity": q_median_quantity,
-        "lang_id_confusion": q_lang_id_confusion,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "embedding_norms": q_embedding_norms,
-        "embedding_near_dups": q_embedding_near_dups,
-        # corpus curation (functions/curation.py)
-        "quality_rules": q_quality_rules,
-        "contamination": q_contamination,
-        "stratified_sample": q_stratified_sample,
-        "mixing_plan": q_mixing_plan,
-        "pack_sequences": q_pack_sequences,
-        "unigram_logprob": q_unigram_logprob,
-        "pii_report": q_pii_report,
-        "dedup_clusters": q_dedup_clusters,
-        "repetition_stats": q_repetition_stats,
-        "array_funcs": q_array_funcs,
-        "binary_payload_stats": q_binary_payload_stats,
-        "vocab_spectrum": q_vocab_spectrum,
-        "dedup_substring": q_dedup_substring,
-        "temperature_sample": q_temperature_sample,
-        "decontaminated": q_decontaminated,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_substring_maxdf": q_dedup_substring_maxdf,
-        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2471,19 +2491,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(t) >= 2
         ), cg AS (
             SELECT doc_id, {_dsir_bucket} AS b FROM g
+        ), cgb AS (
+            SELECT doc_id, b, count(*) AS cnt FROM cg GROUP BY 1, 2
         ), tg AS (
             SELECT {_dsir_bucket} AS b FROM g WHERE doc_id % 97 = 0
         ), ct AS (SELECT b, count(*) AS ct FROM tg GROUP BY 1),
         cr AS (SELECT b, count(*) AS cr FROM cg GROUP BY 1),
         nt AS (SELECT count(*) AS Nt FROM tg),
         nr AS (SELECT count(*) AS Nr FROM cg)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-               round(sum(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
-                            / CAST(Nt + 4096 AS DOUBLE))
-                         - ln(CAST(cr.cr + 1 AS DOUBLE)
-                              / CAST(Nr + 4096 AS DOUBLE))), 4) AS log_w
-        FROM cg LEFT JOIN ct ON cg.b = ct.b
-        JOIN cr ON cg.b = cr.b, nt, nr
+        -- per-bucket cnt·lr terms (mirrors the engine's deterministic
+        -- ascending-bucket fold; identical term values, ~40 terms/doc)
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               round(sum(cnt * (ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+                                   / CAST(Nt + 4096 AS DOUBLE))
+                                - ln(CAST(cr.cr + 1 AS DOUBLE)
+                                     / CAST(Nr + 4096 AS DOUBLE)))), 4) AS log_w
+        FROM cgb LEFT JOIN ct ON cgb.b = ct.b
+        JOIN cr ON cgb.b = cr.b, nt, nr
         GROUP BY doc_id ORDER BY doc_id
     """
     sql["dedup_substring_maxdf"] = """
@@ -2777,6 +2801,13 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT md5(props)) AS distinct_payloads
         FROM events GROUP BY event_type ORDER BY event_type
     """
-    # approx_distinct stays rows-only: the HLL estimator is genuinely
-    # engine-specific; pytest asserts the estimate is within 5% of exact.
+    # approx_distinct: the HLL estimate itself is engine-specific, so the
+    # Spark query reduces it to the accuracy contract (within_tol boolean
+    # + the exact count) and the oracle asserts that contract.
+    sql["approx_distinct"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
     return sql

@@ -52,7 +52,9 @@ def main() -> None:
     packed = C.pack_sequences(sampled, budget=512, bucket_width=64)
 
     n_packed = packed.count()
-    n_seq = packed.agg(F.max("pack_id")).collect()[0][0]
+    # max() is NULL on an empty frame (everything filtered out) — coalesce
+    # so the arithmetic below stays an int
+    n_seq = packed.agg(F.coalesce(F.max("pack_id"), F.lit(-1))).collect()[0][0]
     print(f"docs in:      {n0}")
     print(f"after curate+decontaminate+sample: {sampled.count()}")
     print(f"packed rows:  {n_packed} into {n_seq + 1} sequences of 512 tokens")

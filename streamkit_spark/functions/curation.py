@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamkit_spark.functions.text import STOPWORDS, tokens
+from streamkit_spark.functions.util import maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # Gopher-style quality rules
@@ -272,15 +273,18 @@ def decontaminate(
     Plan: contaminated ids come from the :func:`contamination_report`
     broadcast-join pipeline (benchmark side broadcast, corpus scanned
     once); the removal is a left-anti join on doc_id.  The contaminated
-    set is ≪ corpus, so at scale this anti-join is itself broadcast —
-    the corpus never shuffles."""
+    set is normally ≪ corpus but bounded only by the contamination rate,
+    and its pipeline is too expensive for a count probe — left un-hinted
+    so AQE broadcasts it from the measured runtime size, while a
+    heavily-contaminated corpus degrades to a shuffle anti-join instead
+    of blowing the broadcast limit (maybe_broadcast rationale)."""
     bad = (
         contamination_report(corpus, benchmark, n, text_col, id_col)
         .filter(F.col("n_shared_ngrams") > max_shared)
         .select(F.col("doc_id").alias("__bad_id"))
     )
     return corpus.join(
-        F.broadcast(bad), corpus[id_col] == F.col("__bad_id"), "left_anti"
+        maybe_broadcast(bad), corpus[id_col] == F.col("__bad_id"), "left_anti"
     )
 
 
@@ -335,6 +339,14 @@ def dsir_weights(
         10,
     ).cast("long")
     cg = grams(corpus).select("doc_id", bucket.alias("b"))
+    # per-(doc, bucket) gram counts FIRST: the model join then touches one
+    # row per distinct bucket per doc instead of one per gram, and the
+    # final per-doc sum runs over cnt·lr terms folded in ascending-bucket
+    # order — a DETERMINISTIC float summation.  A plain per-gram
+    # F.sum(double) is partial-aggregation-order dependent, and a sum
+    # landing near a 4dp rounding boundary can flip between runs/engines
+    # (the exact double-sum class that flipped at a round boundary in r1).
+    cgb = cg.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
     tg = grams(target).select(bucket.alias("b"))
     ct = tg.groupBy("b").agg(F.count("*").alias("ct"))
     cr = cg.groupBy("b").agg(F.count("*").alias("cr"))
@@ -346,15 +358,22 @@ def dsir_weights(
         / (F.col("Nt") + B).cast("double")
     ) - F.log((F.col("cr") + 1).cast("double") / (F.col("Nr") + B).cast("double"))
     return (
-        cg.join(F.broadcast(ct), "b", "left")
+        cgb.join(F.broadcast(ct), "b", "left")
         .join(F.broadcast(cr), "b")
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nr))
-        .select("doc_id", lr.alias("__lr"))
+        .select("doc_id", "b", "cnt", (F.col("cnt") * lr).alias("__term"))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.round(F.sum("__lr"), 4).alias("log_w"),
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("b", "__term"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.getField("__term"),
+                ),
+                4,
+            ).alias("log_w"),
         )
         .orderBy("doc_id")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streamkit_spark.functions.text import normalized_text, tokens, word_ngrams
+from streamkit_spark.functions.util import BROADCAST_ROW_LIMIT, maybe_broadcast
 
 
 def _lc(text_col: str) -> Column:
@@ -203,8 +204,13 @@ def ngram_jaccard_pairs(
     )
     va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
     vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    # cand is normally tiny next to the shingle arrays, but its size is
+    # corpus-dependent (a boilerplate-heavy corpus can explode it) and its
+    # pipeline is too expensive for a count probe — leave it un-hinted and
+    # let AQE broadcast from the measured runtime size (maybe_broadcast
+    # rationale), so the pathological case shuffles instead of OOMing.
     return (
-        va.join(F.broadcast(cand), "id_a")
+        va.join(maybe_broadcast(cand), "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
@@ -351,11 +357,14 @@ def minhash_lsh_pairs(
     )
     va = shingles.alias("va")
     vb = shingles.alias("vb")
-    # candidate pairs are tiny next to the shingle arrays: broadcast them so
-    # the heavy array column streams through two map-side joins instead of
-    # shuffling (and instead of a borderline auto-broadcast of the arrays)
+    # candidate pairs are normally tiny next to the shingle arrays, but
+    # their count is corpus-dependent (one degenerate bucket of n
+    # identical docs → n²/2 candidates) and the candidate pipeline is too
+    # expensive for a count probe — un-hinted, AQE broadcasts from the
+    # measured runtime size and the pathological case degrades to a
+    # shuffle join instead of an OOM (maybe_broadcast rationale).
     return (
-        va.join(F.broadcast(cand), F.col("id_a") == F.col("va.doc_id"))
+        va.join(maybe_broadcast(cand), F.col("id_a") == F.col("va.doc_id"))
         .join(vb, F.col("id_b") == F.col("vb.doc_id"))
         .select(
             "id_a",
@@ -456,27 +465,47 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.ci", "c.cv")
-    x = chunks.alias("x")
-    y = chunks.alias("y")
+    # Group-and-enumerate same-chunk pairs instead of a chunks⋈chunks
+    # self-join: the self-join would instantiate the 64-aggregate simhash
+    # pipeline once per branch (the minhash/jaccard lesson — AQE exchange
+    # reuse is not guaranteed).  Grouping keeps exactly ONE simhash
+    # computation; each group carries (doc_id, simhash) structs so the
+    # hamming verify happens in-row, no join back.  array_sort on the
+    # struct orders by doc_id (first field), giving id_a < id_b.
     cand = (
-        x.join(
-            y,
-            (F.col("x.ci") == F.col("y.ci"))
-            & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        chunks.groupBy("ci", "cv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
+        .filter(F.size("ds") > 1)
         .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
-            F.col("x.simhash").alias("ha"),
-            F.col("y.simhash").alias("hb"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(
+                                x.getField("doc_id").alias("id_a"),
+                                y.getField("doc_id").alias("id_b"),
+                                F.bit_count(
+                                    x.getField("simhash").bitwiseXOR(
+                                        y.getField("simhash")
+                                    )
+                                ).alias("hamming"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        cand.select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
 
@@ -599,15 +628,23 @@ def dedup_keep_canonical(
     df: DataFrame,
     clusters: DataFrame,
     id_col: str = "doc_id",
+    broadcast_limit: int | None = BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """The deduplicated corpus: drop every clustered doc except its
     canonical representative (cluster_id == doc_id); singletons (docs in
-    no pair) pass through untouched.  One broadcast-sized anti-join when
-    the cluster table is small (it is: |clustered docs| ≪ |docs|), else a
-    shuffle anti-join on doc_id."""
+    no pair) pass through untouched.
+
+    The anti-join side is size-gated: a bounded count probe (cheap —
+    ``duplicate_clusters`` output is checkpointed or driver-built)
+    broadcast-hints the losers only when ≤ ``broadcast_limit`` rows.
+    Web-scale corpora run 20-50% duplicates, so at 100 TB the losers can
+    be billions of ids — above the limit this degrades to a shuffle
+    anti-join on the id instead of OOMing the executors."""
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(
-        F.broadcast(losers), df[id_col] == losers["doc_id"], "left_anti"
+        maybe_broadcast(losers, broadcast_limit),
+        df[id_col] == losers["doc_id"],
+        "left_anti",
     )
 
 
@@ -619,6 +656,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 16,
     w: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Distinct winnowing fingerprints per document — (doc_id, fp).
 
@@ -639,15 +677,26 @@ def winnow_fingerprints(
     window minima go through a (doc, window)→min groupBy whose map-side
     combine collapses the w-fold window membership BEFORE the exchange, so
     the shuffle carries ~one row per gram, and the following distinct
-    shrinks it to the fingerprint set.  The md5 hex-string hash is
-    byte-identical in DuckDB, so the whole operator is oracle-checkable.
+    shrinks it to the fingerprint set.
+
+    ``hash_fn``: ``"xxhash64"`` (default — JVM intrinsic over the k-char
+    gram, one long per gram; ~2× the whole operator's speed vs md5, which
+    digests AND hex-encodes 32 chars per text position) or ``"md5"``
+    (byte-identical in DuckDB, used by the declared query so the oracle
+    can mirror the fingerprints).  Winnowing's detection guarantee only
+    needs hash equality on identical grams, so the two paths select the
+    same DOCUMENT PAIRS whenever neither hash collides within a window —
+    overwhelmingly likely at 64 bits (and property-tested on the fixture).
     """
     txt = _lc(text_col)
     n_grams = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(txt.substr(i, F.lit(k))),
-    )
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(txt.substr(i, F.lit(k)))  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda i: F.md5(txt.substr(i, F.lit(k)))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    grams = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     g = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"greatest(length(lower({text_col})) - {k - 1}, 1)").alias("ng"),
@@ -679,6 +728,7 @@ def substring_dup_pairs(
     w: int = 8,
     min_shared: int = 2,
     max_df: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Document pairs sharing long exact substrings, by winnowing
     fingerprint agreement: (doc_a, doc_b, shared_fps) with doc_a < doc_b
@@ -690,8 +740,12 @@ def substring_dup_pairs(
     quadratic hot keys, exactly the skew control ngram_jaccard_pairs gets
     from prefix filtering.  At 100 TB the join is then keyed on rare
     fingerprints only; everything upstream is map-side.
+
+    ``hash_fn`` is forwarded to :func:`winnow_fingerprints` —
+    ``"xxhash64"`` for production, ``"md5"`` for the oracle-checkable
+    declared query.
     """
-    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    fp = winnow_fingerprints(df, text_col, id_col, k=k, w=w, hash_fn=hash_fn)
     # Group-and-enumerate instead of a fp⋈fp self-join: a self-join would
     # instantiate the whole fingerprint pipeline twice (the ngram_jaccard
     # lesson — Catalyst plans each branch independently), and grouping

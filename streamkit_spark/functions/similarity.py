@@ -44,7 +44,14 @@ def lit_vec(vals) -> Column:
     element — at dim 64 × 8 centroids that is ~500 driver calls and ~3 s
     of pure plan-construction latency per query build (measured r2).  A
     single SQL string parses in one call and folds to the same literal."""
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    vals = [float(v) for v in vals]
+    if not all(math.isfinite(v) for v in vals):
+        raise ValueError(
+            "lit_vec: non-finite element (nan/inf) — such values render as "
+            "invalid SQL literals and would fail later with an obscure parse "
+            "error"
+        )
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def _dot_raw(a: Column, b: Column) -> Column:
@@ -149,6 +156,11 @@ def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
         # mode used by recall tests) — an empty array literal would have
         # VOID element type and break the fold's lambda typing
         return F.lit(0).cast("long")
+    if not np.isfinite(planes).all():
+        raise ValueError(
+            "hyperplane_bucket: non-finite plane component (nan/inf) — "
+            "would render as an invalid SQL literal (nanD/infD)"
+        )
     planes_lit = F.expr(
         "array("
         + ",".join(

@@ -106,6 +106,17 @@ def test_substring_dedup_single_documents_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_single_fingerprint_pipeline(spark):
+    """Group-and-enumerate simhash pairs (VERDICT r2 #3): the 64-aggregate
+    fingerprint pipeline must be planned ONCE — a single documents scan,
+    and no join at all (the hamming verify happens in-row on the struct
+    pairs, not via a chunk⋈chunk self-join)."""
+    plan = _plan(spark, "dedup_simhash")
+    assert len(re.findall(r"documents\.parquet", plan)) <= 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_minhash_lsh_single_signature_pipeline(spark):
     """The banded-LSH candidate stage must not replan the signature
     aggregate: documents is scanned once for signatures plus (at most)
@@ -137,11 +148,17 @@ def test_temperature_sample_single_corpus_pass(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_decontaminated_is_double_broadcast(spark):
-    """Benchmark grams broadcast into the contamination join AND the bad-id
-    set broadcast into the anti-join — the corpus is never the shuffled
-    side of either."""
+def test_decontaminated_broadcasts_benchmark_not_bad_ids(spark):
+    """Benchmark grams are hint-broadcast into the contamination join
+    (bounded by construction: the benchmark is small).  The bad-id
+    anti-join side is deliberately UN-hinted — its size is bounded only
+    by the contamination rate, so the strategy is AQE's runtime call
+    (maybe_broadcast rationale): no ResolvedHint may appear on it."""
     df = E.queries()["decontaminated"](spark, SF_DIR)
     plan = explain_str(df, "simple")
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the benchmark-gram join
+    logical = explain_str(df, "extended")
+    # one hint — the benchmark-gram side; the bad-id side is bare (each
+    # hint shows up at most twice across the analyzed+optimized sections)
+    n_hints = len(re.findall(r"UnresolvedHint broadcast|ResolvedHint", logical))
+    assert 1 <= n_hints <= 2
