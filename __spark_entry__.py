@@ -1407,6 +1407,89 @@ def q_temperature_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-3 queries
+# --------------------------------------------------------------------------
+
+def q_dedup_overlap(spark, sf_dir):
+    """Overlap-coefficient (containment) near-dup pairs
+    (dedup.overlap_coefficient_pairs): |A∩B|/min(|A|,|B|) ≥ 0.8 over
+    3-gram shingles — catches short docs embedded in long ones that
+    Jaccard misses.  Candidates via the df≤64 rare-shingle cut
+    (containment admits no exact prefix filter); the oracle mirrors the
+    cut exactly."""
+    docs = tables.load(spark, sf_dir, "documents")
+    out = D.overlap_coefficient_pairs(docs, n=3, threshold=0.8, max_df=64)
+    return out.select("id_a", "id_b", F.round("overlap", 4).alias("overlap"))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (curation.ngram_novelty): fraction of the
+    doc's distinct 3-grams first seen (by ascending doc_id) in this doc —
+    the echo-document score."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.ngram_novelty(docs, n=3)
+
+
+def q_dsir_topk(spark, sf_dir):
+    """DSIR selection step: top-50 documents by importance weight
+    (deterministic (log_w DESC, doc_id) order — the greedy variant of the
+    paper's importance resampling)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        C.dsir_weights(docs, target, n=2, n_buckets=4096)
+        .orderBy(F.desc("log_w"), "doc_id")
+        .limit(50)
+    )
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Per-vector int8 symmetric quantization round-trip error
+    (similarity.quantization_error) — the storage-shrink contract an
+    embedding store verifies before switching ANN to int8."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.quantization_error(emb, bits=8)
+
+
+def q_rolling_activity(spark, sf_dir):
+    """Per-user daily event counts with a trailing 7-day rolling total
+    (operators.windows.rolling_daily_counts) over integer epoch-days."""
+    from streamkit_spark.operators.windows import rolling_daily_counts
+
+    ev = _ev(spark, sf_dir)
+    return rolling_daily_counts(
+        ev, "user_id", F.expr("ts div 1000000"), window_days=7
+    )
+
+
+def q_event_funnel(spark, sf_dir):
+    """Strictly-ordered view→click→purchase funnel
+    (operators.windows.funnel_counts): users whose first click follows
+    their first view, and first purchase follows that click."""
+    from streamkit_spark.operators.windows import funnel_counts
+
+    ev = _ev(spark, sf_dir)
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], key="user_id",
+        ts_ms=F.expr("ts div 1000000"),
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality buckets
+    (curation.perplexity_buckets) by unigram-LM score quartiles; decimal
+    mean per bucket."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.perplexity_buckets(docs, lo=0.25, hi=0.75)
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -1461,6 +1544,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id_confusion,
         "embedding_norms": q_embedding_norms,
         # --- new in round 3 (keep inside the 50-entry driver window) ---
+        "dedup_overlap": q_dedup_overlap,
+        "ngram_novelty": q_ngram_novelty,
+        "dsir_topk": q_dsir_topk,
+        "embedding_quantization": q_embedding_quantization,
+        "rolling_activity": q_rolling_activity,
+        "event_funnel": q_event_funnel,
+        "perplexity_buckets": q_perplexity_buckets,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -2800,6 +2890,135 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(octet_length(props::BLOB)) AS BIGINT) AS max_bytes,
                count(DISTINCT md5(props)) AS distinct_payloads
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    # ---- round 3 ----
+    sql["dedup_overlap"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), dfq AS (
+            SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN dfq ON a.shingle = dfq.shingle
+            WHERE dfq.df <= 64
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               round(i::DOUBLE / least(s1.n, s2.n), 4) AS overlap
+        FROM cand c
+        JOIN inter USING (id_a, id_b)
+        JOIN sizes s1 ON c.id_a = s1.doc_id
+        JOIN sizes s2 ON c.id_b = s2.doc_id
+        WHERE i::DOUBLE / least(s1.n, s2.n) >= 0.8
+        ORDER BY 1, 2
+    """
+    sql["ngram_novelty"] = r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), firsts AS (
+            SELECT gram, min(doc_id) AS first_doc FROM sh GROUP BY 1
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel_grams,
+               round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS novelty
+        FROM sh JOIN firsts USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    sql["dsir_topk"] = (
+        sql["dsir_weights"].rstrip().removesuffix("ORDER BY doc_id")
+        + "ORDER BY log_w DESC, doc_id LIMIT 50"
+    )
+    sql["embedding_quantization"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_apply(e, x -> abs(x))) / 127 AS scale
+            FROM v
+        )
+        SELECT vec_id, round(scale, 6) AS qscale,
+               round(CASE WHEN scale = 0 THEN 0.0
+                     ELSE list_sum(list_apply(
+                              e, x -> abs(x - round(x / scale) * scale)))
+                          / len(e) END, 6) AS mae
+        FROM s ORDER BY vec_id
+    """
+    sql["rolling_activity"] = """
+        WITH daily AS (
+            SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, day, n_events,
+               CAST(sum(n_events) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_rolling
+        FROM daily ORDER BY user_id, day
+    """
+    sql["event_funnel"] = """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        ), s0 AS (
+            SELECT user_id, min(ms) AS t FROM e
+            WHERE event_type = 'view' GROUP BY 1
+        ), s1 AS (
+            SELECT e.user_id, min(ms) AS t FROM e JOIN s0 USING (user_id)
+            WHERE event_type = 'click' AND ms > s0.t GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(ms) AS t FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'purchase' AND ms > s1.t GROUP BY 1
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM s0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+        ) ORDER BY step
+    """
+    sql["perplexity_buckets"] = f"""
+        WITH {_tok_cte}, tk AS (
+            SELECT doc_id, unnest(t) AS tok FROM tok
+        ), vocab AS (
+            SELECT tok, count(*) AS c FROM tk GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V
+            FROM vocab
+        ), scores AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(CAST(c + 1 AS DOUBLE) / (N + V))), 4) AS logprob
+            FROM tk JOIN vocab USING (tok), tot
+            GROUP BY doc_id
+        ), th AS (
+            SELECT quantile_cont(logprob, 0.25) AS qlo,
+                   quantile_cont(logprob, 0.75) AS qhi
+            FROM scores
+        )
+        SELECT CASE WHEN logprob >= qhi THEN 'head'
+                    WHEN logprob < qlo THEN 'tail'
+                    ELSE 'middle' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(CAST(sum(CAST(logprob AS DECIMAL(18,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_logprob
+        FROM scores, th GROUP BY 1 ORDER BY 1
     """
     # approx_distinct: the HLL estimate itself is engine-specific, so the
     # Spark query reduces it to the accuracy contract (within_tol boolean

@@ -427,6 +427,110 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lo: float = 0.25,
+    hi: float = 0.75,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC'20 §3):
+    split the corpus into head/middle/tail by per-document LM score —
+    here the :func:`unigram_logprob` score — using the ``lo``/``hi``
+    quantiles as cut points.  CCNet keeps the head for training and
+    drops/deprioritizes the tail.
+
+    Plan: the score pipeline, one exact-percentile aggregate (two
+    numbers, broadcast back), a map-side bucket classification, and a
+    per-bucket aggregate.  No global sort, no window — the quantile
+    aggregate is the only extra pass, so the shape survives corpus scale
+    (swap in approx_percentile at 100 TB if the exact percentile's
+    single-reduce becomes the bottleneck; the contract is unchanged).
+
+    Per-bucket mean goes through DECIMAL(18,4): the scores are already
+    4dp-rounded, so the decimal sum is exact and partition-order
+    independent (the money-aggregate lesson).
+
+    Output: (bucket, n_docs, total_tokens, avg_logprob) — bucket in
+    head/middle/tail, avg rounded 4dp."""
+    scores = unigram_logprob(df, text_col, id_col)
+    th = scores.agg(
+        F.expr(f"percentile(logprob, {lo!r})").alias("__qlo"),
+        F.expr(f"percentile(logprob, {hi!r})").alias("__qhi"),
+    )
+    bucket = (
+        F.when(F.col("logprob") >= F.col("__qhi"), "head")
+        .when(F.col("logprob") < F.col("__qlo"), "tail")
+        .otherwise("middle")
+    )
+    return (
+        scores.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "n_tokens", "logprob")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("logprob").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the document's
+    distinct word n-grams whose FIRST appearance in the corpus (by
+    ascending doc id — the ingestion order) is this document.  A
+    low-novelty document restates earlier content; curriculum/dedup
+    pipelines use the score to deprioritize echo documents without
+    running a full pair-level dedup.
+
+    Plan: distinct (doc, gram) explode → min-doc-per-gram aggregate
+    (map-side combined) → one equi-join back on the gram → per-doc
+    counts.  Everything is two shuffles of fixed-width rows; the hot-gram
+    join key skew is bounded because the (doc, gram) table is distinct —
+    a gram row count equals its document frequency, and AQE's skew-join
+    split handles boilerplate grams at scale.
+
+    Output: (doc_id, n_grams, novel_grams, novelty) — novelty rounded
+    4dp; docs with ≥ 1 n-gram only."""
+    from streamkit_spark.functions.text import word_ngrams
+
+    # word_ngrams is per-doc distinct, so the exploded rows are already
+    # unique (doc, gram) pairs — no distinct pass needed
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    firsts = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams"), 4).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------

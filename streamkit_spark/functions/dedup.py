@@ -225,6 +225,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def overlap_coefficient_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by overlap coefficient (Szymkiewicz–Simpson):
+    |A∩B| / min(|A|,|B|) ≥ threshold — the asymmetric-containment
+    companion to Jaccard that catches a short document wholly embedded in
+    a long one (quote inclusion, page-in-site), which Jaccard misses
+    because the union is dominated by the long side.
+
+    Candidate generation: group-and-enumerate docs sharing a shingle with
+    document frequency ≤ ``max_df``, then verify the exact coefficient
+    over the full shingle sets.  Unlike Jaccard, containment admits NO
+    exact prefix filter (a tiny doc inside a huge one constrains neither
+    side's prefix — the reason containment joins are the hard case in the
+    AllPairs literature), so the df-cut is the recall contract: a pair
+    sharing ONLY boilerplate shingles (df > max_df) is missed.  That is
+    the same deliberate trade :func:`substring_dup_pairs` makes, and the
+    oracle mirrors the cut exactly.
+
+    Output: (id_a, id_b, overlap) with id_a < id_b, overlap rounded 4dp.
+    """
+    # word_ngrams is per-doc distinct already, so shingle_table rows are
+    # unique (doc, shingle) pairs — no distinct pass needed
+    sh = shingle_table(df, text_col, id_col, n)
+    cand = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    arrays = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
+    )
+    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
+    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    denom = F.least(F.size("__sa"), F.size("__sb"))  # arrays are distinct
+    return (
+        va.join(maybe_broadcast(cand), "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (inter / denom).alias("overlap"))
+        .filter(F.col("overlap") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------- minhash LSH
 
 def minhash_signature(

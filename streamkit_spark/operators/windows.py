@@ -68,3 +68,84 @@ def session_stats(
         )
         .orderBy(key)
     )
+
+
+def rolling_daily_counts(
+    df: DataFrame,
+    key: str,
+    ts_ms: Column,
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-key daily activity with a trailing ``window_days``-day rolling
+    total — the retention/engagement primitive (DAU with trailing WAU).
+
+    Two steps: (1) a (key, epoch-day) count aggregate — map-side combined,
+    shuffle ∝ distinct (key, day) pairs, never raw events; (2) a RANGE
+    window over the integer day per key, so gap days weigh nothing and no
+    row explosion fills them in.  The window partitions by key — state per
+    partition is one key's day rows (≤ days of history), so the sort is
+    trivially bounded at any corpus scale.
+
+    Day is a pure integer epoch-day (ms // 86400000): timezone-free and
+    byte-identical across engines.
+
+    Output: (key, day, n_events, n_rolling), day ascending per key."""
+    day = (ts_ms / F.lit(86_400_000)).cast("long")
+    daily = df.groupBy(F.col(key), day.alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.withColumn(
+        "n_rolling", F.sum("n_events").over(w).cast("long")
+    ).orderBy(key, "day")
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts_ms: Column | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered conversion funnel: step i counts the keys whose
+    earliest qualifying step-i event is strictly LATER than their
+    earliest qualifying step-(i-1) event (the classic product-analytics
+    funnel; re-orderings don't count as conversions).
+
+    Plan: one filtered min-aggregate per step, each joined to the
+    previous step's (key, t) table on the key — len(steps) co-partitioned
+    shuffles of one fixed-width row per key, then single-row count
+    aggregates unioned into the report.  No window, no collect; every
+    join key is the same ``key``, so at scale the shuffles co-locate and
+    AQE folds the tiny right sides to broadcasts.
+
+    Output: (step, event_type, n_keys) — one row per step, step ordinal
+    ascending."""
+    ts = ts_ms if ts_ms is not None else F.col("ts")
+    out = None
+    prev = None
+    for i, st in enumerate(steps):
+        ev = df.filter(F.col(type_col) == st).select(
+            F.col(key).alias("__k"), ts.alias("__ts")
+        )
+        if prev is None:
+            cur = ev.groupBy("__k").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(prev, "__k")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__k")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        row = cur.agg(F.count("*").cast("long").alias("n_keys")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(st).alias("event_type"),
+            "n_keys",
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cur
+    return out

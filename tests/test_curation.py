@@ -350,3 +350,35 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert a_mean > b_mean
     w2 = {r["doc_id"]: r["log_w"] for r in C.dsir_weights(corpus, target).collect()}
     assert w == w2
+
+
+def test_ngram_novelty_first_seen_by_doc_order(spark):
+    from streamkit_spark.functions import curation as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # grams: abg, bgd — all first
+            (2, "alpha beta gamma delta"),          # exact echo: novelty 0
+            (3, "alpha beta gamma epsilon zeta"),   # abg old; bge, gez new
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in C.ngram_novelty(docs, n=3).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_grams"] == 2
+    assert got[2]["novelty"] == 0.0 and got[2]["novel_grams"] == 0
+    assert got[3]["n_grams"] == 3 and got[3]["novel_grams"] == 2
+    assert got[3]["novelty"] == round(2 / 3, 4)
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    from streamkit_spark.functions import curation as C
+
+    # 8 docs: common-word docs score high (head), rare-word docs low (tail)
+    rows = [(i, "common words common words common") for i in range(1, 5)]
+    rows += [(i, f"rare{i}a rare{i}b rare{i}c rare{i}d rare{i}e") for i in range(5, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in C.perplexity_buckets(docs).collect()}
+    assert set(out) <= {"head", "middle", "tail"}
+    assert sum(r["n_docs"] for r in out.values()) == 8
+    if "head" in out and "tail" in out:
+        assert out["head"]["avg_logprob"] > out["tail"]["avg_logprob"]

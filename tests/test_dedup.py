@@ -281,3 +281,35 @@ def test_substring_pairs_max_df_drops_boilerplate(spark):
     }
     assert (4, 5) in cut
     assert (1, 2) not in cut  # header-only pair died with the hot fps
+
+
+def test_overlap_coefficient_catches_containment_jaccard_misses(spark):
+    """A short doc fully contained in a long one: overlap = 1.0 even
+    though Jaccard is low (union dominated by the long doc)."""
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"word{i} filler{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "completely different text with nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in D.overlap_coefficient_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac  # the pair Jaccard misses by design
+
+
+def test_overlap_max_df_cut_drops_boilerplate_only_pairs(spark):
+    """Pairs sharing ONLY a boilerplate shingle (df > max_df) are missed —
+    the documented recall contract of the df-cut."""
+    boiler = "common boilerplate header string"
+    rows = [(i, boiler + f" unique{i} tail{i} words{i}") for i in range(1, 8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # boilerplate shingles appear in all 7 docs; max_df=3 cuts them
+    got = D.overlap_coefficient_pairs(docs, n=3, threshold=0.5, max_df=3).collect()
+    assert got == []

@@ -179,3 +179,43 @@ def test_semantic_dedup_never_crosses_clusters(spark):
     }
     for r in out:
         assert assign[r["id_a"]] == assign[r["id_b"]] == r["cluster"]
+
+
+def test_quantization_error_matches_numpy_model(spark):
+    import numpy as np
+
+    from streamkit_spark.functions.similarity import quantization_error
+
+    vecs = {
+        1: [1.0, -0.5, 0.25, 0.125],
+        2: [0.0, 0.0, 0.0, 0.0],          # zero vector: scale 0, mae 0
+        3: [0.3, -0.7, 0.11, 0.999],
+    }
+    df = spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["qscale"], r["mae"]) for r in quantization_error(df).collect()}
+    for vid, v in vecs.items():
+        a = np.array(v, dtype=np.float32).astype(np.float64)
+        amax = np.abs(a).max()
+        scale = amax / 127.0
+        if scale == 0:
+            want_scale, want_mae = 0.0, 0.0
+        else:
+            dq = np.round(a / scale) * scale
+            want_scale = round(scale, 6)
+            want_mae = round(float(np.abs(a - dq).mean()), 6)
+        assert got[vid] == (round(want_scale, 6), want_mae), vid
+
+
+def test_lit_vec_and_hyperplane_reject_non_finite(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from streamkit_spark.functions.similarity import hyperplane_bucket, lit_vec
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        lit_vec([1.0, float("nan")])
+    with _pytest.raises(ValueError, match="non-finite"):
+        hyperplane_bucket(F.col("x"), np.array([[1.0, float("inf")]]))

@@ -93,3 +93,49 @@ def test_tumbling_window_ids(spark):
         ).collect()
     }
     assert out == {(0, "a"): 2, (1, "a"): 1, (2, "b"): 1}
+
+
+def test_rolling_daily_counts_window_and_gaps(spark):
+    from streamkit_spark.operators.windows import rolling_daily_counts
+
+    day = 86_400_000
+    rows = [
+        # user 1: days 0, 1, 8 (day 8 is outside day 1's 7-day window)
+        (1, 0 * day), (1, 0 * day + 5), (1, 1 * day), (1, 8 * day),
+        # user 2: single burst
+        (2, 3 * day), (2, 3 * day), (2, 3 * day),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["n_rolling"])
+        for r in rolling_daily_counts(df, "user_id", F.col("ts_ms")).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2),
+        (1, 1): (1, 3),   # day 0 still in range
+        (1, 8): (1, 1),   # days 0-1 aged out (range, not rows: gap days count)
+        (2, 3): (3, 3),
+    }
+
+
+def test_funnel_strict_ordering(spark):
+    from streamkit_spark.operators.windows import funnel_counts
+
+    rows = [
+        # user 1 converts fully in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE click -> counts for view+click only
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: click with no prior view -> counts for nothing past step 0? no view at all
+        (3, "click", 5), (3, "purchase", 6),
+        # user 4: click at SAME ts as view -> strict > excludes the click
+        (4, "view", 50), (4, "click", 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_ms long")
+    got = {
+        r["event_type"]: r["n_keys"]
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], key="user_id", ts_ms=F.col("ts_ms")
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 2, "purchase": 1}
