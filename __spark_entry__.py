@@ -1489,6 +1489,86 @@ def q_perplexity_buckets(spark, sf_dir):
     return C.perplexity_buckets(docs, lo=0.25, hi=0.75)
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd k-means (similarity.kmeans_centroids, 2
+    iterations, deterministic id-order init + fold-order means) followed
+    by a map-only assignment pass (similarity.kmeans_assign).  Only the
+    k × dim centroid table ever reaches the driver — this is the training
+    loop behind the IVF coarse quantizer at corpus scale."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, k=8, iters=2, exact_means=True)
+    return SIM.kmeans_assign(emb, cents)
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter (functions.sketch): bit-set over
+    BUILDING-segment custkeys, broadcast, orders pre-filtered map-side by
+    3 chained broadcast semi-joins — Spark's runtime-filter pattern made
+    explicit.  md5 hash path so the oracle reconstructs the exact bit-set:
+    the false-positive COUNT hash-matches, not just a tolerance."""
+    from streamkit_spark.functions import sketch as SK
+
+    cust = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, sf_dir, "orders")
+    return SK.bloom_report(
+        orders, "o_custkey", cust, "c_custkey", m=65536, h=3, hash_fn="md5"
+    )
+
+
+def q_quantile_report(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type
+    (analytics.quantile_report) + the approx_percentile accuracy
+    contract: order statistics are engine-deterministic where double
+    sums are not; the sketch only exposes its within-1% boolean."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.quantile_report(_ev(spark, sf_dir), "value", "event_type")
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (analytics.event_transitions): lag window partitioned by
+    user (no global sort), exact transition counts + row-normalized
+    probabilities."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.event_transitions(
+        _ev(spark, sf_dir), "user_id", "event_type", ("ts", "event_id")
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """First-activity-day cohorts × 7-day offset buckets
+    (analytics.retention_cohorts): two user-keyed aggregates, integer
+    day math, no window."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return AN.retention_cohorts(ev, "user_id", "ts_ms", bucket_days=7)
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type
+    (analytics.value_histogram): integer bucket ids, one map-side
+    combined aggregate, output bounded by the value range."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.value_histogram(_ev(spark, sf_dir), "value", "event_type", 50.0)
+
+
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier report per event type (analytics.iqr_outliers):
+    fences from exact percentiles (order statistics — deterministic),
+    broadcast back over the stream for a map-only filtered count."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.iqr_outliers(_ev(spark, sf_dir), "value", "event_type", k=1.5)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1551,6 +1631,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_activity": q_rolling_activity,
         "event_funnel": q_event_funnel,
         "perplexity_buckets": q_perplexity_buckets,
+        "kmeans_assign": q_kmeans_assign,
+        "bloom_prefilter": q_bloom_prefilter,
+        "quantile_report": q_quantile_report,
+        "event_transitions": q_event_transitions,
+        "retention_cohorts": q_retention_cohorts,
+        "value_histogram": q_value_histogram,
+        "iqr_outliers": q_iqr_outliers,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3028,5 +3115,146 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
                TRUE AS within_tol
         FROM events GROUP BY event_type ORDER BY event_type
+    """
+    # kmeans_assign: 2 Lloyd iterations, id-order init, fold-order means
+    # (list_sum over vec_id-ordered member lists == the engine's
+    # array_sort+aggregate fold), assignment tie → higher centroid id.
+    _asg = lambda cent: f"""
+        SELECT vec_id, ci FROM (
+            SELECT v.vec_id, {cent}.ci,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                       list_sum(list_apply(list_zip(v.e, {cent}.ce),
+                                           p -> p[1] * p[2]))
+                       / sqrt(list_sum(list_apply({cent}.ce, x -> x * x)))
+                       DESC, {cent}.ci DESC) AS rn
+            FROM v, {cent})
+        WHERE rn = 1
+    """
+    _upd = lambda a, c_prev: f"""
+        SELECT {c_prev}.ci, COALESCE(mm.ce, {c_prev}.ce) AS ce
+        FROM {c_prev} LEFT JOIN (
+            SELECT ci, list(m ORDER BY pos) AS ce FROM (
+                SELECT x.ci, x.pos,
+                       list_sum(list(x.val ORDER BY x.vec_id)) / count(*) AS m
+                FROM (
+                    SELECT {a}.ci, generate_subscripts(v.e, 1) AS pos,
+                           unnest(v.e) AS val, v.vec_id
+                    FROM v JOIN {a} ON v.vec_id = {a}.vec_id) x
+                GROUP BY x.ci, x.pos)
+            GROUP BY ci) mm
+        ON {c_prev}.ci = mm.ci
+    """
+    sql["kmeans_assign"] = f"""
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+            FROM v ORDER BY vec_id LIMIT 8
+        ), a0 AS ({_asg("c0")}
+        ), c1 AS ({_upd("a0", "c0")}
+        ), a1 AS ({_asg("c1")}
+        ), c2 AS ({_upd("a1", "c1")}
+        ), a2 AS ({_asg("c2")})
+        SELECT vec_id, CAST(ci AS BIGINT) AS cluster
+        FROM a2 ORDER BY vec_id
+    """
+    # bloom_prefilter: reconstruct the md5 bit-set exactly — position =
+    # leading 4 hex nibbles of md5('bf:<i>:' || key), m = 65536, h = 3.
+    _nib = lambda h, i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+    def _bpos(key: str, i: int) -> str:
+        h = f"md5('bf:{i}:' || {key})"
+        return (
+            f"({_nib(h, 1)} * 4096 + {_nib(h, 2)} * 256 "
+            f"+ {_nib(h, 3)} * 16 + {_nib(h, 4)})"
+        )
+
+    _bits = lambda i: f"""
+        SELECT DISTINCT {_bpos("CAST(c_custkey AS VARCHAR)", i)} AS pos
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    """
+    sql["bloom_prefilter"] = f"""
+        WITH bits AS ({_bits(0)} UNION {_bits(1)} UNION {_bits(2)}
+        ), probe AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        ), pass AS (
+            SELECT CAST(count(*) AS BIGINT) AS bloom_pass FROM probe
+            WHERE {_bpos("k", 0)} IN (SELECT pos FROM bits)
+              AND {_bpos("k", 1)} IN (SELECT pos FROM bits)
+              AND {_bpos("k", 2)} IN (SELECT pos FROM bits)
+        ), exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS exact_pass FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING')
+        )
+        SELECT bloom_pass, exact_pass,
+               bloom_pass - exact_pass AS false_pos
+        FROM pass, exact
+    """
+    sql["quantile_report"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               TRUE AS approx_ok
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+    sql["event_transitions"] = """
+        WITH p AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ), c AS (
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               round(n / CAST(sum(n) OVER (PARTITION BY prev_type)
+                              AS DOUBLE), 4) AS p
+        FROM c ORDER BY prev_type, next_type
+    """
+    sql["retention_cohorts"] = """
+        WITH active AS (
+            SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+            FROM events
+        ), fa AS (
+            SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
+        )
+        SELECT cohort_day, (day - cohort_day) // 7 AS offset_bucket,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM active JOIN fa USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["value_histogram"] = """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(value / 50.0) AS BIGINT) AS bucket
+            FROM events
+        )
+        SELECT event_type, bucket, round(bucket * 50.0, 4) AS lo,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["iqr_outliers"] = """
+        WITH g AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25r,
+                   quantile_cont(value, 0.75) AS p75r
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               round(g.p25r, 4) AS p25,
+               round(g.p75r, 4) AS p75,
+               round(g.p75r + 1.5 * (g.p75r - g.p25r), 4) AS hi_fence,
+               CAST(count(*) AS BIGINT) AS n_outliers,
+               round(max(e.value), 4) AS max_value
+        FROM events e JOIN g ON e.event_type = g.event_type
+        WHERE e.value > g.p75r + 1.5 * (g.p75r - g.p25r)
+        GROUP BY 1, g.p25r, g.p75r
+        ORDER BY 1
     """
     return sql

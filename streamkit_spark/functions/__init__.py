@@ -1,3 +1,19 @@
-from streamkit_spark.functions import curation, dedup, multimodal, similarity, text
+from streamkit_spark.functions import (
+    analytics,
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    sketch,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "curation", "multimodal"]
+__all__ = [
+    "text",
+    "dedup",
+    "similarity",
+    "curation",
+    "multimodal",
+    "analytics",
+    "sketch",
+]

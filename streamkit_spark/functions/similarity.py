@@ -612,6 +612,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    exact_means: bool = False,
 ) -> list[list[float]]:
     """Distributed Lloyd k-means over an embedding column (cosine
     assignment, mean update).
@@ -620,6 +621,16 @@ def kmeans_centroids(
     literals) + one posexplode/groupBy mean — the centroid table (k × dim
     doubles) is the ONLY thing that ever reaches the driver.  Deterministic:
     init is the first k rows by id, updates are exact means.
+
+    ``exact_means=False`` (production): centroid means are plain double
+    ``avg`` — partial-aggregation order can wiggle the last bits, which no
+    real pipeline cares about.  ``exact_means=True`` (oracle parity): each
+    (cluster, dim) mean is a LEFT FOLD of the member values in ascending
+    id order divided by the count — a deterministic float summation that a
+    DuckDB ``list_sum(list(x ORDER BY id))`` twin reproduces bit-for-bit
+    (the dsir_weights summation pattern).  The fold materializes one
+    cluster-sized list per (cluster, dim) row, so it is for small-k
+    verification runs, not the 100 TB path.
 
     Returns the centroids as plain lists (broadcastable literals for
     :func:`ivf_topk`)."""
@@ -632,7 +643,9 @@ def kmeans_centroids(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    vecs = df.select(F.col(vec_col).alias("v")).cache()
+    vecs = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).cache()
     try:
         for _ in range(iters):
             # assignment scores by dot/‖c‖ — argmax-equivalent to cosine
@@ -652,11 +665,33 @@ def kmeans_centroids(
             # posexplode in one projection makes Spark drop the struct
             # field aliases (resolved as col1/col2)
             assigned = vecs.select(
-                F.array_max(scored).getField("c").alias("cluster"), F.col("v")
-            ).select("cluster", F.posexplode(F.col("v")).alias("pos", "x"))
+                F.array_max(scored).getField("c").alias("cluster"),
+                F.col("vid"),
+                F.col("v"),
+            ).select("cluster", "vid", F.posexplode(F.col("v")).alias("pos", "x"))
+            if exact_means:
+                # deterministic fold: member values sorted by id, summed
+                # left-to-right as doubles, / count
+                mean_expr = (
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("vid").alias("vid"),
+                                    F.col("x").cast("double").alias("x"),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s.getField("x"),
+                    )
+                    / F.count("*")
+                ).alias("m")
+            else:
+                mean_expr = F.avg(F.col("x").cast("double")).alias("m")
             means = (
                 assigned.groupBy("cluster", "pos")
-                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+                .agg(mean_expr)
                 .groupBy("cluster")
                 .agg(
                     F.array_sort(F.collect_list(F.struct("pos", "m")))
@@ -671,6 +706,45 @@ def kmeans_centroids(
     finally:
         vecs.unpersist()
     return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only cluster assignment under fixed centroids: (id, cluster).
+
+    The k × dim centroid table rides in as broadcast literals; each row
+    does one dot/‖c‖ argmax fold (argmax-equivalent to cosine — 1/‖v‖ is
+    a common positive factor).  Score ties break toward the HIGHER
+    centroid id (struct max), mirrored by the oracle's
+    ``ORDER BY s DESC, ci DESC``.  ‖c‖ is pre-computed driver-side with
+    the same left-fold order as the oracle's ``sqrt(list_sum(...))``."""
+
+    def _fold_norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    norms = [_fold_norm(c) for c in centroids]
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_raw(F.col(vec_col), lit_vec(cent)) / F.lit(norms[ci])).alias(
+                    "s"
+                ),
+                F.lit(ci).alias("c"),
+            )
+            for ci, cent in enumerate(centroids)
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_max(scored).getField("c").cast("long").alias("cluster"),
+    ).orderBy(id_col)
 
 
 def kmeans_objective(

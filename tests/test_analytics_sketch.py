@@ -1,0 +1,149 @@
+"""Analytics blocks (transitions, cohorts, histogram, outliers, quantile
+contract) + Bloom pre-filter semantics and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamkit_spark import tables
+from streamkit_spark.functions.analytics import (
+    event_transitions,
+    iqr_outliers,
+    quantile_report,
+    retention_cohorts,
+    value_histogram,
+)
+from streamkit_spark.functions.sketch import bloom_build, bloom_filter, bloom_report
+from tests.conftest import SF_DIR
+
+
+# --------------------------------------------------------------------- bloom
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    cust = tables.load(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, SF_DIR, "orders")
+    row = bloom_report(
+        orders, "o_custkey", cust, "c_custkey", m=65536, h=3, hash_fn="md5"
+    ).first()
+    assert row["false_pos"] >= 0, "Bloom filters have no false negatives"
+    assert row["bloom_pass"] >= row["exact_pass"]
+    # n≈30 keys at sf0.001 / m=65536 → fpr well under 1%
+    assert row["false_pos"] <= max(10, 0.01 * row["bloom_pass"])
+
+
+def test_bloom_hash_paths_agree_on_semantics(spark):
+    cust = tables.load(spark, SF_DIR, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tables.load(spark, SF_DIR, "orders")
+    exact = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+        "o_custkey",
+        "semi",
+    ).count()
+    for hash_fn in ("md5", "xxhash64"):
+        r = bloom_report(
+            orders, "o_custkey", cust, "c_custkey", m=65536, h=3, hash_fn=hash_fn
+        ).first()
+        assert r["exact_pass"] == exact
+        assert r["bloom_pass"] >= exact
+
+
+def test_bloom_filter_preserves_duplicate_rows(spark):
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (9, "c")], "k long, v string"
+    )
+    bloom = bloom_build(keys, "k")
+    got = bloom_filter(big, "k", bloom).collect()
+    # both (1, "a") duplicates survive — semi-join, not groupBy
+    assert sorted((r["k"], r["v"]) for r in got).count((1, "a")) == 2
+
+
+def test_bloom_filter_plan_is_broadcast_semi_no_shuffle(spark):
+    cust = tables.load(spark, SF_DIR, "customer").limit(50)
+    orders = tables.load(spark, SF_DIR, "orders")
+    bloom = bloom_build(cust, "c_custkey", m=65536, h=3)
+    plan = (
+        bloom_filter(orders, "o_custkey", bloom, m=65536, h=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the big side must never shuffle: no sort-merge join, no hash
+    # repartitioning of the probe stream
+    assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------------- analytics
+
+def test_event_transitions_counts_and_probabilities(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),
+            (2, 1, "a"), (2, 2, "b"),
+        ],
+        "user_id long, ts long, event_type string",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transitions(df, "user_id", "event_type", ("ts",)).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_retention_cohorts_buckets(spark):
+    day = 86400000
+    df = spark.createDataFrame(
+        # user 1: days 0, 1, 8 → cohort 0, buckets 0 (d0, d1) and 1 (d8)
+        # user 2: day 9 only → cohort 9, bucket 0
+        [(1, 0), (1, day), (1, 8 * day), (2, 9 * day)],
+        "user_id long, ts_ms long",
+    )
+    got = {
+        (r["cohort_day"], r["offset_bucket"]): r["n_active"]
+        for r in retention_cohorts(df, "user_id", "ts_ms", 7).collect()
+    }
+    assert got == {(0, 0): 1, (0, 1): 1, (9, 0): 1}
+
+
+def test_value_histogram_buckets_exact(spark):
+    df = spark.createDataFrame(
+        [("x", 0.0), ("x", 49.9), ("x", 50.0), ("y", 120.0)],
+        "event_type string, value double",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): (r["lo"], r["n"])
+        for r in value_histogram(df, "value", "event_type", 50.0).collect()
+    }
+    assert got == {("x", 0): (0.0, 2), ("x", 1): (50.0, 1), ("y", 2): (100.0, 1)}
+
+
+def test_iqr_outliers_matches_numpy_fences(spark):
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame(
+        [("x", v) for v in vals], "event_type string, value double"
+    )
+    p25, p75 = np.percentile(vals, [25, 75])  # linear interpolation
+    fence = p75 + 1.5 * (p75 - p25)
+    r = iqr_outliers(df, "value", "event_type", 1.5).first()
+    assert r["p25"] == round(p25, 4) and r["p75"] == round(p75, 4)
+    assert r["hi_fence"] == round(fence, 4)
+    assert r["n_outliers"] == sum(v > fence for v in vals)
+    assert r["max_value"] == 100.0
+
+
+def test_quantile_contract_holds_on_fixture(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    rows = quantile_report(ev, "value", "event_type").collect()
+    assert len(rows) == 5
+    assert all(r["approx_ok"] for r in rows), [
+        (r["event_type"], r["approx_ok"]) for r in rows
+    ]
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"]

@@ -85,6 +85,32 @@ def test_kmeans_improves_objective_and_feeds_ivf(spark):
     assert trained == again
 
 
+def test_kmeans_exact_means_close_to_avg_and_assignment_total(spark):
+    from streamkit_spark.functions.similarity import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    fast = kmeans_centroids(emb, k=8, iters=2)
+    exact = kmeans_centroids(emb, k=8, iters=2, exact_means=True)
+    # the fold-order mean and the avg() mean are the same statistic —
+    # they may differ only in the last float bits
+    for cf, ce in zip(fast, exact):
+        for a, b in zip(cf, ce):
+            assert abs(a - b) < 1e-9
+    # exact path is run-to-run deterministic (bit-identical)
+    assert exact == kmeans_centroids(emb, k=8, iters=2, exact_means=True)
+    asg = kmeans_assign(emb, exact)
+    n = emb.count()
+    rows = asg.collect()
+    assert len(rows) == n and len({r["vec_id"] for r in rows}) == n
+    assert all(0 <= r["cluster"] < 8 for r in rows)
+    # every centroid id that survived is an actual argmax winner for
+    # someone; with 500 vectors over 8 id-seeded centroids all 8 win
+    assert len({r["cluster"] for r in rows}) == 8
+
+
 def test_near_dup_multi_table_recall_at_085(spark):
     """Planted near-dups at cos ≥ 0.85: multi-table LSH must recover the
     full exact pair set (single-table recall is p^bits — CLAUDE.md r1
