@@ -49,6 +49,11 @@ HEADLINE = [
     "repetition_stats",
     "dedup_substring",
     "temperature_sample",
+    # round 3: sketch / clustering / event analytics
+    "bloom_prefilter",
+    "kmeans_assign",
+    "event_transitions",
+    "quantile_report",
 ]
 
 
