@@ -1569,6 +1569,22 @@ def q_iqr_outliers(spark, sf_dir):
     return AN.iqr_outliers(_ev(spark, sf_dir), "value", "event_type", k=1.5)
 
 
+def q_zorder_stats(spark, sf_dir):
+    """Morton-order layout report (functions.layout.zorder_stats): events
+    keyed by the interleaved (user_id, epoch-day) bits, bucketed by the
+    high key bits (a file/row-group proxy), min/max span per dimension —
+    the pruning intervals a Z-ordered table hands its reader.  One fold
+    expression + one aggregate; no UDF."""
+    from streamkit_spark.functions.layout import zorder_stats
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000000 div 86400000").alias("day")
+    )
+    # shift 8 → bucket fixes all key bits above the low 4 of each
+    # dimension, so every bucket spans ≤ 16 users AND ≤ 16 days
+    return zorder_stats(ev, ["user_id", "day"], bits=16, bucket_shift=8)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1638,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "value_histogram": q_value_histogram,
         "iqr_outliers": q_iqr_outliers,
+        "zorder_stats": q_zorder_stats,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3256,5 +3273,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE e.value > g.p75r + 1.5 * (g.p75r - g.p25r)
         GROUP BY 1, g.p25r, g.p75r
         ORDER BY 1
+    """
+    # zorder_stats: Morton interleave of (user_id, day) low 16 bits —
+    # bit contributions are disjoint, so sum() over the bit positions is
+    # the engine's aggregate-fold OR
+    sql["zorder_stats"] = """
+        WITH e AS (
+            SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        ), z AS (
+            SELECT user_id, day,
+                   (SELECT CAST(sum(
+                        ((((user_id & 65535) >> i) & 1) << (i * 2))
+                        + ((((day & 65535) >> i) & 1) << (i * 2 + 1))
+                    ) AS BIGINT)
+                    FROM generate_series(0, 15) t(i)) AS zkey
+            FROM e
+        )
+        SELECT zkey >> 8 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+               min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+               min(day) AS min_day, max(day) AS max_day
+        FROM z GROUP BY 1 ORDER BY 1
     """
     return sql

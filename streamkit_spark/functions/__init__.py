@@ -2,6 +2,7 @@ from streamkit_spark.functions import (
     analytics,
     curation,
     dedup,
+    layout,
     multimodal,
     similarity,
     sketch,
@@ -16,4 +17,5 @@ __all__ = [
     "multimodal",
     "analytics",
     "sketch",
+    "layout",
 ]
