@@ -1585,6 +1585,39 @@ def q_zorder_stats(spark, sf_dir):
     return zorder_stats(ev, ["user_id", "day"], bits=16, bucket_shift=8)
 
 
+def q_capped_per_source(spark, sf_dir):
+    """Deterministic per-source cap (curation.cap_per_group): at most 20
+    docs per source, chosen by ascending md5 hash — the domain-balance
+    cap of a training mix, with the nesting property (larger k ⊇
+    smaller k)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        C.cap_per_group(docs, "source", k=20, salt="cap")
+        .select("doc_id", "source", F.col("cap_rank").cast("long").alias("cap_rank"))
+        .orderBy("source", "cap_rank")
+    )
+
+
+def q_pmi_top_pairs(spark, sf_dir):
+    """Top document-co-occurrence PMI token pairs (text.pmi_pairs):
+    in-row pair enumeration over distinct-sorted tokens — no token
+    self-join — then exact doc-frequency counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.pmi_pairs(docs, min_pair_count=5, top_n=50)
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Mean bigram log-probability per doc under the corpus's own
+    add-one-smoothed bigram LM (curation.bigram_logprob) — the order-2
+    step past unigram_logprob."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.bigram_logprob(docs)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1654,7 +1687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "value_histogram": q_value_histogram,
         "iqr_outliers": q_iqr_outliers,
+        # --- locally verified, rotate into the driver window in r4 ---
         "zorder_stats": q_zorder_stats,
+        "capped_per_source": q_capped_per_source,
+        "pmi_top_pairs": q_pmi_top_pairs,
+        "bigram_logprob": q_bigram_logprob,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3293,5 +3330,57 @@ def oracle_sql() -> dict[str, str]:
                min(user_id) AS min_user_id, max(user_id) AS max_user_id,
                min(day) AS min_day, max(day) AS max_day
         FROM z GROUP BY 1 ORDER BY 1
+    """
+    sql["capped_per_source"] = """
+        SELECT doc_id, source, cap_rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS cap_rank
+            FROM documents)
+        WHERE cap_rank <= 20 ORDER BY source, cap_rank
+    """
+    sql["pmi_top_pairs"] = f"""
+        WITH {_tok_cte}, d AS (
+            SELECT doc_id, list_sort(list_distinct(t)) AS t FROM tok
+            WHERE len(list_distinct(t)) >= 2
+        ), pairs AS (
+            SELECT ua.tok AS a, ub.tok AS b
+            FROM d, unnest(d.t) AS ua(tok), unnest(d.t) AS ub(tok)
+            WHERE ua.tok < ub.tok
+        ), pc AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+        ), tokc AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS n_w
+            FROM (SELECT unnest(t) AS tok FROM d) GROUP BY 1
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM d)
+        SELECT a, b, n_ab,
+               round(ln((CAST(n_ab AS DOUBLE) * CAST(N AS DOUBLE))
+                        / (CAST(ta.n_w AS DOUBLE) * CAST(tb.n_w AS DOUBLE))),
+                     4) AS pmi
+        FROM pc JOIN tokc ta ON pc.a = ta.w
+                JOIN tokc tb ON pc.b = tb.w, nn
+        ORDER BY pmi DESC, a, b LIMIT 50
+    """
+    sql["bigram_logprob"] = f"""
+        WITH {_tok_cte}, bg AS (
+            SELECT doc_id, t[i] AS a, t[i + 1] AS b
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), cab AS (
+            SELECT a, b, count(*) AS c_ab FROM bg GROUP BY 1, 2
+        ), ca AS (
+            SELECT a, count(*) AS c_a FROM bg GROUP BY 1
+        ), vv AS (
+            SELECT count(DISTINCT tok) AS V
+            FROM (SELECT unnest(t) AS tok FROM tok)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + V))), 4)
+                   AS logprob
+        FROM bg JOIN cab USING (a, b) JOIN ca USING (a), vv
+        GROUP BY doc_id ORDER BY doc_id
     """
     return sql

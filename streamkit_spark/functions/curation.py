@@ -427,6 +427,68 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — one order up from
+    :func:`unigram_logprob`; phrase-scrambled or boilerplate-spliced docs
+    score low even when their unigram mix looks normal.
+
+    p(b|a) = (c(ab) + 1) / (c_prefix(a) + V) with ``c_prefix(a)`` = a's
+    count as a bigram prefix and V the full unigram vocabulary;
+    score(doc) = mean ln p over the doc's bigrams.
+
+    Plan: one in-row bigram expansion (map-only), two count aggregates
+    (bigram table ≤ V², prefix table ≤ V), the bigram stream joined back
+    against both (AQE broadcasts them while they fit; at web scale the
+    join key is the gram and combiners do the rest — same shape as the
+    DSIR bucket-model join).  Output (doc_id, n_bigrams, logprob 4dp)
+    for docs with ≥ 2 tokens."""
+    t = tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+    d = base.filter(F.size("__t") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("a"),
+                    F.element_at(F.col("__t"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = bg.groupBy("a").agg(F.count("*").alias("c_a"))
+    vocab = base.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("V")
+    )
+    scored = (
+        bg.join(maybe_broadcast(cab), ["a", "b"])
+        .join(maybe_broadcast(ca), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_ab") + 1).cast("double")
+                / (F.col("c_a") + F.col("V")).cast("double")
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 4).alias("logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -635,6 +697,34 @@ def stratified_sample(
 # ---------------------------------------------------------------------------
 # Token-budget mixing plan
 # ---------------------------------------------------------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``k`` rows per group,
+    chosen by ascending md5(salt:id) — a reproducible uniform draw (the
+    per-source cap that stops one crawl domain from dominating a
+    training mix; the :func:`sample_bucket` nesting property holds here
+    too: a larger ``k`` keeps a superset).
+
+    Adds ``cap_rank`` (1-based position in the group's hash order).
+    Plan: one window partitioned by the group — rank state is per-group
+    and the sort is partition-local.  For groups ≫ k at the 100 TB end,
+    swap in a two-pass threshold (per-group approx-quantile of the hash
+    at k/|g|, then a map-only filter) — same output distribution, no
+    full per-group sort; the exact rank path is the verifiable
+    baseline."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= k)
+    )
+
 
 def mixing_plan(
     df: DataFrame,

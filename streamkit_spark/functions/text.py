@@ -335,3 +335,62 @@ def repetition_stats(
         )
     )
     return out
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top PMI token pairs by document co-occurrence:
+    (a, b, n_ab, pmi) with a < b, ``pmi = ln(n_ab·N / (n_a·n_b))`` over
+    DOCUMENT frequencies (a pair counts once per doc).
+
+    Plan: distinct-sorted tokens per doc (map-only), in-row pair
+    enumeration (the group-and-enumerate idiom — no token self-join, so
+    the token pipeline is planned once), two map-side-combined count
+    aggregates, then two joins of the pair table against the ≤|vocab|-row
+    token-frequency table.  All counts are exact integers; the single
+    ln() of their ratio is engine-deterministic.
+
+    Scale note: in-doc pair enumeration is O(m²) in the per-doc DISTINCT
+    token count m.  For 100 TB corpora cap m first (slice the distinct
+    array to its top-m tokens, or pre-filter tokens by document
+    frequency) — the fixture's ~40-token docs need neither."""
+    toks = F.array_sort(F.array_distinct(tokens(text_col)))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "t",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("t"), i + 2, F.size("t")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    pc = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    tokc = d.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n_w")
+    )
+    ndocs = d.agg(F.count("*").alias("N"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("N").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pc.filter(F.col("n_ab") >= min_pair_count)
+        .join(tokc.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")), "a")
+        .join(tokc.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")), "b")
+        .crossJoin(ndocs)
+        .select("a", "b", "n_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(top_n)
+    )

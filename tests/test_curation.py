@@ -382,3 +382,60 @@ def test_perplexity_buckets_partition_and_order(spark):
     assert sum(r["n_docs"] for r in out.values()) == 8
     if "head" in out and "tail" in out:
         assert out["head"]["avg_logprob"] > out["tail"]["avg_logprob"]
+
+
+def test_cap_per_group_nested_and_bounded(spark):
+    from streamkit_spark.functions.curation import cap_per_group
+
+    from streamkit_spark import tables
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    small = {r["doc_id"] for r in cap_per_group(docs, "source", k=5).collect()}
+    big = {r["doc_id"] for r in cap_per_group(docs, "source", k=10).collect()}
+    assert small <= big, "larger cap must keep a superset"
+    per_group = (
+        cap_per_group(docs, "source", k=5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 5 for r in per_group)
+    again = {r["doc_id"] for r in cap_per_group(docs, "source", k=5).collect()}
+    assert small == again, "cap must be deterministic"
+
+
+def test_pmi_planted_collocation_ranks_first(spark):
+    from streamkit_spark.functions.text import pmi_pairs
+
+    rows = []
+    # "zaa zbb" always co-occur (only with each other); filler tokens are
+    # spread independently across docs
+    for i in range(10):
+        rows.append((i, "zaa zbb"))
+    for i in range(10, 40):
+        rows.append((i, f"w{i % 3} w{3 + i % 5} w{8 + i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_pairs(df, min_pair_count=5, top_n=10).collect()
+    assert got, "planted collocation should survive the count cut"
+    assert (got[0]["a"], got[0]["b"]) == ("zaa", "zbb")
+    # PMI of an exclusive pair = ln(N / n_pair) with n_a = n_b = n_ab
+    import math
+
+    assert got[0]["pmi"] == round(math.log(40 / 10), 4)
+
+
+def test_bigram_logprob_prefers_common_phrases(spark):
+    from streamkit_spark.functions.curation import bigram_logprob
+
+    # 9 docs repeat the same phrase; one doc uses the same TOKENS in a
+    # never-seen order → its bigrams are all unseen, so it must score
+    # lower despite an identical unigram profile
+    phrase = "the quick brown fox jumps"
+    rows = [(i, phrase) for i in range(9)]
+    rows.append((99, "jumps brown the fox quick"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert len(got) == 10
+    assert all(r["n_bigrams"] == 4 for r in got.values())
+    assert got[99]["logprob"] < got[0]["logprob"]

@@ -91,3 +91,36 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+items_lists = st.lists(
+    st.integers(min_value=0, max_value=30).map(lambda i: f"u{i}"),
+    min_size=0,
+    max_size=400,
+)
+
+
+@given(items_lists, st.integers(min_value=1, max_value=12))
+@settings(max_examples=200, deadline=None)
+def test_misra_gries_guarantees(items, k):
+    from collections import Counter
+
+    from streamkit_spark.streaming.heavyhitters import mg_update
+
+    counters: dict[str, int] = {}
+    dec = mg_update(counters, items, k)
+    true = Counter(items)
+    n = len(items)
+    assert len(counters) <= k
+    assert dec * (k + 1) <= n  # total decrement bound
+    for it, c in true.items():
+        if c > n / (k + 1):
+            assert it in counters
+    for it, c in counters.items():
+        assert c <= true[it] <= c + dec
+    # incremental == one-shot: splitting the stream anywhere is identical
+    half = len(items) // 2
+    c2: dict[str, int] = {}
+    d2 = mg_update(c2, items[:half], k)
+    d2 += mg_update(c2, items[half:], k)
+    assert c2 == counters and d2 == dec
