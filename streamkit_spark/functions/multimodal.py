@@ -135,3 +135,63 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, width int, height int, "
+    "n_bytes_in long, n_bytes_out long"
+)
+
+
+def fake_resize(content: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for a real image resize: stride-samples the
+    byte stream down to exactly ``w*h`` bytes (pads by wrapping when the
+    source is smaller) — stable across runs/partitions, so pipelines and
+    tests can assert exact output shapes without a codec library."""
+    target = max(w * h, 1)
+    if not content:
+        return bytes(target)
+    n = len(content)
+    return bytes(content[(i * n) // target] for i in range(target))
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Map-only media resize via mapInPandas — the thumbnail/normalize
+    pass of an image pipeline.
+
+    Same environment contract as :func:`extract_features`:
+    ``resize_fn=None`` marks the real-codec path (Pillow/ffmpeg) as
+    unavailable and raises NotImplementedError at call time;
+    :func:`fake_resize` exercises the full plumbing deterministically.
+    The binary payload is transformed in place per Arrow batch and NEVER
+    shuffled — downstream writers see the new (smaller) payload plus
+    both byte counts for size accounting."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resize_fn is None:
+                raise NotImplementedError(
+                    "media resize requires an image codec library; "
+                    "not available in this environment (see multimodal.py)"
+                )
+            out_content = pdf.apply(
+                lambda r: resize_fn(r["content"], target_w, target_h), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes_in": pdf["content"].map(len).astype("int64"),
+                    "n_bytes_out": out_content.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

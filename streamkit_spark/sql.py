@@ -95,3 +95,38 @@ def register_curation_views(
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
+
+
+def register_analytics_views(
+    spark: SparkSession, events: DataFrame, prefix: str = "an_"
+) -> list[str]:
+    """Event-analytics views over a (normalized) events frame — the SQL
+    twin of functions/analytics for spark.sql users:
+
+    * ``{p}transitions`` — per-user event-type Markov transition counts
+    * ``{p}cohorts``     — first-day cohorts × 7-day retention buckets
+    * ``{p}histogram``   — fixed-width value histogram per event type
+    * ``{p}outliers``    — Tukey-fence outlier report per event type
+    * ``{p}quantiles``   — exact percentiles + sketch-accuracy contract
+
+    Views are logical plans (no materialization); each inherits the
+    underlying scan's pushdown."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions import analytics as A
+
+    evd = events.select(
+        "user_id", "event_type", "value", "ts", "event_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+    p = prefix
+    views = {
+        f"{p}transitions": A.event_transitions(evd),
+        f"{p}cohorts": A.retention_cohorts(evd, "user_id", "ts_ms"),
+        f"{p}histogram": A.value_histogram(evd),
+        f"{p}outliers": A.iqr_outliers(evd),
+        f"{p}quantiles": A.quantile_report(evd),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

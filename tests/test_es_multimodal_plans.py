@@ -107,6 +107,21 @@ def test_media_stats_no_python(spark):
     assert stats == {"image": 1, "audio": 1, "video": 1}
 
 
+def test_fake_resize_pipeline_shapes(spark):
+    df = _media_df(spark)
+    out = {r["media_id"]: r for r in MM.resize_media(df, 4, 3, MM.fake_resize).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["n_bytes_out"] == 4 * 3 == len(r["content"])
+        assert (r["width"], r["height"]) == (4, 3)
+        assert r["n_bytes_in"] > 0
+    # deterministic stride sample keeps first byte
+    assert out[1]["content"][0] == 0x89
+    # real-codec path stays stubbed
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.resize_media(df, 4, 3, None).collect()
+
+
 # ----------------------------------------------------------------- plans
 
 def test_consume_segment_pushes_predicates(spark):

@@ -86,3 +86,30 @@ def test_curation_views_queryable_from_sql(spark):
         "SELECT count(*) AS n FROM doc_repetition WHERE dup_word_frac > 0.5"
     ).first()["n"]
     assert loops >= 0
+
+
+def test_analytics_views_queryable_from_sql(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.sql import register_analytics_views
+    from tests.conftest import SF_DIR
+
+    ev = tables.load(spark, SF_DIR, "events")
+    names = register_analytics_views(spark, ev)
+    assert names == [
+        "an_cohorts", "an_histogram", "an_outliers", "an_quantiles",
+        "an_transitions",
+    ]
+    # the views compose in plain SQL: transition mass per prev row sums
+    # to ~1, the histogram covers every event, quantiles stay ordered
+    row = spark.sql(
+        """
+        SELECT (SELECT round(sum(p), 0) FROM an_transitions
+                WHERE prev_type = 'click') AS click_mass,
+               (SELECT sum(n) FROM an_histogram) AS hist_rows,
+               (SELECT count(*) FROM an_quantiles
+                WHERE p50 <= p90 AND p90 <= p99) AS ordered_q
+        """
+    ).first()
+    assert row["click_mass"] == 1.0
+    assert row["hist_rows"] == ev.count()
+    assert row["ordered_q"] == 5
