@@ -1618,6 +1618,23 @@ def q_bigram_logprob(spark, sf_dir):
     return C.bigram_logprob(docs)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Top off-diagonal covariance entries of the embedding columns
+    (similarity.covariance_pairs, exact_sums fold path): the distributed
+    second-moment pass PCA / whitening starts from — corpus scanned
+    once, only O(d²) aggregate rows shuffle, d×d result is
+    driver-sized."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cov = SIM.covariance_pairs(emb, exact_sums=True)
+    r = F.round(F.col("cov"), 6)
+    return (
+        cov.filter(F.col("dim_i") < F.col("dim_j"))
+        .select("dim_i", "dim_j", r.alias("cov"))
+        .orderBy(F.abs(r).desc(), "dim_i", "dim_j")
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1692,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_per_source": q_capped_per_source,
         "pmi_top_pairs": q_pmi_top_pairs,
         "bigram_logprob": q_bigram_logprob,
+        "embedding_covariance": q_embedding_covariance,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3382,5 +3400,37 @@ def oracle_sql() -> dict[str, str]:
                    AS logprob
         FROM bg JOIN cab USING (a, b) JOIN ca USING (a), vv
         GROUP BY doc_id ORDER BY doc_id
+    """
+    # embedding_covariance: E[xy] - E[x]E[y] with every sum an id-ordered
+    # left fold (list_sum over list(.. ORDER BY vec_id) == the engine's
+    # array_sort+aggregate fold), arithmetic written in the same order
+    sql["embedding_covariance"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+        ), pairs AS (
+            SELECT vec_id, ii.i AS i, jj.j AS j, e[ii.i] * e[jj.j] AS p
+            FROM v, unnest(generate_series(1, len(e))) AS ii(i),
+                    unnest(generate_series(1, len(e))) AS jj(j)
+            WHERE jj.j >= ii.i
+        ), sums AS (
+            SELECT i, j, list_sum(list(p ORDER BY vec_id)) AS sp
+            FROM pairs GROUP BY 1, 2
+        ), mx AS (
+            SELECT pos, list_sum(list(x ORDER BY vec_id)) AS sx
+            FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos,
+                         unnest(e) AS x FROM v)
+            GROUP BY 1
+        )
+        SELECT dim_i, dim_j, cov FROM (
+            SELECT s.i AS dim_i, s.j AS dim_j,
+                   round(s.sp / nn.n - (mi.sx / nn.n) * (mj.sx / nn.n), 6)
+                       AS cov
+            FROM sums s
+            JOIN mx mi ON s.i = mi.pos
+            JOIN mx mj ON s.j = mj.pos, nn
+            WHERE s.i < s.j)
+        ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20
     """
     return sql

@@ -766,3 +766,148 @@ def kmeans_objective(
         F.avg(F.array_max(scored).getField("s")).alias("obj")
     ).first()
     return float(row["obj"])
+
+
+# ---------------------------------------------------------------------------
+# PCA: distributed second moments, driver-side eigendecomposition
+# ---------------------------------------------------------------------------
+
+def covariance_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_sums: bool = False,
+) -> DataFrame:
+    """Upper-triangle covariance entries of an embedding column:
+    (dim_i, dim_j, cov) with 1-based ``dim_i ≤ dim_j`` and
+    ``cov = E[x_i·x_j] − E[x_i]·E[x_j]``.
+
+    Plan: one in-row pair-product expansion (i ≤ j including the
+    diagonal — d(d+1)/2 terms per row, map-only) + one (i, j)-keyed sum,
+    plus a d-row mean aggregate.  The corpus is scanned once; only
+    O(d²) aggregate rows shuffle.  This is the moment computation PCA,
+    whitening and Mahalanobis scoring all start from — the d×d result is
+    driver-sized while the input never leaves the executors.
+
+    ``exact_sums=True`` switches both sums to the id-ordered left fold
+    (kmeans ``exact_means`` pattern) so a DuckDB twin reproduces every
+    double bit-for-bit; the default map-side-combined sum is the
+    production path."""
+    av = F.col("__v")
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    dim = len(base.select("__v").first()[0])
+    pairs = base.select(
+        "vid",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    av,
+                    lambda x, i: F.transform(
+                        F.slice(av, i + 1, dim),
+                        lambda y, j: F.struct(
+                            (i + 1).alias("i"),
+                            (i + j + 1).alias("j"),
+                            (x * y).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("t"),
+    ).select("vid", F.col("t.i").alias("i"), F.col("t.j").alias("j"), F.col("t.p").alias("p"))
+    if exact_sums:
+        psum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("vid"), F.col("p")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("p"),
+        )
+        msum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("vid"), F.col("x")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        )
+    else:
+        psum = F.sum("p")
+        msum = F.sum("x")
+    n = base.count()
+    sums = pairs.groupBy("i", "j").agg((psum / F.lit(float(n))).alias("exy"))
+    means = (
+        base.select("vid", F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg((msum / F.lit(float(n))).alias("m"))
+        .select((F.col("pos") + 1).alias("pos"), "m")
+    )
+    mi = means.select(F.col("pos").alias("i"), F.col("m").alias("m_i"))
+    mj = means.select(F.col("pos").alias("j"), F.col("m").alias("m_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            (F.col("exy") - F.col("m_i") * F.col("m_j")).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-k principal components: the covariance is computed
+    distributed (:func:`covariance_pairs`), the d×d eigendecomposition
+    runs on the driver (numpy — d is small even when the corpus is not).
+
+    Returns (components [k × d, unit rows with a deterministic sign:
+    largest-|coeff| entry positive], explained_variance [k],
+    mean [d])."""
+    cov_rows = covariance_pairs(df, vec_col, id_col).collect()
+    d = max(r["dim_j"] for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["dim_i"] - 1, r["dim_j"] - 1] = r["cov"]
+        C[r["dim_j"] - 1, r["dim_i"] - 1] = r["cov"]
+    w, v = np.linalg.eigh(C)  # ascending eigenvalues, orthonormal columns
+    order = np.argsort(w)[::-1][:k]
+    comps, variances = [], []
+    for idx in order:
+        vec = v[:, idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        variances.append(float(w[idx]))
+    mean_rows = (
+        df.select(F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mean = [float(r["m"]) for r in mean_rows]
+    return comps, variances, mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only projection onto fixed components: (id, proj array<double>).
+    The k × d component matrix and the mean ride as broadcast literals;
+    each row does k centered dot-product folds — no shuffle at all."""
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lit_vec(mean),
+        lambda x, m: x - m,
+    )
+    projs = F.array(
+        *[_dot_raw(centered, lit_vec(c)) for c in components]
+    )
+    return df.select(F.col(id_col), projs.alias("proj"))

@@ -1,5 +1,14 @@
+from streamkit_spark.streaming.heavyhitters import (
+    heavy_hitters_stream,
+    subscribe_heavy_hitters,
+)
 from streamkit_spark.streaming.joins import interval_join
 from streamkit_spark.streaming.neardup import EmbeddingDupIndex, NearDupIndex
+from streamkit_spark.streaming.rollup import (
+    maintain_rollup,
+    read_rollup,
+    rollup_aggregate,
+)
 from streamkit_spark.streaming.subscribe import (
     at_least_once_dedup,
     status_stream,
@@ -21,4 +30,9 @@ __all__ = [
     "interval_join",
     "format_envelope_lines",
     "parse_envelope_lines",
+    "heavy_hitters_stream",
+    "subscribe_heavy_hitters",
+    "maintain_rollup",
+    "read_rollup",
+    "rollup_aggregate",
 ]

@@ -245,3 +245,61 @@ def test_lit_vec_and_hyperplane_reject_non_finite(spark):
         lit_vec([1.0, float("nan")])
     with _pytest.raises(ValueError, match="non-finite"):
         hyperplane_bucket(F.col("x"), np.array([[1.0, float("inf")]]))
+
+
+def test_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from streamkit_spark.functions.similarity import covariance_pairs
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    X = np.array(
+        [list(r["embedding"]) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    want = np.cov(X, rowvar=False, bias=True)
+    got = covariance_pairs(emb).collect()
+    assert len(got) == X.shape[1] * (X.shape[1] + 1) // 2
+    for r in got:
+        w = want[r["dim_i"] - 1, r["dim_j"] - 1]
+        assert abs(r["cov"] - w) < 1e-9, (r["dim_i"], r["dim_j"])
+
+
+def test_pca_components_and_projection(spark):
+    import numpy as np
+
+    from streamkit_spark.functions.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    comps, variances, mean = pca_components(emb, k=4)
+    C = np.array(comps)
+    # orthonormal rows, descending explained variance
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-8)
+    assert variances == sorted(variances, reverse=True)
+    assert all(v > 0 for v in variances)
+    # numpy parity (top eigenvalues of the sample covariance)
+    X = np.array(
+        [list(r["embedding"]) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    w = np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True))
+    assert np.allclose(sorted(variances, reverse=True), w[::-1][:4], atol=1e-8)
+    # projection: map-only, matches (X - mean) @ C.T
+    proj = {
+        r["vec_id"]: list(r["proj"])
+        for r in pca_project(emb, comps, mean).collect()
+    }
+    want = (X - np.array(mean)) @ C.T
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(proj[vid], want[row_i], atol=1e-6)
+    plan = (
+        pca_project(emb, comps, mean)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "projection must be map-only"
