@@ -1635,6 +1635,17 @@ def q_embedding_covariance(spark, sf_dir):
     )
 
 
+def q_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment (curation.assign_split):
+    id-keyed md5 buckets against cumulative weight thresholds — a doc
+    keeps its split across dataset versions (eval decontamination by
+    construction)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.assign_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1710,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_top_pairs": q_pmi_top_pairs,
         "bigram_logprob": q_bigram_logprob,
         "embedding_covariance": q_embedding_covariance,
+        "split_assignment": q_split_assignment,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3432,5 +3444,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN mx mj ON s.j = mj.pos, nn
             WHERE s.i < s.j)
         ORDER BY abs(cov) DESC, dim_i, dim_j LIMIT 20
+    """
+    # split_assignment: identical cumulative thresholds computed in the
+    # same float arithmetic the engine uses
+    from streamkit_spark.functions.curation import N_SAMPLE_BUCKETS
+    from streamkit_spark.functions.curation import sample_bucket_sql as _sbs
+
+    _w = {"train": 0.98, "val": 0.01, "test": 0.01}
+    _tot = float(sum(_w.values()))
+    _acc, _cases = 0.0, []
+    for _name, _wt in list(_w.items())[:-1]:
+        _acc += float(_wt) / _tot * N_SAMPLE_BUCKETS
+        _cases.append(f"WHEN bucket < {_acc!r} THEN '{_name}'")
+    _last = list(_w.items())[-1][0]
+    sql["split_assignment"] = f"""
+        SELECT doc_id,
+               CASE {' '.join(_cases)} ELSE '{_last}' END AS split
+        FROM (SELECT doc_id, {_sbs("doc_id", "split")} AS bucket
+              FROM documents)
+        ORDER BY doc_id
     """
     return sql

@@ -698,6 +698,36 @@ def stratified_sample(
 # Token-budget mixing plan
 # ---------------------------------------------------------------------------
 
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    chosen by the row's md5 bucket against cumulative weight thresholds
+    (weights need not sum to 1 — they are normalized).
+
+    Same machinery as :func:`sample_bucket`, so the properties carry
+    over: pure map-side expression (no shuffle, no rand()), stable
+    across runs and engines, and id-keyed — a document keeps its split
+    even when the corpus around it grows, which is exactly what keeps
+    eval sets uncontaminated across dataset versions."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = float(sum(weights.values()))
+    bucket = sample_bucket(id_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += float(wt) / total * N_SAMPLE_BUCKETS
+        cond = bucket < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",

@@ -1,3 +1,7 @@
+from streamkit_spark.streaming.anomaly import (
+    ewma_anomalies_stream,
+    subscribe_anomalies,
+)
 from streamkit_spark.streaming.heavyhitters import (
     heavy_hitters_stream,
     subscribe_heavy_hitters,
@@ -35,4 +39,6 @@ __all__ = [
     "maintain_rollup",
     "read_rollup",
     "rollup_aggregate",
+    "ewma_anomalies_stream",
+    "subscribe_anomalies",
 ]

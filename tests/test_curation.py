@@ -439,3 +439,27 @@ def test_bigram_logprob_prefers_common_phrases(spark):
     assert len(got) == 10
     assert all(r["n_bigrams"] == 4 for r in got.values())
     assert got[99]["logprob"] < got[0]["logprob"]
+
+
+def test_assign_split_stable_under_corpus_growth(spark):
+    from streamkit_spark.functions.curation import assign_split
+
+    from streamkit_spark import tables
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    full = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    assert set(full.values()) <= {"train", "val", "test"}
+    # the dominant split dominates
+    n = len(full)
+    assert sum(1 for s in full.values() if s == "train") > 0.9 * n
+    # id-keyed: a doc keeps its split when the corpus shrinks/grows
+    half = {r["doc_id"]: r["split"]
+            for r in assign_split(docs.limit(200)).collect()}
+    for did, s in half.items():
+        assert full[did] == s
+    # custom weights route through the same buckets
+    w = {"a": 0.5, "b": 0.5}
+    ab = {r["doc_id"]: r["split"]
+          for r in assign_split(docs, w, salt="s2").collect()}
+    assert set(ab.values()) == {"a", "b"}
