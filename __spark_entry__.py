@@ -3323,22 +3323,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """
+    # fence arithmetic + comparison on 4dp-ROUNDED percentiles: Spark and
+    # DuckDB interpolate percentiles with a different float op order, so
+    # gating the integer count on the raw fence could flip on an ulp
     sql["iqr_outliers"] = """
         WITH g AS (
             SELECT event_type,
-                   quantile_cont(value, 0.25) AS p25r,
-                   quantile_cont(value, 0.75) AS p75r
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.75), 4) AS p75
             FROM events GROUP BY 1
+        ), f AS (
+            SELECT event_type, p25, p75,
+                   round(p75 + 1.5 * (p75 - p25), 4) AS hi_fence
+            FROM g
         )
-        SELECT e.event_type,
-               round(g.p25r, 4) AS p25,
-               round(g.p75r, 4) AS p75,
-               round(g.p75r + 1.5 * (g.p75r - g.p25r), 4) AS hi_fence,
+        SELECT e.event_type, f.p25, f.p75, f.hi_fence,
                CAST(count(*) AS BIGINT) AS n_outliers,
                round(max(e.value), 4) AS max_value
-        FROM events e JOIN g ON e.event_type = g.event_type
-        WHERE e.value > g.p75r + 1.5 * (g.p75r - g.p25r)
-        GROUP BY 1, g.p25r, g.p75r
+        FROM events e JOIN f ON e.event_type = f.event_type
+        WHERE e.value > f.hi_fence
+        GROUP BY 1, f.p25, f.p75, f.hi_fence
         ORDER BY 1
     """
     # zorder_stats: Morton interleave of (user_id, day) low 16 bits —

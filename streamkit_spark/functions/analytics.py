@@ -140,16 +140,26 @@ def iqr_outliers(
     Plan: one exact-percentile aggregate per group (Spark sorts within
     the group's partial state — group-local, no global sort), broadcast
     the ≤|groups|-row fence table back onto the stream, one filtered
-    count.  The detail scan is map-only after the fence broadcast."""
+    count.  The detail scan is map-only after the fence broadcast.
+
+    Cross-engine determinism: the percentiles are ROUNDED to 4dp before
+    the fence arithmetic and the ``value > fence`` comparison.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate with a
+    different float operation order (lo·(1−g)+hi·g vs lo+g·(hi−lo)), so
+    the raw values can differ by an ulp; gating the integer
+    ``n_outliers`` on the unrounded fence would let that ulp flip a
+    count (the CLAUDE.md round-boundary class)."""
     fences = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.25)").alias("p25"),
-        F.expr(f"percentile({value_col}, 0.75)").alias("p75"),
+        F.round(F.expr(f"percentile({value_col}, 0.25)"), 4).alias("p25"),
+        F.round(F.expr(f"percentile({value_col}, 0.75)"), 4).alias("p75"),
     )
     fences = fences.select(
         group_col,
         "p25",
         "p75",
-        (F.col("p75") + F.lit(k) * (F.col("p75") - F.col("p25"))).alias("hi_fence"),
+        F.round(
+            F.col("p75") + F.lit(k) * (F.col("p75") - F.col("p25")), 4
+        ).alias("hi_fence"),
     )
     return (
         df.join(F.broadcast(fences), group_col)
@@ -161,9 +171,9 @@ def iqr_outliers(
         )
         .select(
             group_col,
-            F.round("p25", 4).alias("p25"),
-            F.round("p75", 4).alias("p75"),
-            F.round("hi_fence", 4).alias("hi_fence"),
+            "p25",
+            "p75",
+            "hi_fence",
             "n_outliers",
             F.round("max_value", 4).alias("max_value"),
         )
@@ -199,7 +209,6 @@ def quantile_report(
     At scale the exact percentile is the expensive one (full sort state
     per group); the contract documents that the sketch you would actually
     run at 100 TB stays within tolerance of it."""
-    qlist = ", ".join(str(q) for q in quantiles)
     exact = [
         F.expr(f"percentile({value_col}, {q})").alias(f"__e{i}")
         for i, q in enumerate(quantiles)

@@ -61,7 +61,10 @@ def cluster_by_zorder(
     NON-OVERLAPPING zkey ranges per output partition (sampled range
     bounds), so every file's min/max zkey is a true pruning interval;
     ``sortWithinPartitions`` tightens parquet row-group stats inside
-    each file."""
+    each file.  The Morton key itself is dropped before returning —
+    readers prune on the DATA columns' min/max stats (Delta/Iceberg
+    ZORDER likewise never persists the key), so the written schema is
+    the input schema."""
     z = zorder_key(cols, bits).alias("__zkey")
     out = df.select("*", z)
     parts = [F.col("__zkey")]
@@ -69,7 +72,7 @@ def cluster_by_zorder(
         clustered = out.repartitionByRange(num_partitions, *parts)
     else:
         clustered = out.repartitionByRange(*parts)
-    return clustered.sortWithinPartitions("__zkey")
+    return clustered.sortWithinPartitions("__zkey").drop("__zkey")
 
 
 def zorder_stats(

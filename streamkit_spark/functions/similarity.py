@@ -772,33 +772,77 @@ def kmeans_objective(
 # PCA: distributed second moments, driver-side eigendecomposition
 # ---------------------------------------------------------------------------
 
+def mean_vector(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_sums: bool = False,
+) -> tuple[list[float], int]:
+    """Per-dimension mean of an embedding column as a plain list, plus
+    the row count — one aggregate pass, d result rows.  The list feeds
+    :func:`covariance_pairs` / :func:`pca_project` as broadcast
+    literals, so downstream passes never recompute it.
+
+    ``exact_sums=True``: id-ordered left-fold sums (deterministic,
+    oracle-reproducible); default is the map-side-combined sum."""
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    if exact_sums:
+        msum = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("vid"), F.col("x")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        )
+    else:
+        msum = F.sum("x")
+    rows = (
+        base.select("vid", F.posexplode("__v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(msum.alias("s"), F.count("*").alias("n"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        return [], 0
+    n = int(rows[0]["n"])
+    return [float(r["s"]) / float(n) for r in rows], n
+
+
 def covariance_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact_sums: bool = False,
+    means: list[float] | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Upper-triangle covariance entries of an embedding column:
     (dim_i, dim_j, cov) with 1-based ``dim_i ≤ dim_j`` and
     ``cov = E[x_i·x_j] − E[x_i]·E[x_j]``.
 
-    Plan: one in-row pair-product expansion (i ≤ j including the
-    diagonal — d(d+1)/2 terms per row, map-only) + one (i, j)-keyed sum,
-    plus a d-row mean aggregate.  The corpus is scanned once; only
-    O(d²) aggregate rows shuffle.  This is the moment computation PCA,
-    whitening and Mahalanobis scoring all start from — the d×d result is
+    Plan: one mean pass (:func:`mean_vector` — skipped when the caller
+    passes ``means``/``n``), then one in-row pair-product expansion
+    (i ≤ j including the diagonal — d(d+1)/2 terms per row, map-only)
+    + one (i, j)-keyed sum.  Two corpus scans total, O(d²) aggregate
+    rows shuffled; the means re-enter as broadcast literals, so no join
+    touches the result.  This is the moment computation PCA, whitening
+    and Mahalanobis scoring all start from — the d×d result is
     driver-sized while the input never leaves the executors.
 
     ``exact_sums=True`` switches both sums to the id-ordered left fold
     (kmeans ``exact_means`` pattern) so a DuckDB twin reproduces every
     double bit-for-bit; the default map-side-combined sum is the
     production path."""
+    if means is None or n is None:
+        means, n = mean_vector(df, vec_col, id_col, exact_sums)
+    dim = len(means)
     av = F.col("__v")
     base = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    dim = len(base.select("__v").first()[0])
     pairs = base.select(
         "vid",
         F.explode(
@@ -823,32 +867,17 @@ def covariance_pairs(
             F.lit(0.0),
             lambda acc, s: acc + s.getField("p"),
         )
-        msum = F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("vid"), F.col("x")))),
-            F.lit(0.0),
-            lambda acc, s: acc + s.getField("x"),
-        )
     else:
         psum = F.sum("p")
-        msum = F.sum("x")
-    n = base.count()
     sums = pairs.groupBy("i", "j").agg((psum / F.lit(float(n))).alias("exy"))
-    means = (
-        base.select("vid", F.posexplode("__v").alias("pos", "x"))
-        .groupBy("pos")
-        .agg((msum / F.lit(float(n))).alias("m"))
-        .select((F.col("pos") + 1).alias("pos"), "m")
-    )
-    mi = means.select(F.col("pos").alias("i"), F.col("m").alias("m_i"))
-    mj = means.select(F.col("pos").alias("j"), F.col("m").alias("m_j"))
-    return (
-        sums.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .select(
-            F.col("i").alias("dim_i"),
-            F.col("j").alias("dim_j"),
-            (F.col("exy") - F.col("m_i") * F.col("m_j")).alias("cov"),
-        )
+    mvec = lit_vec(means)
+    return sums.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        (
+            F.col("exy")
+            - F.element_at(mvec, F.col("i")) * F.element_at(mvec, F.col("j"))
+        ).alias("cov"),
     )
 
 
@@ -864,8 +893,10 @@ def pca_components(
 
     Returns (components [k × d, unit rows with a deterministic sign:
     largest-|coeff| entry positive], explained_variance [k],
-    mean [d])."""
-    cov_rows = covariance_pairs(df, vec_col, id_col).collect()
+    mean [d]).  The mean pass runs once and feeds both the covariance
+    and the returned mean — two corpus scans total."""
+    mean, n = mean_vector(df, vec_col, id_col)
+    cov_rows = covariance_pairs(df, vec_col, id_col, means=mean, n=n).collect()
     d = max(r["dim_j"] for r in cov_rows)
     C = np.zeros((d, d))
     for r in cov_rows:
@@ -881,14 +912,6 @@ def pca_components(
             vec = -vec
         comps.append([float(x) for x in vec])
         variances.append(float(w[idx]))
-    mean_rows = (
-        df.select(F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
-        .orderBy("pos")
-        .collect()
-    )
-    mean = [float(r["m"]) for r in mean_rows]
     return comps, variances, mean
 
 

@@ -133,8 +133,14 @@ def bloom_report(
 ) -> DataFrame:
     """One-row accounting of a Bloom pre-filter vs the exact semi-join:
     (bloom_pass, exact_pass, false_pos).  ``false_pos`` is deterministic
-    given the hash path — the md5 path hash-matches a DuckDB twin."""
-    bloom = bloom_build(keys, key_col, m, h, salt, hash_fn)
+    given the hash path — the md5 path hash-matches a DuckDB twin.
+
+    The bit-set is materialized once (localCheckpoint — it is ≤ m rows
+    by construction): the h semi-joins and the accounting otherwise each
+    re-plan the keys-side scan+explode+distinct pipeline, and AQE
+    exchange reuse across those branches is not guaranteed (the repo's
+    derived-table-self-join lesson)."""
+    bloom = bloom_build(keys, key_col, m, h, salt, hash_fn).localCheckpoint()
     passed = bloom_filter(big, probe_col, bloom, m, h, salt, hash_fn)
     exact = big.join(
         keys.select(F.col(key_col).alias(probe_col)).distinct(), probe_col, "semi"

@@ -56,11 +56,14 @@ def ewma_anomalies_stream(
     def update(key, pdfs, state):
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
         rows = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts"])
-            for ts, x in zip(pdf["ts"], pdf["value"]):
+        # a group larger than arrow maxRecordsPerBatch arrives as SEVERAL
+        # chunks in arbitrary shuffle order — concatenate and sort ONCE;
+        # sorting per chunk would run the EWMA out of time order and
+        # corrupt the baseline exactly when the stream is busiest
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            whole = pd.concat(chunks).sort_values(["ts"])
+            for ts, x in zip(whole["ts"], whole["value"]):
                 x = float(x)
                 if n >= min_obs and var > 0:
                     z = (x - mean) / (var**0.5)

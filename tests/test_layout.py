@@ -48,10 +48,15 @@ def test_cluster_by_zorder_ranges_do_not_overlap(spark):
         "user_id", F.expr("ts div 1000000 div 86400000").alias("day")
     )
     clustered = cluster_by_zorder(ev, ["user_id", "day"], bits=16, num_partitions=8)
+    # the helper column is dropped from the returned frame (written
+    # schema == input schema); recompute the key to audit the ranges
     parts = (
-        clustered.select("__zkey", F.spark_partition_id().alias("pid"))
+        clustered.select(
+            zorder_key(["user_id", "day"], 16).alias("zk"),
+            F.spark_partition_id().alias("pid"),
+        )
         .groupBy("pid")
-        .agg(F.min("__zkey").alias("lo"), F.max("__zkey").alias("hi"))
+        .agg(F.min("zk").alias("lo"), F.max("zk").alias("hi"))
         .orderBy("lo")
         .collect()
     )
