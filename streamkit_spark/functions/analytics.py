@@ -72,28 +72,33 @@ def retention_cohorts(
     day, counted per ``bucket_days``-sized offset bucket —
     (cohort_day, offset_bucket, n_active).
 
-    Two aggregates: per-(user, day) distinct activity (map-side combined),
-    then a min-day per user joined back — the join key is the user id the
-    first aggregate already shuffled on, so AQE coalesces it into the
-    same exchange footprint.  No window at all.  Day and offset bucketing
-    use INTEGER division throughout (no double quotient to truncate)."""
+    Group-and-enumerate, no self-join: per-user day sets are collected
+    once (sorted array — users have bounded distinct DAYS, not events),
+    the cohort is the array head, offsets expand in-row, and one count
+    finishes.  The naive formulation joins the distinct-activity table
+    against its own min-day aggregate — the derived-table self-join
+    CLAUDE.md forbids (the distinct pipeline would be planned twice).
+    Day and offset bucketing use INTEGER division throughout (no double
+    quotient to truncate)."""
     ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
     day = ts_ms.cast("long").alias("__ms")
-    active = (
+    per_user = (
         df.select(F.col(key_col).alias("k"), day)
         .select("k", F.expr("__ms div 86400000").alias("day"))
-        .distinct()
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
     )
-    first = active.groupBy("k").agg(F.min("day").alias("cohort_day"))
     return (
-        active.join(first, "k")
-        .select(
-            "cohort_day",
-            F.expr(f"(day - cohort_day) div {bucket_days}").alias("offset_bucket"),
-            "k",
+        per_user.select(
+            F.expr("days[0]").alias("cohort_day"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(f"transform(days, d -> (d - days[0]) div {bucket_days})")
+                )
+            ).alias("offset_bucket"),
         )
         .groupBy("cohort_day", "offset_bucket")
-        .agg(F.count_distinct("k").alias("n_active"))
+        .agg(F.count("*").cast("long").alias("n_active"))
         .orderBy("cohort_day", "offset_bucket")
     )
 

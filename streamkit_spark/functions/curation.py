@@ -463,7 +463,10 @@ def bigram_logprob(
         ).alias("g"),
     ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
     cab = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    ca = bg.groupBy("a").agg(F.count("*").alias("c_a"))
+    # c_prefix(a) = Σ_b c(ab): derive from the bigram counts instead of
+    # re-aggregating the bg stream — one fewer branch over the
+    # tokenize+explode pipeline (Catalyst plans each branch separately)
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     vocab = base.select(F.explode("__t").alias("w")).agg(
         F.count_distinct("w").alias("V")
     )

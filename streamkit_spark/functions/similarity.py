@@ -67,6 +67,17 @@ def _dot_raw(a: Column, b: Column) -> Column:
     )
 
 
+def _fold_norm(c) -> float:
+    """Driver-side ‖c‖ with the SAME left-fold order as the oracle's
+    ``sqrt(list_sum(list_apply(c, x -> x*x)))`` — oracle-load-bearing:
+    all engine code paths that pre-compute centroid/plane norms must use
+    this one definition so cross-engine score parity cannot drift."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i·b_i in double, left-to-right fold (deterministic)."""
     return _dot_raw(_as_double(a), _as_double(b))
@@ -280,12 +291,6 @@ def _coarse_quantizer(corpus, n_centroids, id_col, vec_col):
         corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
     )
     centroids = [list(r[0]) for r in cent_rows]
-
-    def _fold_norm(c):
-        acc = 0.0
-        for x in c:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
 
     norms = [_fold_norm(c) for c in centroids]
 
@@ -637,12 +642,6 @@ def kmeans_centroids(
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     k = len(centroids)  # corpus may be smaller than the requested k
-    def _fold_norm(c):
-        acc = 0.0
-        for x in c:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
     vecs = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).cache()
@@ -722,12 +721,6 @@ def kmeans_assign(
     centroid id (struct max), mirrored by the oracle's
     ``ORDER BY s DESC, ci DESC``.  ‖c‖ is pre-computed driver-side with
     the same left-fold order as the oracle's ``sqrt(list_sum(...))``."""
-
-    def _fold_norm(c):
-        acc = 0.0
-        for x in c:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
 
     norms = [_fold_norm(c) for c in centroids]
     scored = F.array(

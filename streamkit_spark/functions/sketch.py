@@ -20,8 +20,11 @@ Two hash paths, same pattern as dedup.winnow_fingerprints:
   COUNT (not just a tolerance) hash-matches across engines.
 
 Everything is expressed as DataFrame ops: the bit-set is a ≤``m``-row
-distinct-positions table (broadcast), membership is an h-way explode +
-broadcast semi-join + count==h — no driver-side bit array, no UDF.
+distinct-positions table (broadcast), membership is ``h`` chained
+broadcast SEMI-joins fused into one map stage — no driver-side bit
+array, no UDF.  Callers running several filters against one bit-set
+should materialize it first (``bloom_report`` localCheckpoints it);
+each join branch otherwise re-plans the build pipeline.
 """
 
 from __future__ import annotations

@@ -17,11 +17,16 @@ consumer can see the uncertainty (``count_min = counter``,
 
 Plan shape: ``applyInPandasWithState`` keyed by the group column — state
 is two k-length lists + two longs regardless of stream length; each
-micro-batch does one pandas pass over its group rows.  Batch parity:
-:func:`heavy_hitters_batch` runs the same algorithm eagerly so tests can
-compare the stream's final state with a single-pass run, and the
-guarantee (superset of true > N/(k+1) items) is property-tested against
-an exact groupBy count.
+micro-batch does one pandas pass over its group rows.  The guarantee
+(superset of true > N/(k+1) items, count_min ≤ true ≤ count_max) is
+property-tested against exact counts under arbitrary item order.
+
+Latest-wins consumers (the T3/T4 snapshot pattern) need RETRACTIONS: a
+counter evicted by the k-way cancellation would otherwise survive in
+the sink as a stale "live" heavy hitter.  Each batch therefore also
+emits a tombstone row (``count_min = 0``) for every item that left the
+summary — 0 ≤ true ≤ dec is exactly the MG bound for an absent item,
+so the tombstone is both the retraction signal and a valid bound.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters_stream", "subscribe_heavy_hitters", "mg_update", "heavy_hitters_batch"]
+__all__ = ["heavy_hitters_stream", "subscribe_heavy_hitters", "mg_update"]
 
 
 def mg_update(counters: dict[str, int], items, k: int) -> int:
@@ -61,10 +66,12 @@ def heavy_hitters_stream(
 ) -> DataFrame:
     """Update stream of per-group Misra–Gries summaries.
 
-    Output (update mode, one row per surviving counter per batch):
-    (group, item, count_min, count_max, n_seen) where ``count_min ≤
-    true ≤ count_max`` and every item with true count > n_seen/(k+1) is
-    present."""
+    Output (update mode): one row per surviving counter per batch —
+    (group, item, count_min, count_max, n_seen) with ``count_min ≤
+    true ≤ count_max`` and every item with true count > n_seen/(k+1)
+    present — plus a TOMBSTONE row (count_min = 0, count_max = total
+    decrement) for each item evicted this batch, so latest-wins
+    consumers retract stale entries."""
     import pandas as pd  # noqa: PLC0415
 
     out_schema = (
@@ -79,6 +86,7 @@ def heavy_hitters_stream(
             counters = dict(zip(list(items), list(counts)))
         else:
             counters, n, dec = {}, 0, 0
+        before = set(counters)
         for pdf in pdfs:
             if pdf.empty:
                 continue
@@ -88,18 +96,27 @@ def heavy_hitters_stream(
         state.update(
             (list(counters.keys()), [int(c) for c in counters.values()], n, dec)
         )
-        yield pd.DataFrame(
-            [
-                {
-                    group_col: key[0],
-                    "item": it,
-                    "count_min": c,
-                    "count_max": c + dec,
-                    "n_seen": n,
-                }
-                for it, c in sorted(counters.items())
-            ]
-        )
+        live = [
+            {
+                group_col: key[0],
+                "item": it,
+                "count_min": c,
+                "count_max": c + dec,
+                "n_seen": n,
+            }
+            for it, c in sorted(counters.items())
+        ]
+        gone = [
+            {
+                group_col: key[0],
+                "item": it,
+                "count_min": 0,
+                "count_max": dec,
+                "n_seen": n,
+            }
+            for it in sorted(before - set(counters))
+        ]
+        yield pd.DataFrame(live + gone)
 
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
@@ -132,28 +149,3 @@ def subscribe_heavy_hitters(
         .outputMode("update")
         .start()
     )
-
-
-def heavy_hitters_batch(
-    df: DataFrame,
-    group_col: str = "event_type",
-    item_col: str = "user_id",
-    k: int = 8,
-) -> dict[str, dict]:
-    """Eager single-pass Misra–Gries per group (driver-side, test/parity
-    path — the distributed batch answer is an exact groupBy count).
-    Returns {group: {"counters": {...}, "n": N, "dec": d}}."""
-    out: dict[str, dict] = {}
-    rows = (
-        df.select(
-            F.col(group_col).cast("string").alias("g"),
-            F.col(item_col).cast("string").alias("i"),
-        )
-        .orderBy("g")
-        .collect()
-    )
-    for r in rows:
-        st = out.setdefault(r["g"], {"counters": {}, "n": 0, "dec": 0})
-        st["n"] += 1
-        st["dec"] += mg_update(st["counters"], [r["i"]], k)
-    return out

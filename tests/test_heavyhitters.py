@@ -60,10 +60,13 @@ def test_stream_carries_state_across_batches(spark, tmp_path):
         b2 = [("click", "hot")] * 20 + [("click", f"v{i}") for i in range(5)]
         _drop_file(spark, tmp_path, src, "b2", b2)
         q.processAllAvailable()
+        # latest-wins: the row with the highest n_seen per item (collect
+        # order from a memory sink is not a contract)
         latest = {}
         for r in spark.sql("SELECT * FROM hh_sink").collect():
-            key = (r["event_type"], r["item"], r["n_seen"])
-            latest[r["item"]] = r
+            cur = latest.get(r["item"])
+            if cur is None or r["n_seen"] > cur["n_seen"]:
+                latest[r["item"]] = r
         hot = latest["hot"]
         assert hot["n_seen"] == 60
         true_hot = 50
@@ -100,4 +103,32 @@ def test_stream_guarantee_against_exact_counts(spark, tmp_path):
         assert "dom" in items
         r = items["dom"]
         assert r["count_min"] <= true[(g, "dom")] <= r["count_max"]
-        assert len(items) <= 8
+        live = [r for r in items.values() if r["count_min"] > 0]
+        assert len(live) <= 8
+
+
+def test_evicted_counter_emits_tombstone(spark, tmp_path):
+    src = tmp_path / "ev3"
+    src.mkdir()
+    # batch 1 fills all k=2 counters
+    _drop_file(spark, tmp_path, src, "b1",
+               [("g", "a"), ("g", "a"), ("g", "b")])
+    ev = spark.readStream.schema(EV_SCHEMA).parquet(str(src))
+    q = subscribe_heavy_hitters(ev, "hh_tomb", "event_type", "user_id", k=2)
+    try:
+        q.processAllAvailable()
+        # batch 2: two new singletons cancel b (count 1) out of the table
+        _drop_file(spark, tmp_path, src, "b2", [("g", "c"), ("g", "d")])
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("SELECT * FROM hh_tomb").collect():
+            cur = latest.get(r["item"])
+            if cur is None or r["n_seen"] > cur["n_seen"]:
+                latest[r["item"]] = r
+        # b was evicted → its latest row is a tombstone, not the stale
+        # batch-1 counter
+        assert latest["b"]["count_min"] == 0
+        assert latest["b"]["n_seen"] == 5
+        assert latest["a"]["count_min"] >= 1  # survivor stays live
+    finally:
+        q.stop()
