@@ -1635,6 +1635,20 @@ def q_embedding_covariance(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (curation.weighted_sample, Efraimidis–Spirakis keys in the log
+    domain): 50 docs drawn ∝ length — the resampling step DSIR defers."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        C.weighted_sample(docs, "n_chars", k=50)
+        .select("doc_id", "n_chars", F.round("skey", 6).alias("skey"))
+        .orderBy("doc_id")
+    )
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1722,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "embedding_covariance": q_embedding_covariance,
         "split_assignment": q_split_assignment,
+        "weighted_sample": q_weighted_sample,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3466,6 +3481,21 @@ def oracle_sql() -> dict[str, str]:
                CASE {' '.join(_cases)} ELSE '{_last}' END AS split
         FROM (SELECT doc_id, {_sbs("doc_id", "split")} AS bucket
               FROM documents)
+        ORDER BY doc_id
+    """
+    # weighted_sample: Efraimidis-Spirakis keys, log domain (ln + division
+    # only — no pow), md5-bucket uniform draw
+    sql["weighted_sample"] = f"""
+        SELECT doc_id, n_chars, skey FROM (
+            SELECT doc_id, n_chars,
+                   -- + 0 folds IEEE -0.0 to +0.0 (Spark's round already
+                   -- returns +0.0; DuckDB's keeps the sign)
+                   round(ln(({_sbs("doc_id", "ws")} + 0.5) / 65536.0)
+                         / CAST(n_chars AS DOUBLE), 6) + 0 AS skey,
+                   ln(({_sbs("doc_id", "ws")} + 0.5) / 65536.0)
+                       / CAST(n_chars AS DOUBLE) AS rawkey
+            FROM documents WHERE n_chars > 0
+            ORDER BY rawkey DESC, doc_id LIMIT 50)
         ORDER BY doc_id
     """
     return sql

@@ -731,6 +731,39 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — k rows drawn
+    with probability ∝ weight (Efraimidis & Spirakis, "Weighted random
+    sampling with a reservoir", IPL 2006: rank by u^(1/w)).  Computed in
+    the LOG domain — ``skey = ln(u) / w`` is order-equivalent and uses
+    only ln + division, avoiding cross-engine pow() discrepancies.
+
+    ``u`` derives from the row's md5 bucket ((bucket + 0.5) / 65536), so
+    the draw is reproducible across runs and engines, and re-running
+    with a larger ``k`` extends the sample without reshuffling it (the
+    per-row keys don't change).  This is the resampling step
+    :func:`dsir_weights` defers: pass ``exp(log_w)``-style weights (any
+    positive weight column works).
+
+    Plan: map-only key computation + a global TakeOrdered(k) — no full
+    sort, no shuffle beyond the k-row reduction."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (sample_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(N_SAMPLE_BUCKETS))
+    skey = F.log(u) / w.cast("double")
+    return (
+        df.filter(w > 0)
+        .withColumn("skey", skey)
+        .orderBy(F.col("skey").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str = "source",

@@ -463,3 +463,37 @@ def test_assign_split_stable_under_corpus_growth(spark):
     ab = {r["doc_id"]: r["split"]
           for r in assign_split(docs, w, salt="s2").collect()}
     assert set(ab.values()) == {"a", "b"}
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    import math
+
+    from streamkit_spark.functions.curation import (
+        N_SAMPLE_BUCKETS,
+        weighted_sample,
+    )
+
+    from streamkit_spark import tables
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    got = weighted_sample(docs, "n_chars", k=20).collect()
+    assert len(got) == 20
+    again = weighted_sample(docs, "n_chars", k=20).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+    # larger k extends the sample (keys are per-row, independent of k)
+    bigger = {r["doc_id"] for r in weighted_sample(docs, "n_chars", k=40).collect()}
+    assert {r["doc_id"] for r in got} <= bigger
+    # python replication of the exact key formula
+    from streamkit_spark.functions.curation import sample_bucket  # noqa: F401
+    import hashlib
+
+    def key(doc_id, w):
+        b = int(hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:4], 16)
+        return math.log((b + 0.5) / N_SAMPLE_BUCKETS) / w
+
+    for r in got:
+        assert abs(r["skey"] - key(r["doc_id"], r["n_chars"])) < 1e-12
+    # doubling a row's weight with the same u can only improve its key
+    for r in got:
+        assert key(r["doc_id"], 2 * r["n_chars"]) >= key(r["doc_id"], r["n_chars"])
