@@ -1649,6 +1649,15 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style numeric column statistics (analytics.column_stats):
+    exact ndv, nulls, range, quartiles for user_id and value — one scan,
+    one aggregate, in-row stack unpivot."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.column_stats(_ev(spark, sf_dir), ("user_id", "value"))
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1737,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "split_assignment": q_split_assignment,
         "weighted_sample": q_weighted_sample,
+        "column_stats": q_column_stats,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3498,4 +3508,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rawkey DESC, doc_id LIMIT 50)
         ORDER BY doc_id
     """
+
+    def _colstats(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_count,
+                   round(CAST(min({c}) AS DOUBLE), 4) AS min_value,
+                   round(CAST(max({c}) AS DOUBLE), 4) AS max_value,
+                   round(quantile_cont({c}, 0.25), 4) AS p25,
+                   round(quantile_cont({c}, 0.5), 4) AS p50,
+                   round(quantile_cont({c}, 0.75), 4) AS p75
+            FROM events
+        """
+
+    sql["column_stats"] = (
+        f"SELECT * FROM ({_colstats('user_id')} UNION ALL "
+        f"{_colstats('value')}) ORDER BY col_name"
+    )
     return sql

@@ -25,6 +25,7 @@ __all__ = [
     "value_histogram",
     "iqr_outliers",
     "quantile_report",
+    "column_stats",
 ]
 
 
@@ -236,3 +237,46 @@ def quantile_report(
         for i, q in enumerate(quantiles)
     ]
     return agg.select(*out_cols, ok.alias("approx_ok")).orderBy(group_col)
+
+
+def column_stats(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("user_id", "value"),
+) -> DataFrame:
+    """ANALYZE-style statistics for numeric columns — one row per column:
+    (col_name, ndv, null_count, min_value, max_value, p25, p50, p75).
+    These are the inputs a cost-based optimizer (or a human sizing a
+    join) wants: exact distinct counts, null fraction, range, quartile
+    spread.
+
+    Plan: ONE scan + one aggregate carrying every column's stats side by
+    side (multiple exact count_distincts go through Spark's expand — at
+    100 TB swap them for approx_count_distinct and the rest of the row
+    stays exact), then an in-row ``stack`` unpivots to one row per
+    column.  No joins, no second scan."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count_distinct(col).cast("long").alias(f"__{c}_ndv"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__{c}_nulls"),
+            F.round(F.min(col).cast("double"), 4).alias(f"__{c}_min"),
+            F.round(F.max(col).cast("double"), 4).alias(f"__{c}_max"),
+            F.round(F.expr(f"percentile({c}, 0.25)"), 4).alias(f"__{c}_p25"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"__{c}_p50"),
+            F.round(F.expr(f"percentile({c}, 0.75)"), 4).alias(f"__{c}_p75"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __{c}_ndv, __{c}_nulls, __{c}_min, __{c}_max, "
+        f"__{c}_p25, __{c}_p50, __{c}_p75"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, ndv, null_count, min_value, max_value, p25, p50, p75)"
+        )
+    ).orderBy("col_name")

@@ -147,3 +147,22 @@ def test_quantile_contract_holds_on_fixture(spark):
     ]
     for r in rows:
         assert r["p50"] <= r["p90"] <= r["p99"]
+
+
+def test_column_stats_exact_values(spark):
+    from streamkit_spark.functions.analytics import column_stats
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, None), (3, 40.0)],
+        "user_id long, value double",
+    )
+    got = {r["col_name"]: r for r in column_stats(df, ("user_id", "value")).collect()}
+    u = got["user_id"]
+    assert (u["ndv"], u["null_count"], u["min_value"], u["max_value"]) == (3, 0, 1.0, 3.0)
+    v = got["value"]
+    assert (v["ndv"], v["null_count"], v["min_value"], v["max_value"]) == (3, 1, 10.0, 40.0)
+    import numpy as np
+
+    vals = [10.0, 20.0, 40.0]
+    assert v["p50"] == round(float(np.percentile(vals, 50)), 4)
+    assert v["p25"] == round(float(np.percentile(vals, 25)), 4)
