@@ -1658,6 +1658,20 @@ def q_column_stats(spark, sf_dir):
     return AN.column_stats(_ev(spark, sf_dir), ("user_id", "value"))
 
 
+def q_bpe_fertility(spark, sf_dir):
+    """BPE vocabulary induction (functions.bpe, Sennrich ACL'16) + per-doc
+    fertility: learn 8 merges from the word-count vocabulary (the corpus
+    is scanned once; every iteration aggregates the vocab table), then
+    count words vs subwords per doc.  Iterative/driver-coordinated —
+    rows-only by design (no SQL twin); exact parity with a from-scratch
+    python reference is pytest-enforced (tests/test_bpe.py)."""
+    from streamkit_spark.functions.bpe import apply_merges, learn_bpe_merges
+
+    docs = tables.load(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=8)
+    return apply_merges(docs, merges)
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1747,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": q_split_assignment,
         "weighted_sample": q_weighted_sample,
         "column_stats": q_column_stats,
+        # iterative (driver-coordinated loop) — rows-only by design
+        "bpe_fertility": q_bpe_fertility,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
