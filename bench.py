@@ -54,6 +54,11 @@ HEADLINE = [
     "kmeans_assign",
     "event_transitions",
     "quantile_report",
+    "pmi_top_pairs",
+    "bigram_logprob",
+    "zorder_stats",
+    "column_stats",
+    "bpe_fertility",
 ]
 
 

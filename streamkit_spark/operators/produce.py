@@ -423,6 +423,46 @@ class Store:
         )
         return out[0]
 
+    def file_stats(self, small_file_bytes: int = 32 * 1024 * 1024) -> list[dict]:
+        """Per-space physical-layout report — the signal that schedules
+        :meth:`compact`: one dict per space with n_files, total_bytes,
+        avg_bytes, n_small (files under ``small_file_bytes``), and
+        ``needs_compaction`` (more than one file and a majority small).
+
+        Driver-side directory walk: cost is proportional to the FILE
+        COUNT (the very thing being measured), no data is read.  At the
+        256 MB-target layout of docs/SCALE.md, a healthy space reports
+        n_small ≈ 0; a streaming-append space drifts upward until the
+        scheduled compact."""
+        root = self.events_path
+        out = []
+        if not os.path.isdir(root):
+            return out
+        for entry in sorted(os.listdir(root)):
+            spath = os.path.join(root, entry)
+            if not (os.path.isdir(spath) and "=" in entry):
+                continue
+            sizes = []
+            for d, _, files in os.walk(spath):
+                sizes += [
+                    os.path.getsize(os.path.join(d, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                ]
+            n, total = len(sizes), sum(sizes)
+            small = sum(1 for s in sizes if s < small_file_bytes)
+            out.append(
+                {
+                    "space": entry.split("=", 1)[1],
+                    "n_files": n,
+                    "total_bytes": total,
+                    "avg_bytes": total // n if n else 0,
+                    "n_small": small,
+                    "needs_compaction": n > 1 and small * 2 > n,
+                }
+            )
+        return out
+
     def compact(self, files_per_space: int = 1) -> dict[str, int]:
         """Rewrite the events table into few large files per space, sorted
         by (segment, sequence).

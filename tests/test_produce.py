@@ -278,3 +278,25 @@ def test_concurrent_store_handles_race_single_winner(store, spark):
     assert invariants.check_all(ev) == {
         "i1_contiguity": 0, "i2_density": 0, "i3_trx_monotonic": 0,
     }
+
+
+def test_file_stats_reports_small_files_then_compaction_clears(spark, tmp_path):
+    from streamkit_spark.operators.produce import Store
+
+    store = Store(spark, str(tmp_path / "store_fs"))
+    rows = lambda seqs: [  # noqa: E731
+        {"space": "s", "segment": "a", "sequence": q, "ts": q * 1000,
+         "payload": b"x", "metadata": {}} for q in seqs
+    ]
+    store.produce("s", "a", rows([1, 2]))
+    store.produce("s", "a", rows([3, 4]))
+    store.produce("s", "a", rows([5]))
+    st = {r["space"]: r for r in store.file_stats()}
+    assert st["s"]["n_files"] >= 3  # one file per produce
+    assert st["s"]["n_small"] == st["s"]["n_files"]  # all tiny locally
+    assert st["s"]["needs_compaction"] is True
+    store.compact()
+    st2 = {r["space"]: r for r in store.file_stats()}
+    assert st2["s"]["n_files"] == 1
+    assert st2["s"]["needs_compaction"] is False
+    assert st2["s"]["total_bytes"] > 0
