@@ -3526,16 +3526,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     def _colstats(c: str) -> str:
+        # every round() carries "+ 0": DuckDB keeps IEEE -0.0 where Spark
+        # returns +0.0, and a regenerated fixture with values crossing
+        # zero would hash-mismatch on '-0.0' (the weighted_sample lesson)
         return f"""
             SELECT '{c}' AS col_name,
                    CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
                    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
                         AS BIGINT) AS null_count,
-                   round(CAST(min({c}) AS DOUBLE), 4) AS min_value,
-                   round(CAST(max({c}) AS DOUBLE), 4) AS max_value,
-                   round(quantile_cont({c}, 0.25), 4) AS p25,
-                   round(quantile_cont({c}, 0.5), 4) AS p50,
-                   round(quantile_cont({c}, 0.75), 4) AS p75
+                   round(CAST(min({c}) AS DOUBLE), 4) + 0 AS min_value,
+                   round(CAST(max({c}) AS DOUBLE), 4) + 0 AS max_value,
+                   round(quantile_cont({c}, 0.25), 4) + 0 AS p25,
+                   round(quantile_cont({c}, 0.5), 4) + 0 AS p50,
+                   round(quantile_cont({c}, 0.75), 4) + 0 AS p75
             FROM events
         """
 

@@ -22,7 +22,10 @@ Per iteration:
 No DuckDB oracle: the loop is iterative/driver-coordinated (same class
 as k-means, which IS oracle-checked only because 2 unrolled iterations
 fit in SQL).  Validation is exact parity with a from-scratch python
-reference implementation (tests/test_bpe.py).
+reference implementation (tests/test_bpe.py).  Tokenization is the
+engine's ``text.tokens`` (Java ``\\s+`` = ASCII whitespace) — a parity
+model must split on the same class, not python ``str.split()``, which
+also breaks on U+00A0/U+2009-style Unicode spaces.
 """
 
 from __future__ import annotations
@@ -135,18 +138,22 @@ def apply_merges(
     over per-word symbol arrays; nothing shuffles."""
     from streamkit_spark.functions.text import tokens
 
+    # explode_outer: a doc with zero tokens keeps its row (null word) and
+    # reports (id, 0, 0) instead of silently vanishing from the output
     words = df.select(
         F.col(id_col),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("word"),
     )
     sym = _chars(F.col("word"))
     for a, b in merges:
         sym = _merge_fold(sym, a, b)
+    n_sym = F.when(F.col("word").isNull(), F.lit(0)).otherwise(F.size(sym))
+    has_word = F.when(F.col("word").isNull(), F.lit(0)).otherwise(F.lit(1))
     return (
-        words.select(F.col(id_col), F.size(sym).alias("n_sym"))
+        words.select(F.col(id_col), n_sym.alias("n_sym"), has_word.alias("w"))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_words"),
+            F.sum("w").cast("long").alias("n_words"),
             F.sum("n_sym").cast("long").alias("n_subwords"),
         )
         .orderBy(id_col)

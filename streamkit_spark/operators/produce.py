@@ -71,6 +71,15 @@ def _flock(path: str, exclusive: bool):
         os.close(fd)
 
 
+def _parquet_paths(root: str) -> list[str]:
+    """Every .parquet file under ``root`` (absolute paths) — the ONE
+    file-selection rule, shared by compact and file_stats."""
+    out = []
+    for d, _, files in os.walk(root):
+        out += [os.path.join(d, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
 def _part_dir(space: str, segment: str) -> str:
     """Spark-compatible partition directory for one (space, segment):
     values %-escaped exactly as Spark unescapes them on read."""
@@ -430,37 +439,42 @@ class Store:
         ``needs_compaction`` (more than one file and a majority small).
 
         Driver-side directory walk: cost is proportional to the FILE
-        COUNT (the very thing being measured), no data is read.  At the
-        256 MB-target layout of docs/SCALE.md, a healthy space reports
-        n_small ≈ 0; a streaming-append space drifts upward until the
-        scheduled compact."""
+        COUNT (the very thing being measured), no data is read.  Takes
+        the store flock SHARED (compatible with producers, excludes
+        compact's directory swap); individual files that a concurrent
+        produce rollback removes mid-walk are skipped, not crashed on.
+        Space names are unquoted from the partition-dir encoding (the
+        ``_part_dir`` round trip).  At the 256 MB-target layout of
+        docs/SCALE.md, a healthy space reports n_small ≈ 0; a
+        streaming-append space drifts upward until the scheduled
+        compact."""
         root = self.events_path
         out = []
         if not os.path.isdir(root):
             return out
-        for entry in sorted(os.listdir(root)):
-            spath = os.path.join(root, entry)
-            if not (os.path.isdir(spath) and "=" in entry):
-                continue
-            sizes = []
-            for d, _, files in os.walk(spath):
-                sizes += [
-                    os.path.getsize(os.path.join(d, f))
-                    for f in files
-                    if f.endswith(".parquet")
-                ]
-            n, total = len(sizes), sum(sizes)
-            small = sum(1 for s in sizes if s < small_file_bytes)
-            out.append(
-                {
-                    "space": entry.split("=", 1)[1],
-                    "n_files": n,
-                    "total_bytes": total,
-                    "avg_bytes": total // n if n else 0,
-                    "n_small": small,
-                    "needs_compaction": n > 1 and small * 2 > n,
-                }
-            )
+        with _flock(self._store_lock_path, exclusive=False):
+            for entry in sorted(os.listdir(root)):
+                spath = os.path.join(root, entry)
+                if not (os.path.isdir(spath) and "=" in entry):
+                    continue
+                sizes = []
+                for p in _parquet_paths(spath):
+                    try:
+                        sizes.append(os.path.getsize(p))
+                    except OSError:
+                        continue  # rolled back / renamed between walk+stat
+                n, total = len(sizes), sum(sizes)
+                small = sum(1 for s in sizes if s < small_file_bytes)
+                out.append(
+                    {
+                        "space": urllib.parse.unquote(entry.split("=", 1)[1]),
+                        "n_files": n,
+                        "total_bytes": total,
+                        "avg_bytes": total // n if n else 0,
+                        "n_small": small,
+                        "needs_compaction": n > 1 and small * 2 > n,
+                    }
+                )
         return out
 
     def compact(self, files_per_space: int = 1) -> dict[str, int]:
@@ -488,18 +502,12 @@ class Store:
         import shutil
 
         def count_files(root: str) -> int:
-            total = 0
-            for _, _, files in os.walk(root):
-                total += sum(1 for f in files if f.endswith(".parquet"))
-            return total
+            return len(_parquet_paths(root))
 
         def parquet_files(root: str) -> set[str]:
-            out = set()
-            for d, _, files in os.walk(root):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        out.add(os.path.relpath(os.path.join(d, f), root))
-            return out
+            return {
+                os.path.relpath(p, root) for p in _parquet_paths(root)
+            }
 
         if not self._exists():
             return {"files_before": 0, "files_after": 0}

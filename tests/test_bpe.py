@@ -13,12 +13,22 @@ from streamkit_spark.functions.bpe import (
 )
 
 
+def _ascii_tokens(t: str) -> list[str]:
+    """The engine tokenizer's whitespace class (Java \\s = ASCII only) —
+    python str.split() would also break on U+00A0-style Unicode spaces
+    and diverge from text.tokens on such corpora."""
+    import re
+
+    t = t.strip(" \t\n\x0b\f\r")
+    return re.split(r"[ \t\n\x0b\f\r]+", t) if t else []
+
+
 def _python_bpe(texts: list[str], n_merges: int, min_pair_count: int = 2):
     """Independent reference: Sennrich-style BPE over a word-count
     vocabulary, deterministic (count desc, pair asc) tiebreak."""
     vocab = Counter()
     for t in texts:
-        for w in t.lower().split():
+        for w in _ascii_tokens(t.lower()):
             vocab[w] += 1
     syms = {w: list(w) + [END] for w in vocab}
     merges = []
@@ -74,10 +84,11 @@ def test_segmentation_and_fertility(spark):
     # distributed fold == python greedy scan, word by word
     for doc_id, t in enumerate(texts):
         want = sum(
-            len(bpe_segment_python(w, merges)) for w in t.lower().split()
+            len(bpe_segment_python(w, merges))
+            for w in _ascii_tokens(t.lower())
         )
         assert out[doc_id]["n_subwords"] == want
-        assert out[doc_id]["n_words"] == len(t.split())
+        assert out[doc_id]["n_words"] == len(_ascii_tokens(t))
     # merges strictly reduce symbol counts vs no merges
     none = {r["doc_id"]: r for r in apply_merges(df, []).collect()}
     for doc_id in out:
@@ -88,3 +99,14 @@ def test_stops_when_no_pair_reaches_min_count(spark):
     df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
     # every word is a single char + END: each pair occurs once < 2
     assert learn_bpe_merges(df, n_merges=5, min_pair_count=2) == []
+
+
+def test_apply_merges_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "hello hello"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in apply_merges(df, []).collect()}
+    assert set(out) == {0, 1, 2}, "token-less docs must not vanish"
+    assert (out[1]["n_words"], out[1]["n_subwords"]) == (0, 0)
+    assert (out[2]["n_words"], out[2]["n_subwords"]) == (0, 0)
+    assert out[0]["n_words"] == 2
