@@ -737,6 +737,7 @@ def weighted_sample(
     k: int = 100,
     id_col: str = "doc_id",
     salt: str = "ws",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement — k rows drawn
     with probability ∝ weight (Efraimidis & Spirakis, "Weighted random
@@ -752,15 +753,22 @@ def weighted_sample(
     positive weight column works).
 
     Plan: map-only key computation + a global TakeOrdered(k) — no full
-    sort, no shuffle beyond the k-row reduction."""
+    sort, no shuffle beyond the k-row reduction.  With ``group_col``,
+    the draw is k PER GROUP instead (window rank partitioned by the
+    group — the weighted counterpart of :func:`cap_per_group`)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (sample_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(N_SAMPLE_BUCKETS))
     skey = F.log(u) / w.cast("double")
+    keyed = df.filter(w > 0).withColumn("skey", skey)
+    if group_col is None:
+        return keyed.orderBy(F.col("skey").desc(), F.col(id_col)).limit(k)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
     return (
-        df.filter(w > 0)
-        .withColumn("skey", skey)
-        .orderBy(F.col("skey").desc(), F.col(id_col))
-        .limit(k)
+        keyed.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 

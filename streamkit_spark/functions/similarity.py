@@ -927,3 +927,40 @@ def pca_project(
         *[_dot_raw(centered, lit_vec(c)) for c in components]
     )
     return df.select(F.col(id_col), projs.alias("proj"))
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    components: list[list[float]],
+    variances: list[float],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Approximate Mahalanobis distance per vector from the top-k PCA
+    decomposition: ``score² = Σ_i proj_i² / var_i`` over the retained
+    components — the distribution-aware outlier score (a vector far
+    along a LOW-variance direction is more anomalous than one equally
+    far along a high-variance one).
+
+    Map-only: components/variances/mean ride as broadcast literals from
+    :func:`pca_components`; each row does k centered dot folds + one
+    in-row weighted sum.  Zero exchanges (same contract as
+    :func:`pca_project`).  Output: (id, maha) with maha = sqrt of the
+    truncated quadratic form, rounded 6dp."""
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lit_vec(mean),
+        lambda x, m: x - m,
+    )
+    terms = [
+        (_dot_raw(centered, lit_vec(c)) ** 2) / F.lit(max(v, eps))
+        for c, v in zip(components, variances)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return df.select(
+        F.col(id_col), F.round(F.sqrt(total), 6).alias("maha")
+    )

@@ -497,3 +497,22 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
     # doubling a row's weight with the same u can only improve its key
     for r in got:
         assert key(r["doc_id"], 2 * r["n_chars"]) >= key(r["doc_id"], r["n_chars"])
+
+
+def test_weighted_sample_grouped(spark):
+    from streamkit_spark.functions.curation import weighted_sample
+
+    from streamkit_spark import tables
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    got = weighted_sample(docs, "n_chars", k=3, group_col="source").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= 3 for v in per.values())
+    assert len(per) == docs.select("source").distinct().count()
+    # grouped draw restricted to one group == global draw over that group
+    one = docs.filter("source = 'src0'")
+    solo = {r["doc_id"] for r in weighted_sample(one, "n_chars", k=3).collect()}
+    assert set(per["src0"]) == solo

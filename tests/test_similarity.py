@@ -303,3 +303,34 @@ def test_pca_components_and_projection(spark):
         .toString()
     )
     assert "Exchange" not in plan, "projection must be map-only"
+
+
+def test_mahalanobis_matches_numpy_and_is_map_only(spark):
+    import numpy as np
+
+    from streamkit_spark.functions.similarity import (
+        mahalanobis_scores,
+        pca_components,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    comps, variances, mean = pca_components(emb, k=4)
+    got = {r["vec_id"]: r["maha"] for r in
+           mahalanobis_scores(emb, comps, variances, mean).collect()}
+    X = np.array(
+        [list(r["embedding"]) for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").select("vec_id").collect()]
+    C = np.array(comps)
+    proj = (X - np.array(mean)) @ C.T
+    want = np.sqrt((proj**2 / np.array(variances)).sum(axis=1))
+    for i, vid in enumerate(ids):
+        assert abs(got[vid] - round(float(want[i]), 6)) < 1e-6, vid
+    plan = (
+        mahalanobis_scores(emb, comps, variances, mean)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, "scoring must be map-only"
