@@ -38,13 +38,25 @@ __all__ = ["word_vocab", "learn_bpe_merges", "apply_merges", "bpe_segment_python
 END = "</w>"  # end-of-word marker: lets merges distinguish suffixes
 
 
+def _words(text: Column) -> Column:
+    """Lowercased tokens with EMPTY FRAGMENTS DROPPED: ``text.tokens``
+    trims only 0x20 spaces and Java's split keeps leading/trailing empty
+    strings, so tab/newline-padded text would otherwise contribute ""
+    tokens (counted as words, segmented to [</w>]).  BPE's contracts —
+    (0, 0) for token-less docs, python-reference parity — need the
+    filter regardless of when the engine-wide tokenizer gets the
+    root-cause fix (queued for r4: 23 oracle mirrors must move in
+    lockstep)."""
+    from streamkit_spark.functions.text import tokens
+
+    return F.filter(tokens(F.lower(text)), lambda s: s != "")
+
+
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) counts over lowercased whitespace tokens — the ONLY
     corpus-sized aggregate in BPE training."""
-    from streamkit_spark.functions.text import tokens
-
     return (
-        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        df.select(F.explode(_words(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
@@ -136,13 +148,11 @@ def apply_merges(
     n_subwords) — the fertility statistics that tell you whether the
     vocabulary fits the corpus.  Map-only: each merge is one in-row fold
     over per-word symbol arrays; nothing shuffles."""
-    from streamkit_spark.functions.text import tokens
-
     # explode_outer: a doc with zero tokens keeps its row (null word) and
     # reports (id, 0, 0) instead of silently vanishing from the output
     words = df.select(
         F.col(id_col),
-        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("word"),
+        F.explode_outer(_words(F.col(text_col))).alias("word"),
     )
     sym = _chars(F.col("word"))
     for a, b in merges:

@@ -949,6 +949,13 @@ def mahalanobis_scores(
     in-row weighted sum.  Zero exchanges (same contract as
     :func:`pca_project`).  Output: (id, maha) with maha = sqrt of the
     truncated quadratic form, rounded 6dp."""
+    if not components:
+        raise ValueError("mahalanobis_scores: need at least one component")
+    if len(components) != len(variances):
+        raise ValueError(
+            f"mahalanobis_scores: {len(components)} components vs "
+            f"{len(variances)} variances — zip would silently truncate"
+        )
     centered = F.zip_with(
         F.transform(F.col(vec_col), lambda x: x.cast("double")),
         lit_vec(mean),
