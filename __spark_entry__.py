@@ -1672,6 +1672,27 @@ def q_bpe_fertility(spark, sf_dir):
     return apply_merges(docs, merges)
 
 
+def q_key_skew(spark, sf_dir):
+    """Join-key skew audit (analytics.key_skew_report): the top order
+    custkeys with row share and frequency-over-mean ratio — the number
+    that decides plain shuffle vs AQE skew split vs salting."""
+    from streamkit_spark.functions import analytics as AN
+
+    orders = tables.load(spark, sf_dir, "orders")
+    return AN.key_skew_report(orders, "o_custkey", top_n=10)
+
+
+def q_source_balance(spark, sf_dir):
+    """Corpus concentration audit (analytics.group_balance): top-1/top-5
+    share and the Gini coefficient of per-source doc counts — the
+    is-one-domain-dominating check a training mix runs before
+    cap_per_group / temperature_sample."""
+    from streamkit_spark.functions import analytics as AN
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return AN.group_balance(docs, "source")
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1761,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignment": q_split_assignment,
         "weighted_sample": q_weighted_sample,
         "column_stats": q_column_stats,
+        "key_skew": q_key_skew,
+        "source_balance": q_source_balance,
         # iterative (driver-coordinated loop) — rows-only by design
         "bpe_fertility": q_bpe_fertility,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
@@ -3546,4 +3569,39 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({_colstats('user_id')} UNION ALL "
         f"{_colstats('value')}) ORDER BY col_name"
     )
+    sql["key_skew"] = """
+        WITH c AS (
+            SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ), t AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM c
+        )
+        SELECT CAST(k AS VARCHAR) AS key, n,
+               round(n / CAST(total AS DOUBLE), 4) AS share,
+               round(n * n_keys / CAST(total AS DOUBLE), 2) AS skew_x
+        FROM c, t ORDER BY n DESC, key LIMIT 10
+    """
+    sql["source_balance"] = """
+        WITH c AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ), r AS (
+            SELECT n, row_number() OVER (ORDER BY n ASC, source) AS i
+            FROM c
+        ), t AS (
+            SELECT CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(n) AS BIGINT) AS tt
+            FROM r
+        )
+        SELECT max(t.ng) AS n_groups,
+               CAST(max(t.tt) AS BIGINT) AS total,
+               round(max(r.n) / CAST(max(t.tt) AS DOUBLE), 4) AS top1_share,
+               round(CAST(sum(CASE WHEN r.i > t.ng - 5 THEN r.n ELSE 0 END)
+                          AS DOUBLE) / max(t.tt), 4) AS top5_share,
+               round(CAST(sum((2 * r.i - t.ng - 1) * r.n) AS DOUBLE)
+                     / (max(t.ng) * max(t.tt)), 4) AS gini
+        FROM r, t
+    """
     return sql

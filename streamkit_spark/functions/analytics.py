@@ -26,6 +26,8 @@ __all__ = [
     "iqr_outliers",
     "quantile_report",
     "column_stats",
+    "key_skew_report",
+    "group_balance",
 ]
 
 
@@ -280,3 +282,81 @@ def column_stats(
             "(col_name, ndv, null_count, min_value, max_value, p25, p50, p75)"
         )
     ).orderBy("col_name")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew audit — the number you need BEFORE deciding between
+    a plain shuffle join, AQE skew splitting, or `operators/skew`'s
+    salting: the ``top_n`` heaviest keys with their row share and the
+    key's frequency ratio over the mean (``skew_x``; a key at 50× mean
+    will dominate its shuffle partition).
+
+    Two tiny aggregates: per-key counts (map-side combined), then a
+    one-row total joined back as a broadcast scalar.  Output is
+    ``top_n`` rows whatever the key cardinality."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "n",
+            F.round(F.col("n") / F.col("total"), 4).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total"), 2
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("n"), "key")
+        .limit(top_n)
+    )
+
+
+def group_balance(
+    df: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Concentration audit of a grouping column (is one crawl domain
+    dominating the mix?): one row — n_groups, total, top1_share,
+    top5_share, and the Gini coefficient of the per-group counts
+    (0 = perfectly even, →1 = one group holds everything);
+    ``G = Σ_i (2i − n − 1)·x_i / (n·Σx)`` over counts sorted ascending.
+
+    The per-group count table is small by construction (groups, not
+    rows), so the rank window and the final fold cost nothing; the only
+    corpus-sized work is the first map-side-combined count."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").asc(), F.col(group_col))
+    ranked = counts.select(F.col("n"), F.row_number().over(w).alias("i"))
+    tot = ranked.agg(
+        F.count("*").alias("ng"), F.sum("n").alias("tt")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ng").alias("n_groups"),
+            F.max("tt").cast("long").alias("total"),
+            F.round(F.max("n") / F.max("tt"), 4).alias("top1_share"),
+            F.round(
+                F.sum(
+                    F.when(F.col("i") > F.col("ng") - 5, F.col("n")).otherwise(0)
+                )
+                / F.max("tt"),
+                4,
+            ).alias("top5_share"),
+            F.round(
+                F.sum(
+                    (F.lit(2) * F.col("i") - F.col("ng") - 1) * F.col("n")
+                )
+                / (F.max("ng") * F.max("tt")),
+                4,
+            ).alias("gini"),
+        )
+    )

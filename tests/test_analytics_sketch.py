@@ -166,3 +166,34 @@ def test_column_stats_exact_values(spark):
     vals = [10.0, 20.0, 40.0]
     assert v["p50"] == round(float(np.percentile(vals, 50)), 4)
     assert v["p25"] == round(float(np.percentile(vals, 25)), 4)
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from streamkit_spark.functions.analytics import key_skew_report
+
+    rows = [(1,)] * 90 + [(k,) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long")
+    top = key_skew_report(df, "k", top_n=3).collect()
+    assert top[0]["key"] == "1"
+    assert top[0]["n"] == 90 and top[0]["share"] == 0.9
+    # 11 keys, 100 rows → mean 100/11; key 1 at 90 → skew ≈ 9.9
+    assert top[0]["skew_x"] == round(90 * 11 / 100, 2)
+
+
+def test_group_balance_gini_known_distributions(spark):
+    from streamkit_spark.functions.analytics import group_balance
+
+    even = spark.createDataFrame(
+        [(f"g{i}", j) for i in range(4) for j in range(10)], "g string, x long"
+    )
+    r = group_balance(even, "g").first()
+    assert r["gini"] == 0.0 and r["top1_share"] == 0.25
+    assert r["n_groups"] == 4 and r["total"] == 40
+    skewed = spark.createDataFrame(
+        [("a", j) for j in range(97)] + [("b", 0), ("c", 0), ("d", 0)],
+        "g string, x long",
+    )
+    r2 = group_balance(skewed, "g").first()
+    # counts [1,1,1,97]: G = Σ(2i-n-1)x_i / (nΣx) = (-3-1+1+3*97)/400
+    assert r2["gini"] == round((-3 - 1 + 1 + 3 * 97) / 400, 4)
+    assert r2["top1_share"] == 0.97
