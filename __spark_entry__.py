@@ -1693,6 +1693,18 @@ def q_source_balance(spark, sf_dir):
     return AN.group_balance(docs, "source")
 
 
+def q_weekly_growth(spark, sf_dir):
+    """Week-over-week event-volume trend per type
+    (analytics.period_growth): integer period bucketing, lag window
+    over the groups × weeks aggregate — never the raw stream."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return AN.period_growth(ev, "event_type", "ts_ms", period_days=7)
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1784,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "key_skew": q_key_skew,
         "source_balance": q_source_balance,
+        "weekly_growth": q_weekly_growth,
         # iterative (driver-coordinated loop) — rows-only by design
         "bpe_fertility": q_bpe_fertility,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
@@ -3603,5 +3616,18 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum((2 * r.i - t.ng - 1) * r.n) AS DOUBLE)
                      / (max(t.ng) * max(t.tt)), 4) AS gini
         FROM r, t
+    """
+    sql["weekly_growth"] = """
+        WITH c AS (
+            SELECT event_type,
+                   (epoch_ms(ts) // 86400000) // 7 AS period,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, period, n,
+               round(n / CAST(lag(n) OVER (
+                   PARTITION BY event_type ORDER BY period
+               ) AS DOUBLE) - 1, 4) AS growth
+        FROM c ORDER BY event_type, period
     """
     return sql

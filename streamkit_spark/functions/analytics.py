@@ -28,6 +28,7 @@ __all__ = [
     "column_stats",
     "key_skew_report",
     "group_balance",
+    "period_growth",
 ]
 
 
@@ -359,4 +360,35 @@ def group_balance(
                 4,
             ).alias("gini"),
         )
+    )
+
+
+def period_growth(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_ms: Column | str = "ts_ms",
+    period_days: int = 7,
+) -> DataFrame:
+    """Period-over-period trend per group: (group, period, n, growth)
+    with ``growth = n/prev_n − 1`` (4dp, null for each group's first
+    period).  Integer period bucketing (epoch-days div period) and a lag
+    window over the AGGREGATED table — the window's input is
+    groups × periods rows, never the raw stream, so the only
+    corpus-sized work is the first map-side-combined count."""
+    ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    base = df.select(
+        F.col(group_col).alias("g"), ts_ms.cast("long").alias("__ms")
+    ).select("g", F.expr(f"(__ms div 86400000) div {period_days}").alias("period"))
+    counts = base.groupBy("g", "period").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("g").orderBy("period")
+    return (
+        counts.select(
+            F.col("g").alias(group_col),
+            "period",
+            "n",
+            F.round(
+                F.col("n") / F.lag("n").over(w) - 1, 4
+            ).alias("growth"),
+        )
+        .orderBy(group_col, "period")
     )

@@ -197,3 +197,20 @@ def test_group_balance_gini_known_distributions(spark):
     # counts [1,1,1,97]: G = Σ(2i-n-1)x_i / (nΣx) = (-3-1+1+3*97)/400
     assert r2["gini"] == round((-3 - 1 + 1 + 3 * 97) / 400, 4)
     assert r2["top1_share"] == 0.97
+
+
+def test_period_growth_math(spark):
+    from streamkit_spark.functions.analytics import period_growth
+
+    day = 86400000
+    rows = (
+        [("a", i * day) for i in range(0, 4)]       # week 0: 4 events
+        + [("a", (7 + i) * day) for i in range(0, 6)]   # week 1: 6
+        + [("a", 14 * day)]                              # week 2: 1
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long")
+    got = {r["period"]: (r["n"], r["growth"])
+           for r in period_growth(df, "event_type", "ts_ms", 7).collect()}
+    assert got[0] == (4, None)
+    assert got[1] == (6, 0.5)
+    assert got[2] == (1, round(1 / 6 - 1, 4))
