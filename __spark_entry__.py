@@ -1361,8 +1361,9 @@ def q_dedup_substring(spark, sf_dir):
     ACL'22 ExactSubstr goal): pairs sharing ≥2 distinct window-min
     fingerprints, i.e. long verbatim overlaps.  hash_fn="md5" (not the
     xxhash64 production default) because md5 is byte-identical in DuckDB,
-    so the pair set is fully oracle-checked; a pytest asserts both hash
-    paths select the same pairs on this fixture."""
+    so the pair set is fully oracle-checked; the xxhash64 path is covered
+    by the driver-checked dedup_substring_fast_recall guarantee query and
+    test_winnowing_hash_paths_honor_guarantee."""
     docs = tables.load(spark, sf_dir, "documents")
     return D.substring_dup_pairs(
         docs, k=16, w=8, min_shared=2, hash_fn="md5"
@@ -1389,6 +1390,59 @@ def q_dedup_substring_maxdf(spark, sf_dir):
     return D.substring_dup_pairs(
         docs, k=16, w=8, min_shared=1, max_df=16, hash_fn="md5"
     ).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_substring_fast_recall(spark, sf_dir):
+    """Driver-checkable correctness contract for the xxhash64 winnowing
+    fast path (the production default; DuckDB cannot run xxhash64, so a
+    fingerprint-level oracle is impossible).  Winnowing's detection
+    guarantee (Schleimer et al. SIGMOD'03) is hash-agnostic: any doc pair
+    sharing an exact substring of ≥ k+w-1 = 23 chars selects ≥1 common
+    fingerprint.  Ground truth — distinct pairs sharing any 23-gram — is
+    computed independently on BOTH engines (cross-checking n_true), and
+    the fast path must miss none of them: missed = 0.  Which BORDERLINE
+    pairs appear beyond the guaranteed set legitimately differs between
+    hash functions (window-min selection is hash-dependent), so pair-set
+    equality is deliberately NOT the contract.  Ground truth is
+    group-and-enumerate (no derived-table self-join); it is inherently
+    Θ(pairs-sharing-a-gram) — a verification query, not a production
+    operator."""
+    L = 23  # k + w - 1
+    docs = tables.load(spark, sf_dir, "documents").where(
+        F.length(F.lower(F.col("text"))) >= L
+    )
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, length(lower(text)) - {L - 1}),"
+        f" i -> substr(lower(text), i, {L})))"
+    )
+    g = docs.select(F.col("doc_id"), F.explode(grams).alias("gram"))
+    ids = (
+        g.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    # in-row pair enumeration: two-param HOF lambda is (element, index)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    true_pairs = (
+        ids.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    fast = D.substring_dup_pairs(
+        tables.load(spark, sf_dir, "documents"),
+        k=16, w=8, min_shared=1, hash_fn="xxhash64",
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    j = true_pairs.join(fast, ["doc_a", "doc_b"], "left")
+    return j.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("missed"),
+    )
 
 
 def q_temperature_sample(spark, sf_dir):
@@ -1725,17 +1779,43 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tpch_q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The correctness driver checks the FIRST 50 queries() entries (insertion
+# order).  Names listed here are moved to the front; everything else keeps
+# its literal order below.  Round-4 window = the 12 entries queued from r3
+# (locally verified; VERDICT r3 item #1) + new round-4 queries; the driver
+# union r1-r4 then covers every declared query.  Previously-verified
+# entries that re-enter the window are harmless regression re-checks.
+_DRIVER_WINDOW_FRONT = [
+    "zorder_stats",
+    "capped_per_source",
+    "pmi_top_pairs",
+    "bigram_logprob",
+    "embedding_covariance",
+    "split_assignment",
+    "weighted_sample",
+    "column_stats",
+    "key_skew",
+    "source_balance",
+    "weekly_growth",
+    "bpe_fertility",  # rows-only by design (iterative driver loop)
+    # --- new in round 4 ---
+    "dedup_substring_fast_recall",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the correctness driver checks the FIRST 50 dict
-    # entries (insertion order).  Rounds 1-2 verified the 50 entries now
-    # listed at the BOTTOM (all hash-matched in CORRECTNESS_r01/r02;
-    # regression-guarded by CORRECTNESS_local + pytest).  Round 3 leads
-    # with the 36 queries that had not yet been driver-checked, plus new
-    # round-3 queries, so the union of driver files covers everything.
+    base = _declared_queries()
+    front = {k: base[k] for k in _DRIVER_WINDOW_FRONT}
+    rest = {k: v for k, v in base.items() if k not in front}
+    return {**front, **rest}
+
+
+def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-2 ops not yet driver-verified (VERDICT r2 item #1) ---
         "dedup_substring": q_dedup_substring,
         "dedup_substring_maxdf": q_dedup_substring_maxdf,
+        "dedup_substring_fast_recall": q_dedup_substring_fast_recall,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "dedup_clusters": q_dedup_clusters,
@@ -2033,7 +2113,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5({_norm}) AS fp FROM documents
         WHERE doc_id < 100 ORDER BY doc_id
     """
-    _toks = "string_split_regex(trim(text), '\\s+')"
+    _toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     _stop = "['the','a','of','and','to','in','is','on','for','with','as','at']"
     sql["doc_token_stats"] = f"""
         SELECT doc_id,
@@ -2052,7 +2132,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["dedup_ngram_jaccard"] = """
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -2242,9 +2322,9 @@ def oracle_sql() -> dict[str, str]:
     }
     _score = {
         lang: (
-            f"len(list_filter(string_split_regex(trim(text), '\\s+'),"
+            f"len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),"
             f" t -> list_contains({lst}, lower(t))))::DOUBLE"
-            f" / greatest(len(string_split_regex(trim(text), '\\s+')), 1)"
+            f" / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1)"
         )
         for lang, lst in _sw.items()
     }
@@ -2270,7 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 ORDER BY 1, 2
     """
 
-    _toks2 = "string_split_regex(trim(text), '\\s+')"
+    _toks2 = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     _stop2 = "['the','a','of','and','to','in','is','on','for','with','as','at']"
     sql["doc_quality"] = f"""
         WITH t AS (
@@ -2339,7 +2419,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["top_tokens_per_lang"] = """
         WITH tok AS (
-            SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            SELECT lang, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
             FROM documents
         ), counts AS (
             SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2
@@ -2353,7 +2433,7 @@ def oracle_sql() -> dict[str, str]:
     sql["tfidf_top_terms"] = """
         WITH d AS (SELECT * FROM documents WHERE doc_id < 50),
         tok AS (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
             FROM d
         ), doc_len AS (
             SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1
@@ -2384,7 +2464,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             WHERE rn = 1
         ), toks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
             FROM dedup
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -2404,17 +2484,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM near)
         ), scored AS (
             SELECT lang,
-                   round(least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.3
-                         + (CASE WHEN (list_sum(list_apply(string_split_regex(trim(text), '\\s+'), t -> length(t)))::DOUBLE
-                                       / len(string_split_regex(trim(text), '\\s+'))) BETWEEN 3 AND 10
+                   round(least(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) / 100.0, 1.0) * 0.3
+                         + (CASE WHEN (list_sum(list_apply(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> length(t)))::DOUBLE
+                                       / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) BETWEEN 3 AND 10
                                  THEN 1.0 ELSE 0.5 END) * 0.2
-                         + least((len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         + least((len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
                                        t -> list_contains(['the','a','of','and','to','in','is','on','for','with','as','at'], lower(t))))::DOUBLE
-                                  / len(string_split_regex(trim(text), '\\s+'))) * 4, 1.0) * 0.3
+                                  / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) * 4, 1.0) * 0.3
                          + greatest(1.0 - ((length(text) - length(regexp_replace(text,
                                        '[^\\w \\t\\n]', '', 'g')))::DOUBLE
                                     / length(text)) * 4, 0.0) * 0.2, 4) AS quality,
-                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
             FROM kept
         )
         SELECT lang, count(*) AS n_docs,
@@ -2499,7 +2579,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["doc_chunks"] = """
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
             FROM documents WHERE doc_id < 50
         ), starts AS (
             SELECT doc_id, w, i AS start,
@@ -2580,7 +2660,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sql["dedup_simhash"] = f"""
         WITH tok AS (
-            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
             FROM documents WHERE length(trim(text)) > 0
         ), th AS (
             SELECT doc_id, md5(tok) AS h FROM tok
@@ -2685,7 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         tok AS (
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                        ELSE string_split_regex(trim(text), '\s+') END AS t
+                        ELSE list_filter(string_split_regex(text, '\s+'), x -> x <> '') END AS t
             FROM documents
         )
     """
@@ -2815,6 +2895,24 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= 2
         ORDER BY 1, 2
     """
+    # fast-path recall: DuckDB cannot run xxhash64; the contract is the
+    # hash-agnostic winnowing guarantee — every pair sharing an exact
+    # >= 23-char substring must be found (missed = 0), with the ground
+    # truth n_true computed independently here as a cross-check
+    sql["dedup_substring_fast_recall"] = """
+        WITH g AS (
+            SELECT DISTINCT doc_id, substr(lower(text), i, 23) AS gram
+            FROM documents,
+                 unnest(generate_series(1, length(lower(text)) - 22)) AS u(i)
+            WHERE length(lower(text)) >= 23
+        ), p AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+               CAST(0 AS BIGINT) AS missed
+        FROM p
+    """
     # DSIR: bigram multiset (no DISTINCT), 3-nibble md5 bucket, add-one
     # smoothed bucket models, ln ratio — mirrors curation.dsir_weights
     _nib = lambda h, i: f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
@@ -2907,7 +3005,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, {_wcase} AS w,
                    count(*) AS n_docs,
                    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                            ELSE len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) END) AS BIGINT)
                        AS n_tokens
             FROM documents GROUP BY 1, 2
         )
@@ -3032,7 +3130,7 @@ def oracle_sql() -> dict[str, str]:
     # cluster_id = min doc_id of the component.
     sql["dedup_clusters"] = """
         WITH RECURSIVE toks AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
             FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -3069,7 +3167,7 @@ def oracle_sql() -> dict[str, str]:
     sql["repetition_stats"] = """
         WITH toks AS (
             SELECT doc_id, length(text) AS n_chars,
-                   string_split_regex(trim(lower(text)), '\\s+') AS w
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
             FROM documents
         ), words AS (
             SELECT doc_id, len(w) AS n_words,
@@ -3123,7 +3221,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["vocab_spectrum"] = """
         WITH tok AS (
-            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
             FROM documents
         ), freq AS (
             SELECT tok, count(*) AS freq FROM tok GROUP BY 1
@@ -3142,7 +3240,7 @@ def oracle_sql() -> dict[str, str]:
     # ---- round 3 ----
     sql["dedup_overlap"] = r"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -3171,7 +3269,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["ngram_novelty"] = r"""
         WITH toks AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -3470,7 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, n_ab,
                round(ln((CAST(n_ab AS DOUBLE) * CAST(N AS DOUBLE))
                         / (CAST(ta.n_w AS DOUBLE) * CAST(tb.n_w AS DOUBLE))),
-                     4) AS pmi
+                     4) + 0 AS pmi
         FROM pc JOIN tokc ta ON pc.a = ta.w
                 JOIN tokc tb ON pc.b = tb.w, nn
         ORDER BY pmi DESC, a, b LIMIT 50
@@ -3627,7 +3725,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, period, n,
                round(n / CAST(lag(n) OVER (
                    PARTITION BY event_type ORDER BY period
-               ) AS DOUBLE) - 1, 4) AS growth
+               ) AS DOUBLE) - 1, 4) + 0 AS growth
         FROM c ORDER BY event_type, period
     """
     return sql

@@ -77,12 +77,8 @@ def _dedup_substring_fast(spark, sf_dir):
 EXTRA = {"dedup_substring_fast": _dedup_substring_fast}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
-    spark = get_spark(app_name="streamkit_spark_bench")
-
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    """Median-of-3 timings for every headline query at one scale factor."""
     queries = entry.queries()
     # warm-up: touch each input table so FS cache + codegen are warm
     from streamkit_spark import tables
@@ -112,7 +108,16 @@ def main() -> None:
             f"(runs {[round(r, 3) for r in sorted(runs)]})",
             file=sys.stderr,
         )
+    return timings
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark(app_name="streamkit_spark_bench")
+
+    timings = run_suite(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -128,5 +133,40 @@ def main() -> None:
     )
 
 
+def scaling() -> None:
+    """Scaling probe (``python bench.py --scaling``): the same headline
+    suite at sf0.01 AND sf0.1 (10× the data), written to
+    ``BENCH_scaling.json`` so the flat-or-sublinear claim is
+    machine-checkable round over round.  ``ratio`` is the sf0.1 median
+    over the sf0.01 median — on local[32] a ratio well under 10 means
+    fixed overhead (plan/launch) still dominates and the operator has
+    scan headroom; a ratio at/above the 10× data growth flags a
+    superlinear plan to investigate."""
+    spark = get_spark(app_name="streamkit_spark_bench_scaling")
+    lo = run_suite(spark, "/root/testdata/sf0.01")
+    hi = run_suite(spark, "/root/testdata/sf0.1")
+    out = {
+        q: {
+            "sf0.01": lo[q],
+            "sf0.1": hi[q],
+            "ratio": round(hi[q] / lo[q], 2) if lo[q] > 0 else None,
+        }
+        for q in lo
+    }
+    artifact = {
+        "metric": "headline_scaling_medians_sec",
+        "data_ratio": 10.0,
+        "stat": "median_of_3",
+        "queries": out,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_scaling.json"), "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact))
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv[1:]:
+        scaling()
+    else:
+        main()

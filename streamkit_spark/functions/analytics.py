@@ -11,7 +11,7 @@ sf0.01: per-key exchanges only, map-side combined.
 Float discipline: every statistic either derives from order statistics
 (percentiles — deterministic under any partial-aggregation order) or is
 rounded AFTER an exact integer/decimal aggregate, per the repo's
-determinism rules (CLAUDE.md).
+determinism rules (see the build notes in the repo root).
 """
 
 from __future__ import annotations
@@ -81,7 +81,7 @@ def retention_cohorts(
     the cohort is the array head, offsets expand in-row, and one count
     finishes.  The naive formulation joins the distinct-activity table
     against its own min-day aggregate — the derived-table self-join
-    CLAUDE.md forbids (the distinct pipeline would be planned twice).
+    the build notes forbid (the distinct pipeline would be planned twice).
     Day and offset bucketing use INTEGER division throughout (no double
     quotient to truncate)."""
     ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
@@ -144,7 +144,7 @@ def iqr_outliers(
     n_outliers, max_value).  Everything derives from ORDER STATISTICS
     (exact interpolated percentiles) — deterministic under any partition
     order, unlike mean/stddev fences whose double sums can flip at
-    rounding boundaries (CLAUDE.md).
+    rounding boundaries (build notes).
 
     Plan: one exact-percentile aggregate per group (Spark sorts within
     the group's partial state — group-local, no global sort), broadcast
@@ -157,7 +157,7 @@ def iqr_outliers(
     different float operation order (lo·(1−g)+hi·g vs lo+g·(hi−lo)), so
     the raw values can differ by an ulp; gating the integer
     ``n_outliers`` on the unrounded fence would let that ulp flip a
-    count (the CLAUDE.md round-boundary class)."""
+    count (the build-notes round-boundary class)."""
     fences = df.groupBy(group_col).agg(
         F.round(F.expr(f"percentile({value_col}, 0.25)"), 4).alias("p25"),
         F.round(F.expr(f"percentile({value_col}, 0.75)"), 4).alias("p75"),

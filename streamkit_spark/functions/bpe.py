@@ -39,17 +39,11 @@ END = "</w>"  # end-of-word marker: lets merges distinguish suffixes
 
 
 def _words(text: Column) -> Column:
-    """Lowercased tokens with EMPTY FRAGMENTS DROPPED: ``text.tokens``
-    trims only 0x20 spaces and Java's split keeps leading/trailing empty
-    strings, so tab/newline-padded text would otherwise contribute ""
-    tokens (counted as words, segmented to [</w>]).  BPE's contracts —
-    (0, 0) for token-less docs, python-reference parity — need the
-    filter regardless of when the engine-wide tokenizer gets the
-    root-cause fix (queued for r4: 23 oracle mirrors must move in
-    lockstep)."""
+    """Lowercased whitespace tokens (``text.tokens`` guarantees no empty
+    fragments for any whitespace flavor, including tab/newline padding)."""
     from streamkit_spark.functions.text import tokens
 
-    return F.filter(tokens(F.lower(text)), lambda s: s != "")
+    return tokens(F.lower(text))
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:

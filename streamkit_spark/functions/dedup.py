@@ -748,10 +748,14 @@ def winnow_fingerprints(
     gram, one long per gram; ~2× the whole operator's speed vs md5, which
     digests AND hex-encodes 32 chars per text position) or ``"md5"``
     (byte-identical in DuckDB, used by the declared query so the oracle
-    can mirror the fingerprints).  Winnowing's detection guarantee only
-    needs hash equality on identical grams, so the two paths select the
-    same DOCUMENT PAIRS whenever neither hash collides within a window —
-    overwhelmingly likely at 64 bits (and property-tested on the fixture).
+    can mirror the fingerprints).  NOTE the two paths do NOT select the
+    same fingerprint POSITIONS — which gram wins a window-min depends on
+    the hash values — so borderline pair sets (few shared fps) can differ
+    between hash functions.  What IS hash-agnostic is the detection
+    guarantee: any pair sharing an exact substring of ≥ k+w-1 chars shares
+    ≥1 fingerprint under EITHER hash (asserted per-path by
+    test_winnowing_hash_paths_honor_guarantee and the driver-checked
+    ``dedup_substring_fast_recall`` query).
     """
     txt = _lc(text_col)
     n_grams = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))

@@ -150,7 +150,7 @@ def bloom_report(
     )
     return (
         passed.agg(F.count("*").alias("bloom_pass"))
-        .crossJoin(exact.agg(F.count("*").alias("exact_pass")))
+        .crossJoin(F.broadcast(exact.agg(F.count("*").alias("exact_pass"))))
         .select(
             "bloom_pass",
             "exact_pass",

@@ -26,12 +26,16 @@ DEFAULT_STOPWORDS = STOPWORDS["en"]
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    """Whitespace tokenization → array<string> (empty array for blank text).
+
+    ``array_remove(split(col, '\\s+'), '')`` rather than trim-then-split:
+    ``trim`` strips only 0x20 spaces, so tab/newline-padded text would emit
+    empty-string tokens at the edges (Java ``split`` keeps leading empties,
+    and Spark's SQL ``split`` defaults to limit=-1 which keeps trailing
+    ones too).  Removing empties after the split handles any whitespace
+    flavor, blank strings, and NULLs in one codegen'd expression."""
     c = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(c)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.array_remove(F.split(c, r"\s+"), "")
 
 
 def token_count(col: Column | str) -> Column:

@@ -62,7 +62,10 @@ def ewma_anomalies_stream(
         # corrupt the baseline exactly when the stream is busiest
         chunks = [pdf for pdf in pdfs if not pdf.empty]
         if chunks:
-            whole = pd.concat(chunks).sort_values(["ts"])
+            # secondary key: ts ties arrive in arbitrary chunk order; after
+            # (ts, value) any remaining ties are byte-identical rows, so the
+            # EWMA trajectory is deterministic regardless of arrival order
+            whole = pd.concat(chunks).sort_values(["ts", "value"])
             for ts, x in zip(whole["ts"], whole["value"]):
                 x = float(x)
                 if n >= min_obs and var > 0:

@@ -4,12 +4,13 @@ pattern on Structured Streaming.
 The reference's read surface always aggregates from raw events
 (SegmentStatus scans, internal/enumerate/enumerate.go); a 100 TB event
 table cannot afford that for dashboard-grade queries.  This module keeps
-a day × space rollup table incrementally correct:
+a day × event_type rollup table incrementally correct:
 
 * watermarked event-time tumbling aggregate (bounded state — closed
   windows are evicted once the watermark passes),
-* ``update`` output mode: each micro-batch emits ONLY the (day, space)
-  groups the batch touched, carrying their full new totals,
+* ``update`` output mode: each micro-batch emits ONLY the
+  (day, event_type) groups the batch touched, carrying their full new
+  totals,
 * foreachBatch upsert via DYNAMIC partition overwrite: the sink is a
   parquet table partitioned by exactly the aggregate key, so replacing
   the touched partitions with the emitted rows IS the merge — no
