@@ -29,6 +29,9 @@ __all__ = [
     "key_skew_report",
     "group_balance",
     "period_growth",
+    "gap_filled_daily",
+    "transition_matrix",
+    "event_pagerank",
 ]
 
 
@@ -392,3 +395,144 @@ def period_growth(
         )
         .orderBy(group_col, "period")
     )
+
+
+def gap_filled_daily(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_ms: Column | str = "ts_ms",
+    fill: str = "zero",
+) -> DataFrame:
+    """Daily counts per group with MISSING DAYS MATERIALIZED — the
+    gap-filling primitive dashboards and trend models need (a day with no
+    events must be a 0/carried row, not an absent one).
+
+    Plan shape: the only corpus-sized work is one map-side-combined
+    (group, day) count.  The day spine is ``sequence(min_day, max_day)``
+    from a single 1-row global agg, cross-joined (broadcast — it IS one
+    row) with the distinct groups, then the spine LEFT-joins the counts.
+    Spine cardinality is days × groups — dashboard-sized at any corpus
+    scale, so the join is a broadcast and nothing reshuffles the raw
+    stream.
+
+    ``fill="zero"`` emits n=0 for gap days; ``fill="ffill"`` carries the
+    last observed count forward (first days before any observation stay
+    0).  ``observed`` marks real vs filled rows either way."""
+    if fill not in ("zero", "ffill"):
+        raise ValueError(f"unknown fill: {fill!r}")
+    ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    base = df.select(
+        F.col(group_col).alias("g"),
+        (ts_ms.cast("long") / F.lit(86400000)).cast("long").alias("day"),
+    )
+    counts = base.groupBy("g", "day").agg(F.count("*").alias("n"))
+    bounds = base.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        base.select("g").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("g", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    out = spine.join(counts, ["g", "day"], "left").select(
+        "g",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_raw"),
+        F.col("n").isNotNull().alias("observed"),
+    )
+    if fill == "ffill":
+        w = (
+            Window.partitionBy("g")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        n = F.coalesce(F.last(F.when(F.col("observed"), F.col("n_raw")), True).over(w), F.lit(0))
+    else:
+        n = F.col("n_raw")
+    return out.select(
+        F.col("g").alias(group_col),
+        "day",
+        n.cast("long").alias("n"),
+        "observed",
+    ).orderBy(group_col, "day")
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Unnormalized first-order transition counts (prev_type, next_type,
+    n) — the raw-count twin of ``event_transitions`` (which rounds its
+    probabilities for reporting).  Used by ``event_pagerank``, which
+    needs exact counts to keep the float pipeline deterministic."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        df.select(
+            key_col,
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def event_pagerank(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the event-type transition graph: which states do
+    user journeys concentrate in?  (The damped stationary distribution
+    of the first-order Markov chain — teleportation makes it well-defined
+    even with dangling states.)
+
+    Scale split: the corpus-sized work is ONE distributed transition
+    count (map-side combined, shuffles only (prev, next) pairs); the
+    power iteration then runs on the k×k matrix where k = |event types|
+    — a driver-bounded vocabulary artifact (same contract as the k×dim
+    k-means centroids or the BPE vocab table), NOT per-key state.  Do
+    not call this with an unbounded type vocabulary.
+
+    Determinism: the matrix entries are exact long counts; each
+    iteration folds ``pi[i] * (n_ij / out_i)`` in ascending state order
+    with IEEE double ops, so the trajectory is bit-reproducible and a
+    SQL oracle can replay it exactly (the repo's array-fold parity
+    pattern).  Rounding happens once, on the final vector."""
+    edges = transition_matrix(df, key_col, type_col, order_cols).collect()
+    states = sorted({r["prev_type"] for r in edges} | {r["next_type"] for r in edges})
+    n_states = len(states)
+    if not n_states:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "state string, rank double")
+    out_tot: dict[str, int] = {}
+    for r in edges:
+        out_tot[r["prev_type"]] = out_tot.get(r["prev_type"], 0) + r["n"]
+    # incoming edge lists, each sorted by source state for the fold order
+    incoming: dict[str, list[tuple[str, int]]] = {s: [] for s in states}
+    for r in edges:
+        incoming[r["next_type"]].append((r["prev_type"], r["n"]))
+    for lst in incoming.values():
+        lst.sort()
+    dangling = [s for s in states if s not in out_tot]
+    pi = {s: 1.0 / n_states for s in states}
+    for _ in range(iters):
+        dm = 0.0
+        for s in dangling:  # ascending order fold
+            dm = dm + pi[s]
+        new = {}
+        for j in states:
+            acc = 0.0
+            for i, n_ij in incoming[j]:
+                acc = acc + pi[i] * (n_ij / out_tot[i])
+            new[j] = (1.0 - damping) / n_states + damping * (acc + dm / n_states)
+        pi = new
+    spark = df.sparkSession
+    rows = [(s, round(pi[s], 4) + 0.0) for s in states]
+    return spark.createDataFrame(rows, "state string, rank double").orderBy("state")
