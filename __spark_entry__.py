@@ -1437,9 +1437,12 @@ def q_dedup_substring_fast_recall(spark, sf_dir):
         k=16, w=8, min_shared=1, hash_fn="xxhash64",
     ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
     j = true_pairs.join(fast, ["doc_a", "doc_b"], "left")
+    # coalesce: with zero true pairs sum() is NULL but the oracle says 0
     return j.agg(
         F.count("*").cast("long").alias("n_true"),
-        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("long")
         .alias("missed"),
     )
@@ -1759,6 +1762,62 @@ def q_weekly_growth(spark, sf_dir):
     return AN.period_growth(ev, "event_type", "ts_ms", period_days=7)
 
 
+# --------------------------------------------------------------------------
+# round-5 queries
+# --------------------------------------------------------------------------
+
+def q_gap_filled_daily(spark, sf_dir):
+    """Daily event counts per type with missing days materialized as
+    zero rows (analytics.gap_filled_daily): one map-side-combined
+    (type, day) count; the day spine is a broadcast of
+    days x types — dashboard-sized at any corpus scale."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return AN.gap_filled_daily(ev, "event_type", "ts_ms", fill="zero")
+
+
+def q_gap_filled_ffill(spark, sf_dir):
+    """Gap-filled daily counts with forward-fill carry
+    (analytics.gap_filled_daily, fill='ffill'): gap days repeat the
+    last observed count; days before the first observation stay 0."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return AN.gap_filled_daily(ev, "event_type", "ts_ms", fill="ffill")
+
+
+def q_transition_matrix(spark, sf_dir):
+    """Raw first-order transition counts over per-user event sequences
+    (analytics.transition_matrix): the exact-count twin of
+    event_transitions — lag window partitioned by user, NULL-typed
+    events dropped before the lag."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.transition_matrix(
+        _ev(spark, sf_dir), "user_id", "event_type", ("ts", "event_id")
+    ).orderBy("prev_type", "next_type")
+
+
+def q_event_pagerank(spark, sf_dir):
+    """Damped PageRank over the event-type transition graph
+    (analytics.event_pagerank): corpus-sized work is ONE distributed
+    transition count; the 10-step power iteration runs on the k x k
+    vocabulary matrix with a bit-reproducible ascending-state fold, so
+    the DuckDB oracle replays the trajectory exactly (recursive CTE
+    over list folds)."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.event_pagerank(
+        _ev(spark, sf_dir), "user_id", "event_type", ("ts", "event_id"),
+        iters=10, damping=0.85,
+    )
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1781,25 +1840,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-4 window = the 12 entries queued from r3
-# (locally verified; VERDICT r3 item #1) + new round-4 queries; the driver
-# union r1-r4 then covers every declared query.  Previously-verified
-# entries that re-enter the window are harmless regression re-checks.
+# its literal order below.  Round-5 window (VERDICT r4 item #3): lead with
+# the 4 NEW round-5 queries, then the 46 least-recently-driver-checked
+# entries (r1/r2-era rows re-verified on the regenerated fixtures).  The
+# 4 remaining stale entries (a2_segments, f5_validation_count,
+# set_click_and_purchase, tumbling_daily — all trivial single-table
+# shapes, locally green) queue for the r6 rotation.
 _DRIVER_WINDOW_FRONT = [
-    "zorder_stats",
-    "capped_per_source",
-    "pmi_top_pairs",
-    "bigram_logprob",
-    "embedding_covariance",
-    "split_assignment",
-    "weighted_sample",
-    "column_stats",
-    "key_skew",
-    "source_balance",
-    "weekly_growth",
-    "bpe_fertility",  # rows-only by design (iterative driver loop)
-    # --- new in round 4 ---
-    "dedup_substring_fast_recall",
+    # --- new in round 5 ---
+    "gap_filled_daily",
+    "gap_filled_ffill",
+    "transition_matrix",
+    "event_pagerank",
+    # --- stale re-verification (driver rows last seen r1/r2) ---
+    "s1_consume_segment",
+    "s1_tail_window",
+    "s2_consume_space",
+    "s2_cursor_resume",
+    "s3_consume_merge",
+    "s4_peek",
+    "w1_peek_all",
+    "w2_sequence_gaps",
+    "w3_first_entry",
+    "a1_segment_status",
+    "a2_spaces",
+    "f2_ts_filter_count",
+    "x3_json_extract",
+    "set_click_no_purchase",
+    "session_stats",
+    "rollup_event_counts",
+    "pivot_user_events",
+    "asof_purchase_click",
+    "range_join_nearby",
+    "monthly_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "topk_orders_per_customer",
+    "part_brand_stats",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "doc_token_stats",
+    "lang_summary",
+    "label_centroids",
+    "tfidf_top_terms",
+    "ann_topk_bruteforce",
 ]
 
 
@@ -1879,6 +1978,11 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekly_growth": q_weekly_growth,
         # iterative (driver-coordinated loop) — rows-only by design
         "bpe_fertility": q_bpe_fertility,
+        # --- new in round 5 (snapshot-commit trio, now verified) ---
+        "gap_filled_daily": q_gap_filled_daily,
+        "gap_filled_ffill": q_gap_filled_ffill,
+        "transition_matrix": q_transition_matrix,
+        "event_pagerank": q_event_pagerank,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3727,5 +3831,135 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY event_type ORDER BY period
                ) AS DOUBLE) - 1, 4) + 0 AS growth
         FROM c ORDER BY event_type, period
+    """
+    _GAP_SPINE = """
+        base AS (
+            SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day
+            FROM events
+        ), c AS (
+            SELECT g, day, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(day) AS d0, max(day) AS d1 FROM base
+        ), spine AS (
+            SELECT g, gs.day
+            FROM (SELECT DISTINCT g FROM base)
+            CROSS JOIN (
+                SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+            ) gs
+        ), filled AS (
+            SELECT spine.g, spine.day,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_raw,
+                   c.n IS NOT NULL AS observed
+            FROM spine LEFT JOIN c USING (g, day)
+        )
+    """
+    sql["gap_filled_daily"] = f"""
+        WITH {_GAP_SPINE}
+        SELECT g AS event_type, day, n_raw AS n, observed
+        FROM filled ORDER BY event_type, day
+    """
+    sql["gap_filled_ffill"] = f"""
+        WITH {_GAP_SPINE}
+        SELECT g AS event_type, day,
+               CAST(coalesce(last_value(
+                   CASE WHEN observed THEN n_raw END IGNORE NULLS
+               ) OVER (
+                   PARTITION BY g ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0) AS BIGINT) AS n,
+               observed
+        FROM filled ORDER BY event_type, day
+    """
+    sql["transition_matrix"] = """
+        WITH p AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM p WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # Exact replay of event_pagerank's power iteration: the engine folds
+    # pi[i] * (n_ij / out_i) over incoming edges sorted by source state,
+    # and the dangling mass in ascending state order — list(... ORDER BY)
+    # + list_sum reproduces both left folds bit-for-bit (the repo's
+    # array-fold parity pattern).  Literals are CAST to DOUBLE first so
+    # (1.0 - 0.85) matches IEEE, not exact-decimal, arithmetic.
+    sql["event_pagerank"] = """
+        WITH RECURSIVE p AS (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events WHERE event_type IS NOT NULL
+        ), e AS (
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ), st AS (
+            SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS idx
+            FROM (
+                SELECT DISTINCT prev_type AS s FROM e
+                UNION SELECT DISTINCT next_type FROM e
+            )
+        ), kk AS (
+            SELECT CAST(count(*) AS BIGINT) AS k FROM st
+        ), outdeg AS (
+            SELECT prev_type, sum(n) AS tot FROM e GROUP BY 1
+        ), w AS (
+            SELECT si.idx AS i, sj.idx AS j,
+                   CAST(e.n AS DOUBLE) / CAST(o.tot AS DOUBLE) AS wt
+            FROM e
+            JOIN st si ON si.s = e.prev_type
+            JOIN st sj ON sj.s = e.next_type
+            JOIN outdeg o ON o.prev_type = e.prev_type
+        ), inc AS (
+            SELECT st.idx AS j,
+                   coalesce(lw.lst,
+                            CAST([] AS STRUCT(i BIGINT, wt DOUBLE)[])) AS lst
+            FROM st LEFT JOIN (
+                SELECT j, list({'i': i, 'wt': wt} ORDER BY i) AS lst
+                FROM w GROUP BY j
+            ) lw ON lw.j = st.idx
+        ), mat AS (
+            SELECT list(lst ORDER BY j) AS m FROM inc
+        ), dang AS (
+            SELECT coalesce(list(st.idx ORDER BY st.idx),
+                            CAST([] AS BIGINT[])) AS didx
+            FROM st LEFT JOIN outdeg o ON o.prev_type = st.s
+            WHERE o.prev_type IS NULL
+        ), iter AS (
+            -- k, mat, didx ride along as row columns: DuckDB lambdas may
+            -- reference row columns but not subqueries
+            SELECT 0 AS it,
+                   list_transform(range(1, kk.k + 1),
+                       x -> CAST(1.0 AS DOUBLE) / kk.k) AS pi,
+                   mat.m AS m, dang.didx AS didx, kk.k AS k
+            FROM mat, dang, kk
+            UNION ALL
+            SELECT it + 1,
+                   list_transform(m, inc_l ->
+                       base + d85 * (
+                           coalesce(list_sum(list_transform(inc_l,
+                               ee -> pi[ee.i] * ee.wt)), CAST(0 AS DOUBLE))
+                           + dmk)),
+                   m, didx, k
+            FROM (
+                SELECT it, pi, m, didx, k,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / k
+                           AS base,
+                       CAST(0.85 AS DOUBLE) AS d85,
+                       coalesce(list_sum(list_transform(didx, d -> pi[d])),
+                                CAST(0 AS DOUBLE)) / k AS dmk
+                FROM iter WHERE it < 10
+            )
+        )
+        SELECT st.s AS state,
+               round(f.pi[st.idx], 4) + 0 AS rank
+        FROM st, (SELECT pi FROM iter WHERE it = 10) f
+        ORDER BY state
     """
     return sql

@@ -422,9 +422,8 @@ def gap_filled_daily(
         raise ValueError(f"unknown fill: {fill!r}")
     ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
     base = df.select(
-        F.col(group_col).alias("g"),
-        (ts_ms.cast("long") / F.lit(86400000)).cast("long").alias("day"),
-    )
+        F.col(group_col).alias("g"), ts_ms.cast("long").alias("__ms")
+    ).select("g", F.expr("__ms div 86400000").alias("day"))
     counts = base.groupBy("g", "day").agg(F.count("*").alias("n"))
     bounds = base.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -469,7 +468,8 @@ def transition_matrix(
     needs exact counts to keep the float pipeline deterministic."""
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     return (
-        df.select(
+        df.filter(F.col(type_col).isNotNull())
+        .select(
             key_col,
             F.lag(type_col).over(w).alias("prev_type"),
             F.col(type_col).alias("next_type"),
@@ -487,6 +487,7 @@ def event_pagerank(
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     iters: int = 10,
     damping: float = 0.85,
+    max_states: int = 10_000,
 ) -> DataFrame:
     """PageRank over the event-type transition graph: which states do
     user journeys concentrate in?  (The damped stationary distribution
@@ -504,10 +505,34 @@ def event_pagerank(
     iteration folds ``pi[i] * (n_ij / out_i)`` in ascending state order
     with IEEE double ops, so the trajectory is bit-reproducible and a
     SQL oracle can replay it exactly (the repo's array-fold parity
-    pattern).  Rounding happens once, on the final vector."""
-    edges = transition_matrix(df, key_col, type_col, order_cols).collect()
+    pattern).  Rounding happens once, on the final vector.
+
+    ``max_states`` is a hard guard on the driver-side collect: the edge
+    list is fetched with ``limit(max_states**2 + 1)`` (never unbounded)
+    and a ``ValueError`` is raised if the type vocabulary exceeds the
+    cap — calling this with a high-cardinality column (URLs, user ids)
+    is a usage error, not a driver OOM."""
+    if max_states < 1:
+        raise ValueError(f"max_states must be >= 1, got {max_states}")
+    edge_cap = max_states * max_states
+    edges = (
+        transition_matrix(df, key_col, type_col, order_cols)
+        .limit(edge_cap + 1)
+        .collect()
+    )
+    if len(edges) > edge_cap:
+        raise ValueError(
+            f"transition graph exceeds {edge_cap} edges "
+            f"(max_states={max_states}); event_pagerank is for bounded "
+            f"type vocabularies — pre-bucket '{type_col}' or raise max_states"
+        )
     states = sorted({r["prev_type"] for r in edges} | {r["next_type"] for r in edges})
     n_states = len(states)
+    if n_states > max_states:
+        raise ValueError(
+            f"{n_states} distinct states exceeds max_states={max_states}; "
+            f"pre-bucket '{type_col}' or raise max_states explicitly"
+        )
     if not n_states:
         spark = df.sparkSession
         return spark.createDataFrame([], "state string, rank double")
@@ -534,5 +559,12 @@ def event_pagerank(
             new[j] = (1.0 - damping) / n_states + damping * (acc + dm / n_states)
         pi = new
     spark = df.sparkSession
-    rows = [(s, round(pi[s], 4) + 0.0) for s in states]
-    return spark.createDataFrame(rows, "state string, rank double").orderBy("state")
+    rows = [(s, pi[s]) for s in states]
+    # Round in Spark (HALF_UP), not Python round() (half-even): every
+    # oracle mirror in the repo pairs F.round with DuckDB round, which
+    # agree for positive doubles; Python's banker's rounding does not.
+    return (
+        spark.createDataFrame(rows, "state string, rank double")
+        .select("state", F.round("rank", 4).alias("rank"))
+        .orderBy("state")
+    )

@@ -393,7 +393,7 @@ def pmi_pairs(
         pc.filter(F.col("n_ab") >= min_pair_count)
         .join(tokc.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")), "a")
         .join(tokc.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")), "b")
-        .crossJoin(ndocs)
+        .crossJoin(F.broadcast(ndocs))
         .select("a", "b", "n_ab", F.round(pmi, 4).alias("pmi"))
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(top_n)

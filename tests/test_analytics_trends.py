@@ -1,0 +1,182 @@
+"""Gap-filled daily counts, raw transition matrix, and event-type
+PageRank (analytics.gap_filled_daily / transition_matrix /
+event_pagerank) — unit semantics on hand-built frames plus an
+independent pure-Python PageRank reference."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamkit_spark import tables
+from streamkit_spark.functions.analytics import (
+    event_pagerank,
+    gap_filled_daily,
+    transition_matrix,
+)
+from tests.conftest import SF_DIR
+
+DAY = 86_400_000  # ms
+
+
+def _ev_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long"
+    )
+
+
+# ------------------------------------------------------------ gap filling
+
+def test_gap_filled_zero_materializes_missing_days(spark):
+    df = spark.createDataFrame(
+        [("a", 0 * DAY), ("a", 0 * DAY), ("a", 3 * DAY), ("b", 1 * DAY)],
+        "event_type string, ts_ms long",
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["observed"])
+        for r in gap_filled_daily(df, "event_type", "ts_ms").collect()
+    }
+    # global day span 0..3 for BOTH groups (spine is global bounds x groups)
+    assert len(got) == 8
+    assert got[("a", 0)] == (2, True)
+    assert got[("a", 1)] == (0, False)
+    assert got[("a", 2)] == (0, False)
+    assert got[("a", 3)] == (1, True)
+    assert got[("b", 1)] == (1, True)
+    assert got[("b", 0)] == (0, False)
+    assert got[("b", 3)] == (0, False)
+
+
+def test_gap_filled_ffill_carries_last_observed(spark):
+    df = spark.createDataFrame(
+        [("a", 1 * DAY), ("a", 1 * DAY), ("a", 4 * DAY), ("b", 0 * DAY)],
+        "event_type string, ts_ms long",
+    )
+    got = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in gap_filled_daily(df, "event_type", "ts_ms", fill="ffill").collect()
+    }
+    # before first observation: 0; gaps carry the last observed count
+    assert got[("a", 0)] == 0
+    assert got[("a", 1)] == 2
+    assert got[("a", 2)] == 2
+    assert got[("a", 3)] == 2
+    assert got[("a", 4)] == 1
+    assert got[("b", 0)] == 1
+    assert got[("b", 4)] == 1  # carried from day 0
+
+
+def test_gap_filled_rejects_unknown_fill(spark):
+    df = spark.createDataFrame([("a", 0)], "event_type string, ts_ms long")
+    with pytest.raises(ValueError, match="unknown fill"):
+        gap_filled_daily(df, "event_type", "ts_ms", fill="bogus")
+
+
+# ------------------------------------------------------ transition matrix
+
+def test_transition_matrix_counts_and_null_handling(spark):
+    df = _ev_frame(
+        spark,
+        [
+            (1, "a", 10, 1),
+            (1, "b", 20, 2),
+            (1, "a", 30, 3),
+            (1, None, 40, 4),  # NULL-typed events are dropped pre-lag
+            (1, "b", 50, 5),
+            (2, "a", 10, 1),
+            (2, "b", 20, 2),
+            (3, "solo", 10, 1),  # single event -> no transition
+        ],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_matrix(df).collect()
+    }
+    # user 1 (null removed): a->b, b->a, a->b ; user 2: a->b
+    assert got == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_transition_matrix_orders_by_ts_then_tiebreak(spark):
+    df = _ev_frame(spark, [(1, "x", 10, 2), (1, "y", 10, 1), (1, "z", 5, 9)])
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_matrix(df).collect()
+    }
+    # order: z (ts=5), y (ts=10,id=1), x (ts=10,id=2)
+    assert got == {("z", "y"): 1, ("y", "x"): 1}
+
+
+# ------------------------------------------------------------- pagerank
+
+def _reference_pagerank(edges, iters=10, damping=0.85):
+    """Independent dense-matrix reference (no fold-order tricks)."""
+    states = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    k = len(states)
+    ix = {s: i for i, s in enumerate(states)}
+    out = [0.0] * k
+    for a, _, n in edges:
+        out[ix[a]] += n
+    pi = [1.0 / k] * k
+    for _ in range(iters):
+        dm = sum(pi[i] for i in range(k) if out[i] == 0.0)
+        new = [(1.0 - damping) / k + damping * dm / k] * k
+        for a, b, n in edges:
+            new[ix[b]] += damping * pi[ix[a]] * (n / out[ix[a]])
+        pi = new
+    return dict(zip(states, pi))
+
+
+def test_event_pagerank_matches_reference_and_sums_to_one(spark):
+    # a -> b twice, b -> c once, c dangling
+    df = _ev_frame(
+        spark,
+        [
+            (1, "a", 10, 1), (1, "b", 20, 2),
+            (2, "a", 10, 1), (2, "b", 20, 2), (2, "c", 30, 3),
+        ],
+    )
+    got = {r["state"]: r["rank"] for r in event_pagerank(df).collect()}
+    edges = [("a", "b", 2), ("b", "c", 1)]
+    ref = _reference_pagerank(edges)
+    assert set(got) == set(ref)
+    for s in ref:
+        assert got[s] == pytest.approx(ref[s], abs=1.5e-4)
+    # damped pagerank with dangling redistribution is a distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=5e-4)
+    # sink state c accumulates the most mass
+    assert got["c"] > got["b"] > got["a"]
+
+
+def test_event_pagerank_empty_input(spark):
+    df = _ev_frame(spark, [])
+    assert event_pagerank(df).collect() == []
+    # a single event produces no transitions either
+    df1 = _ev_frame(spark, [(1, "a", 10, 1)])
+    assert event_pagerank(df1).collect() == []
+
+
+def test_event_pagerank_max_states_cap(spark):
+    df = _ev_frame(
+        spark,
+        [(1, "a", 10, 1), (1, "b", 20, 2), (1, "c", 30, 3)],
+    )
+    with pytest.raises(ValueError, match="distinct states exceeds"):
+        event_pagerank(df, max_states=2)
+    with pytest.raises(ValueError, match="max_states must be"):
+        event_pagerank(df, max_states=0)
+
+
+def test_event_pagerank_null_types_do_not_crash(spark):
+    df = _ev_frame(
+        spark, [(1, "a", 10, 1), (1, None, 20, 2), (1, "b", 30, 3)]
+    )
+    got = {r["state"]: r["rank"] for r in event_pagerank(df).collect()}
+    assert set(got) == {"a", "b"}
+
+
+def test_event_pagerank_on_fixture_is_a_distribution(spark):
+    ev = tables.load(spark, SF_DIR, "events")
+    got = event_pagerank(ev, "user_id", "event_type", ("ts", "event_id"))
+    rows = got.collect()
+    assert len(rows) >= 2
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-3)
