@@ -408,12 +408,14 @@ def gap_filled_daily(
     events must be a 0/carried row, not an absent one).
 
     Plan shape: the only corpus-sized work is one map-side-combined
-    (group, day) count.  The day spine is ``sequence(min_day, max_day)``
-    from a single 1-row global agg, cross-joined (broadcast — it IS one
-    row) with the distinct groups, then the spine LEFT-joins the counts.
-    Spine cardinality is days × groups — dashboard-sized at any corpus
-    scale, so the join is a broadcast and nothing reshuffles the raw
-    stream.
+    (group, day) count — the raw stream is scanned EXACTLY once.  Global
+    day bounds come from a partition-less window over that tiny
+    aggregate (groups × observed days — dashboard-sized, so the
+    single-partition window is free), each group folds its days into a
+    map, and the spine is ``explode(sequence(d0, d1))`` per group with a
+    map lookup — a single linear pipeline, no joins, no second scan
+    (a branched ``counts`` would be re-planned per branch; see the build
+    notes on derived-pipeline self-joins).
 
     ``fill="zero"`` emits n=0 for gap days; ``fill="ffill"`` carries the
     last observed count forward (first days before any observation stay
@@ -425,19 +427,25 @@ def gap_filled_daily(
         F.col(group_col).alias("g"), ts_ms.cast("long").alias("__ms")
     ).select("g", F.expr("__ms div 86400000").alias("day"))
     counts = base.groupBy("g", "day").agg(F.count("*").alias("n"))
-    bounds = base.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
+    wg = Window.partitionBy()  # global window over the tiny aggregate only
+    per_g = (
+        counts.withColumn("d0", F.min("day").over(wg))
+        .withColumn("d1", F.max("day").over(wg))
+        .groupBy("g", "d0", "d1")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("day"), F.collect_list("n")
+            ).alias("m")
+        )
     )
-    spine = (
-        base.select("g").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select("g", F.explode(F.sequence("d0", "d1")).alias("day"))
-    )
-    out = spine.join(counts, ["g", "day"], "left").select(
+    lookup = F.element_at(F.col("m"), F.col("day"))
+    out = per_g.select(
+        "g", F.explode(F.sequence("d0", "d1")).alias("day"), "m"
+    ).select(
         "g",
         "day",
-        F.coalesce("n", F.lit(0)).cast("long").alias("n_raw"),
-        F.col("n").isNotNull().alias("observed"),
+        F.coalesce(lookup, F.lit(0)).cast("long").alias("n_raw"),
+        lookup.isNotNull().alias("observed"),
     )
     if fill == "ffill":
         w = (
@@ -488,6 +496,7 @@ def event_pagerank(
     iters: int = 10,
     damping: float = 0.85,
     max_states: int = 10_000,
+    max_edges: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over the event-type transition graph: which states do
     user journeys concentrate in?  (The damped stationary distribution
@@ -507,32 +516,42 @@ def event_pagerank(
     SQL oracle can replay it exactly (the repo's array-fold parity
     pattern).  Rounding happens once, on the final vector.
 
-    ``max_states`` is a hard guard on the driver-side collect: the edge
-    list is fetched with ``limit(max_states**2 + 1)`` (never unbounded)
-    and a ``ValueError`` is raised if the type vocabulary exceeds the
-    cap — calling this with a high-cardinality column (URLs, user ids)
-    is a usage error, not a driver OOM."""
+    ``max_states`` / ``max_edges`` are hard guards that fire BEFORE any
+    large driver-side materialization: the distinct-state count and the
+    edge count are both checked on the (persisted) aggregated transition
+    table — executor-side, spill-safe — and only then is the edge list
+    collected, bounded by ``limit(max_edges + 1)``.  Calling this with a
+    high-cardinality column (URLs, user ids) is a usage error raised as
+    ``ValueError``, not a driver OOM."""
     if max_states < 1:
         raise ValueError(f"max_states must be >= 1, got {max_states}")
-    edge_cap = max_states * max_states
-    edges = (
-        transition_matrix(df, key_col, type_col, order_cols)
-        .limit(edge_cap + 1)
-        .collect()
-    )
-    if len(edges) > edge_cap:
-        raise ValueError(
-            f"transition graph exceeds {edge_cap} edges "
-            f"(max_states={max_states}); event_pagerank is for bounded "
-            f"type vocabularies — pre-bucket '{type_col}' or raise max_states"
+    tm = transition_matrix(df, key_col, type_col, order_cols)
+    tm.persist()
+    try:
+        n_types = (
+            tm.select(
+                F.explode(F.array("prev_type", "next_type")).alias("s")
+            )
+            .agg(F.count_distinct("s"))
+            .first()[0]
         )
+        if n_types > max_states:
+            raise ValueError(
+                f"{n_types} distinct states exceeds max_states="
+                f"{max_states}; event_pagerank is for bounded type "
+                f"vocabularies — pre-bucket '{type_col}' or raise "
+                f"max_states explicitly"
+            )
+        edges = tm.limit(max_edges + 1).collect()
+        if len(edges) > max_edges:
+            raise ValueError(
+                f"transition graph exceeds max_edges={max_edges}; "
+                f"raise max_edges explicitly if the driver can hold it"
+            )
+    finally:
+        tm.unpersist()
     states = sorted({r["prev_type"] for r in edges} | {r["next_type"] for r in edges})
     n_states = len(states)
-    if n_states > max_states:
-        raise ValueError(
-            f"{n_states} distinct states exceeds max_states={max_states}; "
-            f"pre-bucket '{type_col}' or raise max_states explicitly"
-        )
     if not n_states:
         spark = df.sparkSession
         return spark.createDataFrame([], "state string, rank double")

@@ -164,6 +164,8 @@ def test_event_pagerank_max_states_cap(spark):
         event_pagerank(df, max_states=2)
     with pytest.raises(ValueError, match="max_states must be"):
         event_pagerank(df, max_states=0)
+    with pytest.raises(ValueError, match="exceeds max_edges"):
+        event_pagerank(df, max_edges=1)
 
 
 def test_event_pagerank_null_types_do_not_crash(spark):
