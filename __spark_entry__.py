@@ -641,6 +641,31 @@ def q_asof_purchase_click(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_asof_next_view(spark, sf_dir):
+    """Forward as-of with tolerance: each purchase picks up the user's
+    NEXT view at-or-after it, nulled beyond 30 min (operators/asof.py
+    direction='forward', tolerance — pandas merge_asof parity)."""
+    from streamkit_spark.operators.asof import asof_join
+
+    ev = _ev(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms"), "event_type"
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = base.filter(F.col("event_type") == "view").drop("event_type")
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts_ms", right_ts="ts_ms",
+        right_cols=["event_id"], direction="forward", tolerance=1_800_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("ts_ms_asof").alias("next_view_ts"),
+        F.col("event_id_asof").alias("next_view_event"),
+    ).orderBy("event_id")
+
+
 def q_range_join_nearby(spark, sf_dir):
     """Band join: clicks within ±10 min of each error by the same user
     (operators/asof.py range_join — bucketized equi-join)."""
@@ -1818,6 +1843,81 @@ def q_event_pagerank(spark, sf_dir):
     )
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs over an inverted shingle index
+    (dedup.tfidf_cosine_pairs, ngram=3, df-cut 64): idf-weighted binary
+    shingle cosine — unit-normalized weights so the per-term
+    group-and-enumerate pair dot IS the cosine, with both the norm and
+    the dot as ascending-term folds DuckDB replays exactly."""
+    from streamkit_spark.functions import dedup as D
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.tfidf_cosine_pairs(docs, threshold=0.3, max_df=64, ngram=3)
+
+
+def q_doc_length_deciles(spark, sf_dir):
+    """Per-decile document-length report (analytics.rank_buckets):
+    exact rank-decile assignment via integer math on the distinct-score
+    table — no global sort, no interpolated thresholds — then a
+    per-bucket aggregate."""
+    from streamkit_spark.functions import analytics as AN
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        AN.rank_buckets(docs, "n_chars", 10)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_user_accumulation(spark, sf_dir):
+    """Cumulative unique users per day (analytics.user_accumulation):
+    the scalable rewrite of a running COUNT(DISTINCT) — per-user
+    first-day aggregate, then a cumulative sum over the calendar-sized
+    day table."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    return AN.user_accumulation(ev, "user_id", "ts_ms")
+
+
+def q_salted_brand_revenue(spark, sf_dir):
+    """Per-brand revenue through a SALTED join (util.salted_join,
+    salt=8): lineitem scattered across 8 sub-keys per part key, part
+    replicated 8x — the hot-key-proof plan shape, producing rows
+    identical to the plain equi-join (which is exactly what the oracle
+    runs)."""
+    from streamkit_spark.functions.util import salted_join
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -1983,6 +2083,12 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_filled_ffill": q_gap_filled_ffill,
         "transition_matrix": q_transition_matrix,
         "event_pagerank": q_event_pagerank,
+        # --- locally verified, rotate into the driver window in r6 ---
+        "tfidf_cosine": q_tfidf_cosine,
+        "doc_length_deciles": q_doc_length_deciles,
+        "asof_next_view": q_asof_next_view,
+        "user_accumulation": q_user_accumulation,
+        "salted_brand_revenue": q_salted_brand_revenue,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -2314,6 +2420,21 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM base WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM base WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+        ORDER BY p.event_id
+    """
+    sql["asof_next_view"] = """
+        WITH base AS (
+            SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type
+            FROM events
+        )
+        SELECT p.event_id, p.user_id, p.ts_ms,
+               CASE WHEN v.ts_ms <= p.ts_ms + 1800000
+                    THEN v.ts_ms END AS next_view_ts,
+               CASE WHEN v.ts_ms <= p.ts_ms + 1800000
+                    THEN v.event_id END AS next_view_event
+        FROM (SELECT * FROM base WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM base WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts_ms <= v.ts_ms
         ORDER BY p.event_id
     """
     sql["range_join_nearby"] = """
@@ -3961,5 +4082,111 @@ def oracle_sql() -> dict[str, str]:
                round(f.pi[st.idx], 4) + 0 AS rank
         FROM st, (SELECT pi FROM iter WHERE it = 10) f
         ORDER BY state
+    """
+    # Mirrors dedup.tfidf_cosine_pairs(ngram=3, max_df=64, threshold=0.3):
+    # binary shingle tf, idf = ln(N/df) on the df-pruned vocab, per-doc
+    # norm and per-pair dot both replayed as ascending-key list folds.
+    sql["tfidf_cosine"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+            FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+        ), tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM sh GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        ), tfd AS (
+            SELECT doc_id, term,
+                   CAST(tf AS DOUBLE)
+                       * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                       AS wgt
+            FROM tf JOIN dfq USING (term), nd
+            WHERE df <= 64
+        ), vec AS (
+            SELECT doc_id, list({'term': term, 'wgt': wgt} ORDER BY term) AS tv
+            FROM tfd GROUP BY doc_id
+        ), vecn AS (
+            SELECT doc_id, tv,
+                   sqrt(list_sum(list_transform(tv, x -> x.wgt * x.wgt)))
+                       AS nrm
+            FROM vec
+        ), post AS (
+            SELECT t.term AS term, doc_id, t.wgt / nrm AS uw
+            FROM (SELECT doc_id, nrm, unnest(tv) AS t
+                  FROM vecn WHERE nrm > 0)
+        ), cand AS (
+            SELECT term, list({'d': doc_id, 'u': uw} ORDER BY doc_id) AS ps
+            FROM post GROUP BY term HAVING count(*) >= 2
+        ), pr AS (
+            SELECT term, ps[i].d AS a, ps[j].d AS b, ps[i].u * ps[j].u AS prod
+            FROM cand,
+                 unnest(range(1, len(ps) + 1)) AS u1(i),
+                 unnest(range(1, len(ps) + 1)) AS u2(j)
+            WHERE i < j
+        ), dots AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared,
+                   list_sum(list(prod ORDER BY term)) AS c_raw
+            FROM pr GROUP BY a, b
+        )
+        SELECT a AS doc_a, b AS doc_b, n_shared,
+               round(c_raw, 4) + 0 AS cosine
+        FROM dots WHERE c_raw >= CAST(0.3 AS DOUBLE)
+        ORDER BY doc_a, doc_b
+    """
+    # the oracle is the PLAIN join — salted_join's contract is row-
+    # identical results, so the hash compare is the parity proof
+    sql["salted_brand_revenue"] = """
+        SELECT p_brand,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """
+    sql["user_accumulation"] = """
+        WITH fd AS (
+            SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+            FROM events GROUP BY 1
+        ), pd AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS new_users
+            FROM fd GROUP BY 1
+        )
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM pd ORDER BY day
+    """
+    # Mirrors analytics.rank_buckets(n_buckets=10): bucket = least(
+    # (10 * strictly-smaller-count) div N, 9) — pure integer math on the
+    # distinct-score table, ties share a bucket by construction.
+    sql["doc_length_deciles"] = """
+        WITH sc AS (
+            SELECT n_chars AS s, CAST(count(*) AS BIGINT) AS c
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        ), b AS (
+            SELECT s,
+                   CAST(least(
+                       (10 * coalesce(CAST(sum(c) OVER (
+                            ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) AS BIGINT), 0))
+                       // CAST(sum(c) OVER () AS BIGINT),
+                       9) AS BIGINT) AS bucket
+            FROM sc
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents JOIN b ON documents.n_chars = b.s
+        GROUP BY 1 ORDER BY 1
     """
     return sql

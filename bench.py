@@ -59,6 +59,11 @@ HEADLINE = [
     "zorder_stats",
     "column_stats",
     "bpe_fertility",
+    # round 5: weighted lexical dedup, gap filling, pagerank, salting
+    "tfidf_cosine",
+    "gap_filled_daily",
+    "event_pagerank",
+    "salted_brand_revenue",
 ]
 
 

@@ -32,6 +32,8 @@ __all__ = [
     "gap_filled_daily",
     "transition_matrix",
     "event_pagerank",
+    "rank_buckets",
+    "user_accumulation",
 ]
 
 
@@ -586,4 +588,83 @@ def event_pagerank(
         spark.createDataFrame(rows, "state string, rank double")
         .select("state", F.round("rank", 4).alias("rank"))
         .orderBy("state")
+    )
+
+
+def rank_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact rank-based bucket assignment (decile/percentile binning)
+    WITHOUT a global sort: ``bucket(x) = (n_buckets * |{score < x}|) div
+    N`` — pure integer math, so ties always share a bucket and the
+    assignment is deterministic and oracle-replayable (interpolated
+    quantile thresholds are not: the two engines associate the float
+    interpolation differently and a threshold 1 ulp from an integer
+    score flips a bucket).
+
+    Plan: one map-side-combined count per DISTINCT score, a cumulative
+    window over that (bounded by score cardinality, not corpus size),
+    then an equi-join back on the score — AQE broadcasts the tiny
+    bucket-map side.  ntile()/percent_rank() would move the whole corpus
+    through one global sort; this never sorts the raw stream.
+
+    Rows with NULL score keep a NULL bucket (left join).  The top bucket
+    caps at ``n_buckets - 1``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    sc = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count("*").cast("long").alias("__c")
+    ).where(F.col("__s").isNotNull())
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    wg = Window.partitionBy()  # global scalars over the tiny distinct table
+    bmap = sc.select(
+        "__s",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__cb"),
+        F.sum("__c").over(wg).alias("__n"),
+    ).select(
+        "__s",
+        F.least(
+            F.expr(f"({n_buckets} * __cb) div __n"), F.lit(n_buckets - 1)
+        ).cast("long").alias(out_col),
+    )
+    return df.join(
+        bmap, df[score_col] == bmap["__s"], "left"
+    ).drop("__s")
+
+
+def user_accumulation(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_ms: Column | str = "ts_ms",
+) -> DataFrame:
+    """Cumulative unique users per day: (day, new_users, cum_users).
+
+    The scalable reformulation of "running COUNT(DISTINCT user)": a
+    running distinct needs the full user set as window state (corpus-
+    sized, unmergeable).  But a user enters the cumulative count exactly
+    once — on their FIRST day — so: per-user min(day) (one map-side-
+    combined aggregate), count users per first-day (tiny), cumulative
+    sum over the day table (bounded by the calendar, not the corpus).
+    Exact longs throughout."""
+    ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
+    first_day = (
+        df.select(F.col(key_col).alias("k"), ts_ms.cast("long").alias("__ms"))
+        .select("k", F.expr("__ms div 86400000").alias("day"))
+        .groupBy("k")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("day")
     )

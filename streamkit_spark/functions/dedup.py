@@ -849,3 +849,127 @@ def substring_dup_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int = 64,
+    ngram: int = 1,
+) -> DataFrame:
+    """Lexical near-dup pairs by TF-IDF cosine over an inverted index:
+    (doc_a, doc_b, n_shared, cosine) with doc_a < doc_b and cosine ≥
+    ``threshold``, computed on the df-pruned vocabulary.
+
+    ``ngram=1`` weights whole words by tf·idf; ``ngram≥2`` switches the
+    term unit to word n-gram shingles (per-doc distinct, so tf is
+    binary — idf-weighted shingle cosine), the right unit when the word
+    vocabulary is small relative to the corpus.
+
+    The missing strategy between n-gram Jaccard (set overlap — ignores
+    term weighting) and embedding cosine (needs a model): classic sparse
+    cosine catches template/boilerplate rewrites where rare-term WEIGHT
+    agreement matters more than shingle identity.
+
+    Scale shape (the jaccard/minhash playbook):
+
+    * one corpus-sized (doc, term) count — map-side combined;
+    * document frequencies via a vocab-sized groupBy, joined back (AQE
+      splits the hot-term skew; same shape the prefix filter uses);
+    * the ``df ≤ max_df`` cut drops high-df terms BEFORE any pair work —
+      they carry near-zero idf anyway, and per-term candidate fan-out is
+      then bounded by ``max_df²`` by construction (no quadratic hot key);
+    * weights are unit-normalized per doc (w/‖w‖) so the pair dot product
+      IS the cosine — no norms join on the pair table;
+    * pairs come from group-and-enumerate per term (in-row pair explode —
+      never a self-join of the derived postings pipeline).
+
+    Determinism (oracle-replayable): tf and df are exact longs; the
+    per-doc norm folds w² over terms in ascending term order, and the
+    pair dot folds shared-term products in ascending term order
+    (array_sort + aggregate — DuckDB replays both with
+    ``list_sum(list(x ORDER BY k))``).  The threshold compares the
+    UNROUNDED fold on both engines; rounding happens once on output.
+    """
+    unit = tokens(_lc(text_col)) if ngram <= 1 else word_ngrams(_lc(text_col), ngram)
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(unit).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    ndocs = df.agg(F.count("*").cast("long").alias("n_docs"))
+    tfd = (
+        tf.join(dfreq.where(F.col("df") <= max_df), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("wgt"),
+        )
+    )
+    # per-doc vector: sorted (term, wgt) array is both the norm-fold input
+    # and the postings source — the aggregate is the materialization
+    # barrier that keeps the expensive pipeline single-planned
+    vec = (
+        tfd.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("term", "wgt"))).alias("tv"))
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    "tv",
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x.getField("wgt") * x.getField("wgt"),
+                )
+            ),
+        )
+        .where(F.col("nrm") > 0)
+    )
+    post = vec.select(
+        "doc_id", "nrm", F.explode("tv").alias("t")
+    ).select(
+        F.col("t.term").alias("term"),
+        "doc_id",
+        (F.col("t.wgt") / F.col("nrm")).alias("uw"),
+    )
+    cand = (
+        post.groupBy("term")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "uw"))).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    # in-row pair enumeration (two-param HOF lambda is (element, index))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x.doc_id AS a, y.doc_id AS b,"
+        "             x.uw * y.uw AS prod))))"
+    )
+    pairs = cand.select("term", F.explode(pair_expr).alias("p")).select(
+        "term", "p.a", "p.b", "p.prod"
+    )
+    dot = (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "prod"))).alias("tp")
+        )
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.size("tp").cast("long").alias("n_shared"),
+            F.aggregate(
+                "tp",
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x.getField("prod"),
+            ).alias("c_raw"),
+        )
+    )
+    return (
+        dot.where(F.col("c_raw") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", F.round("c_raw", 4).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )

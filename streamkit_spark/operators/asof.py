@@ -30,15 +30,29 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
-    inclusive — pandas ``merge_asof`` semantics).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key (pandas ``merge_asof`` semantics, both directions):
+
+    * ``direction="backward"`` (default): latest right with
+      ``right_ts <= left_ts``;
+    * ``direction="forward"``: earliest right with
+      ``right_ts >= left_ts``.
+
+    ``tolerance`` (same units as the ts columns) nulls out a match
+    farther than ``tolerance`` from ``left_ts`` — the row is kept with
+    NULL as-of columns, exactly like pandas.
 
     Plan: tag and union both sides, hash-partition by key, one ordered
-    window pass computes the running last right-row; left rows then carry
-    it.  Ties (equal ts): right row sorts before left (inclusive) —
-    deterministic."""
+    window pass computes the running nearest right-row; left rows then
+    carry it; the tolerance is a row-local post-filter on the match (no
+    second join).  Ties (equal ts): the right row is inside the window
+    on both directions (inclusive) — deterministic as long as (key, ts)
+    is unique on the right (pre-aggregate the right side if not)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tag = left.select(
         F.col(on).alias("__k"),
@@ -62,14 +76,32 @@ def asof_join(
         F.struct(*[F.col(c) for c in [right_ts, *right_cols]]).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = unioned.withColumn(
-        "__last_r", F.last("__r", ignorenulls=True).over(w)
-    ).filter(F.col("__side") == 1)
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # at equal ts the left row (side 1) sorts first so the same-ts
+        # right row is inside the forward-looking frame (inclusive)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first("__r", ignorenulls=True).over(w)
+    matched = unioned.withColumn("__last_r", pick).filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_tol = (
+            F.col(f"__last_r.{right_ts}") >= F.col("__ts") - F.lit(tolerance)
+            if direction == "backward"
+            else F.col(f"__last_r.{right_ts}") <= F.col("__ts") + F.lit(tolerance)
+        )
+        matched = matched.withColumn(
+            "__last_r", F.when(in_tol, F.col("__last_r"))
+        )
     out = matched.select("__l.*", *[
         F.col(f"__last_r.{c}").alias(c + (suffix if c in left.columns else ""))
         for c in [right_ts, *right_cols]

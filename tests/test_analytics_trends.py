@@ -182,3 +182,61 @@ def test_event_pagerank_on_fixture_is_a_distribution(spark):
     rows = got.collect()
     assert len(rows) >= 2
     assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+
+
+# ---------------------------------------------------------- rank buckets
+
+def test_rank_buckets_exact_deciles(spark):
+    from streamkit_spark.functions.analytics import rank_buckets
+
+    # scores 0..99, one row each -> bucket = score // 10
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, s long")
+    got = {r["id"]: r["bucket"] for r in rank_buckets(df, "s").collect()}
+    assert got == {i: i // 10 for i in range(100)}
+
+
+def test_rank_buckets_ties_share_a_bucket(spark):
+    from streamkit_spark.functions.analytics import rank_buckets
+
+    # 60% of rows share one score: they all land in ONE bucket (ties
+    # never split), and the bucket is chosen by strictly-smaller rank
+    rows = [(i, 5) for i in range(60)] + [(60 + i, 100 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, s long")
+    got = {r["id"]: r["bucket"] for r in rank_buckets(df, "s", 10).collect()}
+    assert {got[i] for i in range(60)} == {0}
+    assert got[60] == 6  # 60 smaller rows / 100 * 10
+    assert got[99] == 9
+
+
+def test_rank_buckets_nulls_and_validation(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.analytics import rank_buckets
+
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 20)], "id long, s long")
+    got = {r["id"]: r["bucket"] for r in rank_buckets(df, "s", 2).collect()}
+    assert got[2] is None
+    assert got[1] == 0 and got[3] == 1
+    with _pt.raises(ValueError, match="n_buckets"):
+        rank_buckets(df, "s", 0)
+
+
+# ------------------------------------------------------ user accumulation
+
+def test_user_accumulation_first_day_semantics(spark):
+    from streamkit_spark.functions.analytics import user_accumulation
+
+    DAY_MS = 86_400_000
+    rows = [
+        (1, 0 * DAY_MS), (1, 2 * DAY_MS),   # user 1 first seen day 0
+        (2, 0 * DAY_MS),                     # user 2 day 0
+        (3, 2 * DAY_MS), (3, 2 * DAY_MS),   # user 3 day 2 (dup events)
+        (4, 5 * DAY_MS),                     # user 4 day 5
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in user_accumulation(df).collect()
+    }
+    # only days with NEW users appear; returning users never re-count
+    assert got == {0: (2, 2), 2: (1, 3), 5: (1, 4)}

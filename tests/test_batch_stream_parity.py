@@ -171,3 +171,41 @@ def test_normalize_events_invariant_to_parquet_timestamp_unit(spark, tmp_path):
     expect = set(zip(ids, ns_vals))
     assert got_us == expect
     assert got_ns == expect
+
+
+def test_user_accumulation_parity(spark, fixture_stream):
+    """Streaming first-seen aggregate + batch finisher equals the batch
+    analytics.user_accumulation exactly (streaming/accumulation.py)."""
+    from streamkit_spark.functions.analytics import user_accumulation
+    from streamkit_spark.streaming.accumulation import (
+        finalize_accumulation,
+        first_seen_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events").select(
+        "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    expected = [
+        (r["day"], r["new_users"], r["cum_users"])
+        for r in user_accumulation(batch, "user_id", "ts_ms").collect()
+    ]
+    # complete mode: the memory sink holds the full current first-seen
+    # table (update mode would need a latest-wins upsert sink; min-agg
+    # values are identical either way)
+    q = (
+        first_seen_stream(fixture_stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_first_seen")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first_seen = spark.sql("SELECT * FROM parity_first_seen")
+        got = [
+            (r["day"], r["new_users"], r["cum_users"])
+            for r in finalize_accumulation(first_seen).collect()
+        ]
+        assert got == expected
+    finally:
+        q.stop()

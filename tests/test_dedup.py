@@ -313,3 +313,95 @@ def test_overlap_max_df_cut_drops_boilerplate_only_pairs(spark):
     # boilerplate shingles appear in all 7 docs; max_df=3 cuts them
     got = D.overlap_coefficient_pairs(docs, n=3, threshold=0.5, max_df=3).collect()
     assert got == []
+
+
+# ------------------------------------------------------------- tfidf cosine
+
+def _tfidf_reference(texts, max_df, ngram=1):
+    """Independent dense tf-idf cosine (numpy), pruned vocab."""
+    import math
+
+    import numpy as np
+
+    def units(t):
+        w = [x for x in t.lower().split() if x]
+        if ngram <= 1:
+            return w
+        return list(dict.fromkeys(
+            " ".join(w[i:i + ngram]) for i in range(len(w) - ngram + 1)
+        )) if len(w) >= ngram else []
+
+    docs = {i: units(t) for i, t in enumerate(texts)}
+    from collections import Counter
+    tf = {i: Counter(u) for i, u in docs.items()}
+    dfc = Counter(t for c in tf.values() for t in c)
+    vocab = sorted(t for t, d in dfc.items() if d <= max_df)
+    vi = {t: j for j, t in enumerate(vocab)}
+    n = len(texts)
+    mat = np.zeros((n, len(vocab)))
+    for i, c in tf.items():
+        for t, k in c.items():
+            if t in vi:
+                mat[i, vi[t]] = k * math.log(n / dfc[t])
+    out = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            na, nb = np.linalg.norm(mat[i]), np.linalg.norm(mat[j])
+            if na > 0 and nb > 0:
+                out[(i, j)] = float(mat[i] @ mat[j] / (na * nb))
+    return out
+
+
+def test_tfidf_cosine_matches_numpy_reference(spark):
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "alpha beta gamma delta zeta",
+        "omega psi chi phi upsilon",
+        "omega psi chi phi tau",
+        "alpha omega unrelated words here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(df, threshold=0.1, max_df=10).collect()
+    }
+    ref = _tfidf_reference(texts, max_df=10)
+    for pair, cos in ref.items():
+        if cos >= 0.1:
+            assert pair in got, pair
+            assert got[pair] == pytest.approx(cos, abs=1e-4)
+    assert set(got) <= {p for p, c in ref.items() if c >= 0.1 - 1e-9}
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "rare tokens appear here once"), (2, "rare tokens appear here once"),
+         (3, "completely different content entirely now")],
+        "doc_id long, text string",
+    )
+    got = D.tfidf_cosine_pairs(df, threshold=0.9, max_df=10).collect()
+    assert len(got) == 1
+    assert (got[0]["doc_a"], got[0]["doc_b"]) == (1, 2)
+    assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_tfidf_cosine_df_cut_drops_ubiquitous_terms(spark):
+    # "common" appears in every doc; with max_df=2 it cannot create pairs
+    df = spark.createDataFrame(
+        [(1, "common aaa"), (2, "common bbb"), (3, "common ccc")],
+        "doc_id long, text string",
+    )
+    assert D.tfidf_cosine_pairs(df, threshold=0.01, max_df=2).collect() == []
+
+
+def test_tfidf_cosine_shingle_mode_on_fixture(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    rows = D.tfidf_cosine_pairs(
+        docs, threshold=0.3, max_df=64, ngram=3
+    ).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.3 <= r["cosine"] <= 1.0
+        assert r["n_shared"] >= 1

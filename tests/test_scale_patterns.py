@@ -121,3 +121,52 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "just five words right here")], "doc_id long, text string")
     chunks = chunk_documents(df, chunk_tokens=40, overlap=10).collect()
     assert len(chunks) == 1 and chunks[0]["n_tokens"] == 5
+
+
+# ------------------------------------------------------------ salted join
+
+def test_salted_join_matches_plain_join(spark):
+    import pytest
+
+    from streamkit_spark.functions.util import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "hot", "cold")],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("unmatched", 3)], "k string, r long"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["r"])
+            for r in salted_join(left, right, "k", how=how, salt=4).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["r"])
+            for r in left.join(right, "k", how).collect()
+        )
+        assert got == want, how
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError, match="salt must be"):
+        salted_join(left, right, "k", salt=0)
+
+
+def test_salted_join_scatters_hot_key_across_salts(spark):
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions.util import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(200)], "k string, v long"
+    )
+    right = spark.createDataFrame([("hot", 1)], "k string, r long")
+    # inspect the salted left side: the single hot key must spread over
+    # multiple sub-keys (this is the whole point)
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    )
+    n_salts = l.select("__salt").distinct().count()
+    assert n_salts >= 4
+    assert salted_join(left, right, "k", salt=8).count() == 200

@@ -139,3 +139,58 @@ def test_funnel_strict_ordering(spark):
         ).collect()
     }
     assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_asof_forward_inclusive_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 200), (3, "k", 160), (4, "other", 5)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100), (11, "k", 150), (12, "zzz", 999)],
+        "rid long, k string, t long",
+    )
+    out = {
+        r["id"]: (r["t_asof"], r["rid"])
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols=["rid"], direction="forward",
+        ).collect()
+    }
+    assert out[1] == (100, 10)  # equal ts: inclusive
+    assert out[3] == (None, None)  # nothing at-or-after 160
+    assert out[2] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 500)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame([(10, "k", 90)], "rid long, k string, t long")
+    out = {
+        r["id"]: (r["t_asof"], r["rid"])
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols=["rid"], tolerance=50,
+        ).collect()
+    }
+    assert out[1] == (90, 10)  # within 50
+    assert out[2] == (None, None)  # 410 away → nulled, row kept
+    # forward with tolerance
+    out_f = {
+        r["id"]: r["rid"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols=["rid"], direction="forward", tolerance=50,
+        ).collect()
+    }
+    assert out_f == {1: None, 2: None}
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "k", 1)], "id long, k string, t long")
+    with pytest.raises(ValueError, match="unknown direction"):
+        asof_join(df, df, on="k", left_ts="t", right_ts="t", direction="nearest")
