@@ -1865,6 +1865,9 @@ def q_doc_length_deciles(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     return (
         AN.rank_buckets(docs, "n_chars", 10)
+        # NULL scores keep a NULL bucket (left join); the oracle drops
+        # NULL n_chars rows, so drop the NULL-bucket group to match
+        .where(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -1915,6 +1918,24 @@ def q_salted_brand_revenue(spark, sf_dir):
             F.count("*").cast("long").alias("n_items"),
         )
         .orderBy("p_brand")
+    )
+
+
+def q_ewma_daily(spark, sf_dir):
+    """EWMA-smoothed gap-filled daily counts per event type
+    (analytics.ewma_smooth over analytics.gap_filled_daily, α=0.3):
+    zero-filled gap days pull the average down; the smoothing is a
+    left fold over each group's day-sorted array — no pow(), so DuckDB
+    list_reduce replays it bit-for-bit."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.expr("ts div 1000000").alias("ts_ms")
+    )
+    daily = AN.gap_filled_daily(ev, "event_type", "ts_ms", fill="zero")
+    return AN.ewma_smooth(
+        daily.select("event_type", "day", "n"),
+        "event_type", "day", "n", alpha=0.3,
     )
 
 
@@ -2089,6 +2110,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_view": q_asof_next_view,
         "user_accumulation": q_user_accumulation,
         "salted_brand_revenue": q_salted_brand_revenue,
+        "ewma_daily": q_ewma_daily,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -4165,6 +4187,26 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum_users
         FROM pd ORDER BY day
+    """
+    # Mirrors ewma_smooth(gap_filled_daily(...), alpha=0.3): the gap
+    # spine, then per-prefix list_reduce left folds — identical double
+    # ops to Spark's aggregate() fold (init = first element, 0.3*x +
+    # 0.7*acc; no pow()).
+    sql["ewma_daily"] = f"""
+        WITH {_GAP_SPINE}
+        , arr AS (
+            SELECT g, list({{'day': day, 'n': n_raw}} ORDER BY day) AS a
+            FROM filled GROUP BY g
+        )
+        SELECT g AS event_type, a[i].day AS day,
+               CAST(a[i].n AS BIGINT) AS n,
+               round(list_reduce(
+                   list_transform(a[1:i], e -> CAST(e.n AS DOUBLE)),
+                   (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                               + CAST(0.7 AS DOUBLE) * acc
+               ), 4) AS ewma
+        FROM arr, unnest(range(1, len(a) + 1)) AS t(i)
+        ORDER BY event_type, day
     """
     # Mirrors analytics.rank_buckets(n_buckets=10): bucket = least(
     # (10 * strictly-smaller-count) div N, 9) — pure integer math on the

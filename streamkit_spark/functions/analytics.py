@@ -34,6 +34,8 @@ __all__ = [
     "event_pagerank",
     "rank_buckets",
     "user_accumulation",
+    "accumulate_first_days",
+    "ewma_smooth",
 ]
 
 
@@ -656,7 +658,16 @@ def user_accumulation(
         .groupBy("k")
         .agg(F.min("day").alias("first_day"))
     )
-    per_day = first_day.groupBy(F.col("first_day").alias("day")).agg(
+    return accumulate_first_days(first_day)
+
+
+def accumulate_first_days(first_seen: DataFrame) -> DataFrame:
+    """Shared finisher for batch and streaming user accumulation: turn a
+    (key, first_day) table into (day, new_users, cum_users).  One
+    definition serves both paths (the batch/stream parity contract);
+    input is key-population-sized, the cumulative window runs over the
+    calendar-sized per-day table."""
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
         F.count("*").cast("long").alias("new_users")
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -667,4 +678,56 @@ def user_accumulation(
             F.sum("new_users").over(w).cast("long").alias("cum_users"),
         )
         .orderBy("day")
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per group, ordered by
+    ``order_col``: every input row comes back with ``out_col`` =
+    ``s_t`` where ``s_1 = x_1`` and ``s_t = α·x_t + (1−α)·s_{t−1}``.
+
+    Batch twin of the streaming EWMA control chart (streaming/anomaly);
+    composes with :func:`gap_filled_daily` when gap days should pull the
+    average down (feed the zero-filled series).
+
+    Determinism: the smoothing is a LEFT FOLD over the group's
+    order-sorted array with plain double ops — no ``pow`` (libm pow is
+    not identically rounded across engines); DuckDB replays each prefix
+    fold with ``list_reduce``.  ``α`` and ``1−α`` are both computed once
+    here and embedded as literals on both engines.
+
+    Cost shape: per-group O(n²) fold work — built for AGGREGATED series
+    (days × groups, calendar-sized), not raw event streams; aggregate
+    first, smooth second."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    beta = 1.0 - alpha
+    a = df.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(order_col, value_col))
+        ).alias("__a")
+    )
+    fold = (
+        "transform(__a, (x, i) -> struct("
+        f"x.{order_col} AS {order_col}, x.{value_col} AS {value_col}, "
+        f"aggregate(slice(__a, 2, i), CAST(__a[0].{value_col} AS DOUBLE), "
+        f"(acc, e) -> {alpha!r}D * e.{value_col} + {beta!r}D * acc) "
+        f"AS {out_col}))"
+    )
+    return (
+        a.select(group_col, F.explode(F.expr(fold)).alias("r"))
+        .select(
+            group_col,
+            F.col(f"r.{order_col}").alias(order_col),
+            F.col(f"r.{value_col}").alias(value_col),
+            F.round(F.col(f"r.{out_col}"), 4).alias(out_col),
+        )
+        .orderBy(group_col, order_col)
     )

@@ -48,10 +48,18 @@ def salted_join(
     salt: int = 8,
 ) -> DataFrame:
     """Skew-safe equi-join for a hot-keyed ``left`` against a small-ish
-    ``right``: scatter each left key across ``salt`` sub-keys (a
-    deterministic row hash, so the plan is reproducible) and replicate
-    the right side ``salt``× so every sub-key still finds its match.
-    Result rows are identical to ``left.join(right, on, how)``.
+    ``right``: scatter each left key across ``salt`` sub-keys and
+    replicate the right side ``salt``× so every sub-key still finds its
+    match.  Result rows are identical to ``left.join(right, on, how)``.
+
+    The salt hashes the PHYSICAL row id (``monotonically_increasing_id``),
+    not the row content — exact-duplicate hot rows (the common dedup/
+    count skew shape) must still scatter, and a content hash would pile
+    them all on one sub-key.  The salt is therefore not reproducible
+    across runs, but the join RESULT is salt-invariant (every left row
+    matches the same replicated right rows whatever its salt), so the
+    nondeterminism never reaches the output — including under task
+    retries.
 
     When to reach for it: AQE's skew-join split rescues SORT-MERGE joins
     at runtime, but it cannot split a skewed key inside a single
@@ -69,7 +77,7 @@ def salted_join(
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     keys = [on] if isinstance(on, str) else list(on)
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    lsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
     l = left.withColumn("__salt", lsalt.cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -7,8 +7,10 @@ sum) splits cleanly across the stream/batch boundary:
 * ``first_seen_stream`` — a streaming ``min(day)`` aggregate per user.
   State is one (user, day) pair per user — the same state a streaming
   dropDuplicates would keep, but carrying the value the finisher needs.
-  ``update`` output mode: a micro-batch emits a user only when its
-  first-seen day IMPROVES (min is monotone), so a latest-wins sink
+  ``update`` output mode: a micro-batch re-emits every user that
+  RECEIVED INPUT in the batch (Spark rewrites the group's state either
+  way; active users are re-emitted even when their min is unchanged) —
+  but the emitted value is monotone, so a latest-wins sink
   (subscribe.py semantics) converges to the exact per-user first day
   even under at-least-once replay.
 * ``finalize_accumulation`` — a BATCH aggregate over the (users)-sized
@@ -23,7 +25,7 @@ Parity contract (test_batch_stream_parity): stream → finalize equals
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["first_seen_stream", "finalize_accumulation"]
@@ -55,17 +57,9 @@ def first_seen_stream(
 
 def finalize_accumulation(first_seen: DataFrame) -> DataFrame:
     """Batch finisher over the (key, first_day) table:
-    (day, new_users, cum_users).  Input is user-population-sized; the
-    cumulative window runs over the calendar-sized per-day table."""
-    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
-        F.count("*").cast("long").alias("new_users")
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        per_day.select(
-            "day",
-            "new_users",
-            F.sum("new_users").over(w).cast("long").alias("cum_users"),
-        )
-        .orderBy("day")
-    )
+    (day, new_users, cum_users).  Delegates to the ONE shared
+    definition (``analytics.accumulate_first_days``) so batch and
+    stream cannot drift — the parity test pins them together."""
+    from streamkit_spark.functions.analytics import accumulate_first_days
+
+    return accumulate_first_days(first_seen)

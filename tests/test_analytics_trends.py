@@ -240,3 +240,34 @@ def test_user_accumulation_first_day_semantics(spark):
     }
     # only days with NEW users appear; returning users never re-count
     assert got == {0: (2, 2), 2: (1, 3), 5: (1, 4)}
+
+
+# ------------------------------------------------------------- ewma smooth
+
+def test_ewma_smooth_matches_python_fold(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.analytics import ewma_smooth
+
+    rows = [("a", 1, 10), ("a", 2, 0), ("a", 3, 20), ("b", 1, 5)]
+    df = spark.createDataFrame(rows, "g string, day long, n long")
+    got = {
+        (r["g"], r["day"]): (r["n"], r["ewma"])
+        for r in ewma_smooth(df, "g", "day", "n", alpha=0.3).collect()
+    }
+
+    def ref(xs, alpha=0.3):
+        s = float(xs[0])
+        out = [s]
+        for x in xs[1:]:
+            s = alpha * x + (1.0 - alpha) * s
+            out.append(s)
+        return out
+
+    ra = ref([10, 0, 20])
+    assert got[("a", 1)] == (10, round(ra[0], 4))
+    assert got[("a", 2)] == (0, round(ra[1], 4))
+    assert got[("a", 3)] == (20, round(ra[2], 4))
+    assert got[("b", 1)] == (5, 5.0)
+    with _pt.raises(ValueError, match="alpha"):
+        ewma_smooth(df, "g", "day", "n", alpha=0.0)

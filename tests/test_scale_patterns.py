@@ -158,15 +158,22 @@ def test_salted_join_scatters_hot_key_across_salts(spark):
 
     from streamkit_spark.functions.util import salted_join
 
+    # 200 IDENTICAL hot rows — the dedup/count skew shape a content-hash
+    # salt would pile onto one sub-key; the physical-row-id salt must
+    # still scatter them AND keep the duplicate multiplicity
     left = spark.createDataFrame(
-        [("hot", i) for i in range(200)], "k string, v long"
-    )
-    right = spark.createDataFrame([("hot", 1)], "k string, r long")
-    # inspect the salted left side: the single hot key must spread over
-    # multiple sub-keys (this is the whole point)
-    l = left.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
-    )
-    n_salts = l.select("__salt").distinct().count()
-    assert n_salts >= 4
+        [("hot", 1) for _ in range(200)], "k string, v long"
+    ).repartition(4)
+    right = spark.createDataFrame([("hot", 9)], "k string, r long")
     assert salted_join(left, right, "k", salt=8).count() == 200
+    # the salt expression itself scatters identical rows
+    n_salts = (
+        left.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)),
+        )
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 4
