@@ -1939,6 +1939,44 @@ def q_ewma_daily(spark, sf_dir):
     )
 
 
+def _pq_books(spark, sf_dir):
+    """Shared PQ codebooks for the two PQ queries: m=4 subspaces, k=8
+    codewords, 2 Lloyd iterations, exact-means fold (oracle parity)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb, SIM.pq_codebooks(emb, m=4, k=8, iters=2, exact_means=True)
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (similarity.pq_codebooks +
+    pq_encode, Jégou et al. TPAMI'11): 4 subspace codebooks from the
+    shared spherical k-means trainer, each vector stored as 4 codes —
+    one map-only assignment pass against broadcast codeword literals.
+    The oracle replays all 4 subspace k-means chains and the encode
+    argmax with the kmeans CTE machinery."""
+    emb, books = _pq_books(spark, sf_dir)
+    return (
+        SIM.pq_encode(emb, books)
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(transform(codes, c -> cast(c as string)), '-')"
+            ).alias("code"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (similarity.pq_topk): queries score
+    the COMPRESSED corpus — m short folds against codeword literals
+    selected per code — never the raw vectors; score rounded before
+    ranking so the ordering reproduces across engines."""
+    emb, books = _pq_books(spark, sf_dir)
+    codes = SIM.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_topk(codes, queries, books, k=5)
+
+
 def q_split_assignment(spark, sf_dir):
     """Deterministic train/val/test assignment (curation.assign_split):
     id-keyed md5 buckets against cumulative weight thresholds — a doc
@@ -2111,6 +2149,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_accumulation": q_user_accumulation,
         "salted_brand_revenue": q_salted_brand_revenue,
         "ewma_daily": q_ewma_daily,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -4187,6 +4227,96 @@ def oracle_sql() -> dict[str, str]:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum_users
         FROM pd ORDER BY day
+    """
+    # PQ oracles: replay all 4 subspace k-means chains (same fold-order
+    # machinery as kmeans_assign, parametrized by the sliced vector
+    # table), then the encode argmax / ADC score folds.
+    def _asg_t(v: str, cent: str) -> str:
+        return f"""
+        SELECT vec_id, ci FROM (
+            SELECT {v}.vec_id, {cent}.ci,
+                   row_number() OVER (PARTITION BY {v}.vec_id ORDER BY
+                       list_sum(list_apply(list_zip({v}.e, {cent}.ce),
+                                           p -> p[1] * p[2]))
+                       / sqrt(list_sum(list_apply({cent}.ce, x -> x * x)))
+                       DESC, {cent}.ci DESC) AS rn
+            FROM {v}, {cent})
+        WHERE rn = 1
+        """
+
+    def _upd_t(v: str, a: str, c_prev: str) -> str:
+        return f"""
+        SELECT {c_prev}.ci, COALESCE(mm.ce, {c_prev}.ce) AS ce
+        FROM {c_prev} LEFT JOIN (
+            SELECT ci, list(m ORDER BY pos) AS ce FROM (
+                SELECT x.ci, x.pos,
+                       list_sum(list(x.val ORDER BY x.vec_id)) / count(*) AS m
+                FROM (
+                    SELECT {a}.ci, generate_subscripts({v}.e, 1) AS pos,
+                           unnest({v}.e) AS val, {v}.vec_id
+                    FROM {v} JOIN {a} ON {v}.vec_id = {a}.vec_id) x
+                GROUP BY x.ci, x.pos)
+            GROUP BY ci) mm
+        ON {c_prev}.ci = mm.ci
+        """
+
+    _PQ_SUB = 16  # 64 dims / m=4
+    _pq_chains = []
+    for s in range(4):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        _pq_chains.append(
+            f"v{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM v),\n"
+            f"c0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS ci, e AS ce FROM v{s} ORDER BY vec_id LIMIT 8),\n"
+            f"a0_{s} AS ({_asg_t(f'v{s}', f'c0_{s}')}),\n"
+            f"c1_{s} AS ({_upd_t(f'v{s}', f'a0_{s}', f'c0_{s}')}),\n"
+            f"a1_{s} AS ({_asg_t(f'v{s}', f'c1_{s}')}),\n"
+            f"c2_{s} AS ({_upd_t(f'v{s}', f'a1_{s}', f'c1_{s}')}),\n"
+            f"e_{s} AS ({_asg_t(f'v{s}', f'c2_{s}')})"
+        )
+    _PQ_WITH = (
+        "v AS (SELECT vec_id, list_apply(embedding, x -> CAST(x AS"
+        " DOUBLE)) AS e FROM embeddings),\n" + ",\n".join(_pq_chains)
+    )
+    sql["pq_codes"] = f"""
+        WITH {_PQ_WITH}
+        SELECT e_0.vec_id,
+               concat(CAST(e_0.ci AS VARCHAR), '-', CAST(e_1.ci AS VARCHAR),
+                      '-', CAST(e_2.ci AS VARCHAR), '-',
+                      CAST(e_3.ci AS VARCHAR)) AS code
+        FROM e_0
+        JOIN e_1 ON e_1.vec_id = e_0.vec_id
+        JOIN e_2 ON e_2.vec_id = e_0.vec_id
+        JOIN e_3 ON e_3.vec_id = e_0.vec_id
+        ORDER BY e_0.vec_id
+    """
+    _adc_terms = " + ".join(
+        f"list_sum(list_apply(list_zip(q.qe[{s * _PQ_SUB + 1}:"
+        f"{(s + 1) * _PQ_SUB}], cw{s}.ce), p -> p[1] * p[2]))"
+        for s in range(4)
+    )
+    sql["pq_adc_topk"] = f"""
+        WITH {_PQ_WITH},
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        pairs AS (
+            SELECT q.query_id, e_0.vec_id AS neighbor_id,
+                   round({_adc_terms}, 4) AS score
+            FROM q
+            JOIN e_0 ON q.query_id <> e_0.vec_id
+            JOIN e_1 ON e_1.vec_id = e_0.vec_id
+            JOIN e_2 ON e_2.vec_id = e_0.vec_id
+            JOIN e_3 ON e_3.vec_id = e_0.vec_id
+            JOIN c2_0 cw0 ON cw0.ci = e_0.ci
+            JOIN c2_1 cw1 ON cw1.ci = e_1.ci
+            JOIN c2_2 cw2 ON cw2.ci = e_2.ci
+            JOIN c2_3 cw3 ON cw3.ci = e_3.ci
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id)
+                      AS rank
+            FROM pairs)
+        WHERE rank <= 5 ORDER BY query_id, rank
     """
     # Mirrors ewma_smooth(gap_filled_daily(...), alpha=0.3): the gap
     # spine, then per-prefix list_reduce left folds — identical double

@@ -971,3 +971,147 @@ def mahalanobis_scores(
     return df.select(
         F.col(id_col), F.round(F.sqrt(total), 6).alias("maha")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the D dims into m contiguous
+# subspaces, k-means each subspace into k codewords, store each vector as m
+# small codes, and answer queries with asymmetric distance computation
+# (ADC): score(q, x) ≈ Σ_s <q_s, codeword(code_s(x))>.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_means: bool = False,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: ``m`` independent spherical k-means runs, one
+    per contiguous dim slice, reusing :func:`kmeans_centroids` (cosine
+    assignment, deterministic id-order init; ``exact_means=True`` for
+    the oracle-parity fold).  Returns ``[m][k][D/m]`` plain floats —
+    m·k·(D/m) = k·D doubles, always a driver-sized literal.
+
+    Inner-product flavor: codewords trained by the engine's shared
+    cosine Lloyd (the IVF coarse-quantizer trainer) and scored by dot
+    product at query time — consistent with the engine-wide cosine
+    retrieval over (near-)unit-norm embeddings.  The corpus is scanned
+    once per subspace per iteration; training is a verification-scale
+    or sampled-subset activity, the ENCODE/SEARCH paths are the 100 TB
+    ones."""
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_codebooks: empty input")
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sdf = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_centroids(
+                sdf, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+                exact_means=exact_means,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int> of length m).
+
+    ONE map-only pass — every subspace's argmax runs over broadcast
+    codeword literals in the same projection; nothing shuffles, nothing
+    joins.  Per-subspace scoring mirrors :func:`kmeans_assign` exactly
+    (dot/‖c‖ spherical score, tie → higher code id), so an oracle can
+    replay the assignment with the kmeans CTE machinery."""
+    m = len(books)
+    sub = len(books[0][0])
+    cols = []
+    for s, book in enumerate(books):
+        sl = F.slice(F.col(vec_col), s * sub + 1, sub)
+        norms = [_fold_norm(c) for c in book]
+        scored = F.array(
+            *[
+                F.struct(
+                    (_dot_raw(sl, lit_vec(c)) / F.lit(norms[ci])).alias("s"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_max(scored).getField("c"))
+    return df.select(F.col(id_col), F.array(*cols).alias("codes"))
+
+
+def _lit_mat(book: list[list[float]]) -> Column:
+    """k×sub literal array-of-arrays in ONE parse (the lit_vec rule:
+    per-element py4j calls cost seconds of plan latency)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in book
+    )
+    return F.expr(f"array({rows})")
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ADC top-k over PQ codes: (query_id, neighbor_id, score, rank).
+
+    ``corpus_codes`` is :func:`pq_encode` output (id, codes) — the
+    compressed corpus (m small ints per vector instead of D floats, a
+    16-64× memory cut at typical settings).  The query side broadcasts;
+    per-pair cost is m short folds against codeword literals selected by
+    ``element_at`` — no decode, no shuffle of the corpus.  Score is
+    rounded BEFORE ranking (ties then break by neighbor id) so rankings
+    reproduce across engines.  At corpus scale, prune candidates with
+    the IVF route first and ADC-score only the shortlist."""
+    m = len(books)
+    sub = len(books[0][0])
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    joined = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    ).join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    terms = []
+    for s, book in enumerate(books):
+        qs = F.slice(F.col("__qvec"), s * sub + 1, sub)
+        cw = F.element_at(_lit_mat(book), F.col("codes").getItem(s) + 1)
+        terms.append(_dot_raw(_as_double(qs), cw))
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(score, round_digits).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
