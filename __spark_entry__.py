@@ -1892,19 +1892,20 @@ def q_user_accumulation(spark, sf_dir):
 
 
 def q_salted_brand_revenue(spark, sf_dir):
-    """Per-brand revenue through a SALTED join (util.salted_join,
-    salt=8): lineitem scattered across 8 sub-keys per part key, part
-    replicated 8x — the hot-key-proof plan shape, producing rows
-    identical to the plain equi-join (which is exactly what the oracle
-    runs)."""
-    from streamkit_spark.functions.util import salted_join
+    """Per-brand revenue through a SALTED join (operators/skew
+    .salted_join, n_salt=8): lineitem scattered across 8 sub-keys per
+    part key, part replicated 8x — the hot-key-proof plan shape,
+    producing rows identical to the plain equi-join (which is exactly
+    what the oracle runs)."""
+    from streamkit_spark.operators.skew import salted_join
 
     li = tables.load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_extendedprice"
     )
     part = tables.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = salted_join(
-        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+        li, part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey",
+        n_salt=8,
     )
     return (
         joined.groupBy("p_brand")
@@ -1939,11 +1940,20 @@ def q_ewma_daily(spark, sf_dir):
     )
 
 
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
 def _pq_books(spark, sf_dir):
     """Shared PQ codebooks for the two PQ queries: m=4 subspaces, k=8
-    codewords, 2 Lloyd iterations, exact-means fold (oracle parity)."""
+    codewords, 2 Lloyd iterations, exact-means fold (oracle parity).
+    Memoized per sf_dir — both PQ queries train identical codebooks, and
+    retraining runs ~a dozen eager Spark jobs."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    return emb, SIM.pq_codebooks(emb, m=4, k=8, iters=2, exact_means=True)
+    if sf_dir not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[sf_dir] = SIM.pq_codebooks(
+            emb, m=4, k=8, iters=2, exact_means=True
+        )
+    return emb, _PQ_BOOKS_CACHE[sf_dir]
 
 
 def q_pq_codes(spark, sf_dir):
@@ -4300,7 +4310,7 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
         pairs AS (
             SELECT q.query_id, e_0.vec_id AS neighbor_id,
-                   round({_adc_terms}, 4) AS score
+                   round({_adc_terms}, 4) + 0 AS score
             FROM q
             JOIN e_0 ON q.query_id <> e_0.vec_id
             JOIN e_1 ON e_1.vec_id = e_0.vec_id

@@ -1003,10 +1003,7 @@ def pq_codebooks(
     once per subspace per iteration; training is a verification-scale
     or sampled-subset activity, the ENCODE/SEARCH paths are the 100 TB
     ones."""
-    first = df.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq_codebooks: empty input")
-    dim = len(first[0])
+    dim = _infer_dim(df, vec_col, None)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
@@ -1059,7 +1056,11 @@ def pq_encode(
 
 def _lit_mat(book: list[list[float]]) -> Column:
     """k×sub literal array-of-arrays in ONE parse (the lit_vec rule:
-    per-element py4j calls cost seconds of plan latency)."""
+    per-element py4j calls cost seconds of plan latency; same non-finite
+    guard — nan/inf would render as an invalid SQL literal and fail
+    later with an obscure parse error)."""
+    if not all(math.isfinite(float(v)) for c in book for v in c):
+        raise ValueError("_lit_mat: non-finite element (nan/inf) in codebook")
     rows = ",".join(
         "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")" for c in book
     )

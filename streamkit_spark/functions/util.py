@@ -39,47 +39,3 @@ def maybe_broadcast(df: DataFrame, limit: int | None = None) -> DataFrame:
         return F.broadcast(df)
     return df
 
-
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: str | list[str],
-    how: str = "inner",
-    salt: int = 8,
-) -> DataFrame:
-    """Skew-safe equi-join for a hot-keyed ``left`` against a small-ish
-    ``right``: scatter each left key across ``salt`` sub-keys and
-    replicate the right side ``salt``× so every sub-key still finds its
-    match.  Result rows are identical to ``left.join(right, on, how)``.
-
-    The salt hashes the PHYSICAL row id (``monotonically_increasing_id``),
-    not the row content — exact-duplicate hot rows (the common dedup/
-    count skew shape) must still scatter, and a content hash would pile
-    them all on one sub-key.  The salt is therefore not reproducible
-    across runs, but the join RESULT is salt-invariant (every left row
-    matches the same replicated right rows whatever its salt), so the
-    nondeterminism never reaches the output — including under task
-    retries.
-
-    When to reach for it: AQE's skew-join split rescues SORT-MERGE joins
-    at runtime, but it cannot split a skewed key inside a single
-    shuffle-hash partition feeding an aggregation, and it does nothing
-    for engines/paths where AQE is off.  Salting fixes the skew in the
-    PLAN: the hot key's rows land on ``salt`` different reducers by
-    construction.  Cost: the right side is materialized ``salt``× —
-    only use when ``right`` is broadcast-small.
-
-    ``how`` supports ``inner`` and ``left`` (the skewed side must be the
-    probe side; a salted right-outer would duplicate unmatched right
-    rows across salts)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    if salt < 1:
-        raise ValueError(f"salt must be >= 1, got {salt}")
-    keys = [on] if isinstance(on, str) else list(on)
-    lsalt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
-    l = left.withColumn("__salt", lsalt.cast("int"))
-    r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).withColumn("__salt", F.col("__salt").cast("int"))
-    return l.join(r, keys + ["__salt"], how).drop("__salt")

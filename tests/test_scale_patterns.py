@@ -125,10 +125,8 @@ def test_chunk_documents_short_doc_single_chunk(spark):
 
 # ------------------------------------------------------------ salted join
 
-def test_salted_join_matches_plain_join(spark):
+def test_salted_join_outer_parity_and_validation(spark):
     import pytest
-
-    from streamkit_spark.functions.util import salted_join
 
     left = spark.createDataFrame(
         [(k, i) for i in range(50) for k in ("hot", "hot", "cold")],
@@ -140,7 +138,7 @@ def test_salted_join_matches_plain_join(spark):
     for how in ("inner", "left"):
         got = sorted(
             (r["k"], r["v"], r["r"])
-            for r in salted_join(left, right, "k", how=how, salt=4).collect()
+            for r in salted_join(left, right, "k", how=how, n_salt=4).collect()
         )
         want = sorted(
             (r["k"], r["v"], r["r"])
@@ -149,28 +147,31 @@ def test_salted_join_matches_plain_join(spark):
         assert got == want, how
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(left, right, "k", how="right")
-    with pytest.raises(ValueError, match="salt must be"):
-        salted_join(left, right, "k", salt=0)
+    with pytest.raises(ValueError, match="n_salt must be"):
+        salted_join(left, right, "k", n_salt=0)
 
 
-def test_salted_join_scatters_hot_key_across_salts(spark):
+def test_salted_join_scatters_identical_hot_rows(spark):
     from pyspark.sql import functions as F
 
-    from streamkit_spark.functions.util import salted_join
-
-    # 200 IDENTICAL hot rows — the dedup/count skew shape a content-hash
-    # salt would pile onto one sub-key; the physical-row-id salt must
-    # still scatter them AND keep the duplicate multiplicity
+    # 200 IDENTICAL hot rows across 8 input partitions — the dedup/count
+    # skew shape a pure content hash piles onto ONE sub-key; the
+    # (content, partition_id) salt must scatter them AND keep the
+    # duplicate multiplicity
     left = spark.createDataFrame(
         [("hot", 1) for _ in range(200)], "k string, v long"
-    ).repartition(4)
+    ).repartition(8)
     right = spark.createDataFrame([("hot", 9)], "k string, r long")
-    assert salted_join(left, right, "k", salt=8).count() == 200
-    # the salt expression itself scatters identical rows
+    assert salted_join(left, right, "k", n_salt=8).count() == 200
     n_salts = (
         left.withColumn(
             "__salt",
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)),
+            F.pmod(
+                F.xxhash64(
+                    *[F.col(c) for c in left.columns], F.spark_partition_id()
+                ),
+                F.lit(8),
+            ),
         )
         .select("__salt")
         .distinct()
