@@ -1035,7 +1035,15 @@ def pq_encode(
     joins.  Per-subspace scoring mirrors :func:`kmeans_assign` exactly
     (dot/‖c‖ spherical score, tie → higher code id), so an oracle can
     replay the assignment with the kmeans CTE machinery."""
-    m = len(books)
+    return df.select(
+        F.col(id_col), _pq_code_array(books, vec_col).alias("codes")
+    )
+
+
+def _pq_code_array(books: list[list[list[float]]], vec_col: str) -> Column:
+    """The encode expression: array of per-subspace argmax codes —
+    shared by pq_encode and the IVF+PQ composed path so the two cannot
+    drift."""
     sub = len(books[0][0])
     cols = []
     for s, book in enumerate(books):
@@ -1051,7 +1059,7 @@ def pq_encode(
             ]
         )
         cols.append(F.array_max(scored).getField("c"))
-    return df.select(F.col(id_col), F.array(*cols).alias("codes"))
+    return F.array(*cols)
 
 
 def _lit_mat(book: list[list[float]]) -> Column:
@@ -1086,9 +1094,8 @@ def pq_topk(
     ``element_at`` — no decode, no shuffle of the corpus.  Score is
     rounded BEFORE ranking (ties then break by neighbor id) so rankings
     reproduce across engines.  At corpus scale, prune candidates with
-    the IVF route first and ADC-score only the shortlist."""
-    m = len(books)
-    sub = len(books[0][0])
+    the IVF route first and ADC-score only the shortlist (or use
+    :func:`ivf_pq_topk`, which fuses both)."""
     qid = query_id_col or id_col
     q = queries.select(
         F.col(qid).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -1096,16 +1103,83 @@ def pq_topk(
     joined = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"
     ).join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    score = _adc_score(books, "__qvec", "codes")
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(score, round_digits).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _adc_score(
+    books: list[list[list[float]]], qvec_col: str, codes_col: str
+) -> Column:
+    """Asymmetric-distance score expression: Σ_s <q_s, codeword(code_s)>
+    — m short folds against element_at-selected codeword literals,
+    summed left-to-right (deterministic; DuckDB replays each fold with
+    list_sum and the sum with left-assoc +)."""
+    sub = len(books[0][0])
     terms = []
     for s, book in enumerate(books):
-        qs = F.slice(F.col("__qvec"), s * sub + 1, sub)
-        cw = F.element_at(_lit_mat(book), F.col("codes").getItem(s) + 1)
+        qs = F.slice(F.col(qvec_col), s * sub + 1, sub)
+        cw = F.element_at(_lit_mat(book), F.col(codes_col).getItem(s) + 1)
         terms.append(_dot_raw(_as_double(qs), cw))
     score = terms[0]
     for t in terms[1:]:
         score = score + t
-    scored = joined.select(
-        "query_id", "neighbor_id", F.round(score, round_digits).alias("score")
+    return score
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The fused billion-scale ANN recipe: IVF coarse lists bound the
+    candidate set (probe ``nprobe`` of ``n_centroids`` inverted lists),
+    PQ codes carry the candidates (m small ints each), ADC scores the
+    shortlist — the corpus's raw vectors are read in exactly ONE
+    map-only pass (coarse assignment + encode in the same projection)
+    and never reach the join.
+
+    Join volume per query is ``nprobe/n_centroids`` of the corpus in
+    compressed form; everything else is the :func:`pq_topk` score path
+    (rounded before ranking, ties by neighbor id)."""
+    nearest_lists = _coarse_quantizer(corpus, n_centroids, id_col, vec_col)
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_code_array(books, vec_col).alias("codes"),
+        nearest_lists(F.col(vec_col), 1)[0].alias("__list"),
+    )
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_adc_score(books, "__qvec", "codes"), round_digits)
+            .alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")

@@ -433,3 +433,26 @@ def test_pq_adc_scores_approximate_true_dot(spark):
             cw = books[s][c[s]]
             want += sum(float(a) * float(b) for a, b in zip(seg, cw))
         assert math.isclose(r["score"], round(want, 4), abs_tol=2e-4)
+
+
+def test_ivf_pq_scores_agree_with_full_adc(spark):
+    """The fused path restricts CANDIDATES but must not change the ADC
+    score of any (query, neighbor) pair it does return."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = SIM.pq_codebooks(emb, m=4, k=8, iters=1)
+    fused = SIM.ivf_pq_topk(
+        emb, queries, books, k=5, n_centroids=8, nprobe=3
+    ).collect()
+    codes = SIM.pq_encode(emb, books)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in SIM.pq_topk(codes, queries, books, k=10**6).collect()
+    }
+    assert len(fused) > 0
+    per_q = {}
+    for r in fused:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["score"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in per_q.items():
+        assert ranks == sorted(ranks) and len(ranks) <= 5
