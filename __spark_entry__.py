@@ -2012,6 +2012,44 @@ def q_split_assignment(spark, sf_dir):
     return C.assign_split(docs).select("doc_id", "split").orderBy("doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear quality classifier
+    (curation.quality_classifier_score): fastText-style scoring over 3-
+    nibble-md5 unigram buckets with the deterministic stand-in model
+    w(b) = ((b·2654435761) mod 4096)/4096 − ½.  Every weight is a dyadic
+    rational, so the in-row fold sum is EXACT in double — zero
+    summation-order sensitivity; the oracle replays the identical
+    bucket/weight/mean arithmetic."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.quality_classifier_score(docs, bias=0.1)
+
+
+def q_boilerplate_blocks(spark, sf_dir):
+    """Boilerplate segment report (curation.boilerplate_segments) over
+    fixed-width 8-token blocks (the fixture has no newline layout; real
+    corpora use the default line segmentation, unit-tested separately):
+    segments appearing in ≥ 3 distinct docs — the CCNet line-dedup
+    signal.  One segment-keyed shuffle; hot keys are the boilerplate
+    itself with two-counter state."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.boilerplate_segments(docs, min_df=3, block_tokens=8)
+
+
+def q_dedup_editdist(spark, sf_dir):
+    """Edit-similarity near-dup pairs (dedup.editdist_pairs): rare-
+    shingle blocked candidates (df ≤ 32), length prefilter in exact
+    integer arithmetic, then Spark's bounded levenshtein on 512-char
+    lowercased prefixes — 1 − lev/max(len) ≥ 0.9.  The oracle replays
+    the same blocking, prefilter, and DP (DuckDB levenshtein) on the
+    same prefixes."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.editdist_pairs(docs, threshold=0.9, max_df=32)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2176,6 +2214,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_adc_topk": q_pq_adc_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "quality_classifier": q_quality_classifier,
+        "boilerplate_blocks": q_boilerplate_blocks,
+        "dedup_editdist": q_dedup_editdist,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -4438,5 +4479,81 @@ def oracle_sql() -> dict[str, str]:
                min(n_chars) AS lo, max(n_chars) AS hi
         FROM documents JOIN b ON documents.n_chars = b.s
         GROUP BY 1 ORDER BY 1
+    """
+    # Hashed-feature classifier: 3-nibble md5 bucket (dsir convention),
+    # Knuth-scatter pseudo-weights (dyadic rationals → exact double sums),
+    # mean + bias, round 4dp (+0 normalizes a -0.0).  keep compares the
+    # ROUNDED score like the engine.
+    _qcn = lambda i: f"(strpos('0123456789abcdef', substr(md5('qc:' || x), {i}, 1)) - 1)"
+    _qcw = (
+        f"CAST((({_qcn(1)} * 256 + {_qcn(2)} * 16 + {_qcn(3)}) * 2654435761) % 4096"
+        " AS DOUBLE) / 4096.0 - 0.5"
+    )
+    sql["quality_classifier"] = f"""
+        WITH {_tok_cte}, s AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(t) = 0 THEN 0.1
+                         ELSE 0.1 + list_sum(list_apply(t, x -> {_qcw})) / len(t)
+                         END, 4) + 0 AS score
+            FROM tok
+        )
+        SELECT doc_id, n_tokens, score, (score >= 0.0) AS keep
+        FROM s ORDER BY doc_id
+    """
+    # Fixed-width 8-token blocks over lowercased tokens; DuckDB list
+    # slicing is 1-based inclusive, mirroring slice(toks, (i-1)*8+1, 8).
+    sql["boilerplate_blocks"] = r"""
+        WITH ltok AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') END AS t
+            FROM documents
+        ), blk AS (
+            SELECT doc_id, array_to_string(t[(i - 1) * 8 + 1 : i * 8], ' ') AS segment
+            FROM ltok,
+                 unnest(generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+            WHERE len(t) > 0
+        )
+        SELECT segment, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM blk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        ORDER BY n_docs DESC, segment
+    """
+    # Edit-similarity pairs: identical rare-shingle blocking (df ≤ 32),
+    # the integer length prefilter, then DuckDB levenshtein on the same
+    # 512-char lowercased prefixes.  The threshold filter uses the
+    # UNROUNDED similarity like the engine; editsim ≥ 0.9 > 0 so no -0.0
+    # guard is needed.
+    sql["dedup_editdist"] = r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), dfq AS (
+            SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN dfq ON a.shingle = dfq.shingle
+            WHERE dfq.df <= 32
+        ), tx AS (
+            SELECT doc_id, substr(lower(text), 1, 512) AS s FROM documents
+        ), v AS (
+            SELECT id_a, id_b,
+                   levenshtein(a.s, b.s) AS lev,
+                   greatest(length(a.s), length(b.s)) AS big,
+                   least(length(a.s), length(b.s)) AS small
+            FROM cand JOIN tx a ON id_a = a.doc_id JOIN tx b ON id_b = b.doc_id
+            WHERE (greatest(length(a.s), length(b.s))
+                   - least(length(a.s), length(b.s))) * 1000000
+                  <= 100000 * greatest(length(a.s), length(b.s))
+        )
+        SELECT id_a, id_b,
+               round(1.0 - CAST(lev AS DOUBLE) / CAST(big AS DOUBLE), 4) AS editsim
+        FROM v
+        WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(big AS DOUBLE) >= CAST(0.9 AS DOUBLE)
+        ORDER BY id_a, id_b
     """
     return sql

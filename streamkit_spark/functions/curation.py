@@ -976,3 +976,242 @@ def pack_sequences(
         (F.col("offset") % budget).alias("pack_pos"),
         ((F.col("offset") % budget) + F.col("n_tokens") > budget).alias("straddles"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+
+#: Bucket count of the hashed feature space — 3 md5 nibbles, the same
+#: convention (and DuckDB mirror) as :func:`dsir_weights`.
+N_QC_BUCKETS = 4096
+
+
+def _qc_bucket(tok: Column, salt: str) -> Column:
+    """Token → feature bucket in [0, 4096): 3 md5 hex nibbles of
+    ``salt:token`` — byte-identical in the DuckDB twin."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), tok)), 1, 3), 16, 10
+    ).cast("long")
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qc",
+    bias: float = 0.0,
+    cutoff: float = 0.0,
+) -> DataFrame:
+    """Linear quality-classifier scoring over hashed unigram features —
+    the shape of fastText / logistic-regression quality filters in
+    CCNet-style curation (classifier-based filtering as in GPT-3 §A):
+    score(doc) = bias + mean(weight[bucket(token)]), keep = score ≥ cutoff.
+
+    Two weight sources:
+
+    * ``weights=None`` — a deterministic stand-in model: weight(b) =
+      ((b · 2654435761) mod 4096) / 4096 − 0.5 (Knuth multiplicative
+      scatter).  Zero-join, map-only: the whole model is one in-row
+      expression folded over the token array in document order.  Every
+      weight is a dyadic rational (k/4096 − 1/2), so the fold sum is
+      EXACT in double — no summation-order sensitivity on either engine.
+      This is the oracle-checked path; swap in trained weights for
+      production use.
+    * ``weights=DataFrame(bucket, weight)`` — a real (trained) model:
+      tokens explode to (doc, pos, bucket), broadcast-join the ≤4096-row
+      weight table, then a per-doc position-sorted fold (deterministic
+      summation, the dsir pattern).
+
+    Both paths are one corpus scan; the model is O(4096) whatever the
+    corpus size, so at 100 TB this is a pure map stage (plus one
+    doc-keyed combine for the join path).
+
+    Output: (doc_id, n_tokens, score rounded 4dp, keep).
+    """
+    # NULL text tokenizes to NULL; coalesce to empty so BOTH paths score
+    # a NULL-text doc as bias (the join path's left-join already does)
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    if weights is None:
+        w_of = lambda t: (
+            ((_qc_bucket(t, salt) * F.lit(2654435761)) % N_QC_BUCKETS).cast(
+                "double"
+            )
+            / F.lit(float(N_QC_BUCKETS))
+            - F.lit(0.5)
+        )
+        raw = F.aggregate(
+            F.transform(toks, w_of), F.lit(0.0), lambda acc, x: acc + x
+        )
+        n = F.size(toks)
+        score = F.when(n == 0, F.lit(float(bias))).otherwise(
+            F.lit(float(bias)) + raw / n.cast("double")
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            n.cast("long").alias("n_tokens"),
+            F.round(score, 4).alias("score"),
+            (F.round(score, 4) >= F.lit(float(cutoff))).alias("keep"),
+        ).orderBy("doc_id")
+
+    ex = df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks)).select(
+        "doc_id", F.col("pos"), _qc_bucket(F.col("col"), salt).alias("bucket")
+    )
+    scored = (
+        ex.join(F.broadcast(weights), "bucket", "left")
+        .select("doc_id", "pos", F.coalesce("weight", F.lit(0.0)).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x.getField("w"),
+            ).alias("__raw"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    score = F.lit(float(bias)) + F.coalesce(
+        F.col("__raw") / F.col("n_tokens").cast("double"), F.lit(0.0)
+    )
+    return (
+        base.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(score, 4).alias("score"),
+            (F.round(score, 4) >= F.lit(float(cutoff))).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segment analysis / removal (CCNet-style line dedup)
+# ---------------------------------------------------------------------------
+
+def segment_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """(doc_id, pos, segment) — the unit table for boilerplate analysis.
+
+    Two segmentations:
+
+    * ``sep`` (default newline) — real-corpus lines/paragraphs, the CCNet
+      unit: split on the regex, trim, drop empties.  ``pos`` preserves the
+      original order for reconstruction.
+    * ``block_tokens=B`` — fixed-width non-overlapping token blocks, for
+      corpora without layout separators (and the oracle-checked fixture
+      path): block i = tokens [i·B, (i+1)·B).  The trailing partial block
+      is kept — dropping it would let boilerplate hide in tails.
+
+    Segments are normalize-compared lowercased (dedup convention).
+    """
+    if block_tokens is not None:
+        if block_tokens < 1:
+            raise ValueError("block_tokens must be >= 1")
+        toks = tokens(F.lower(F.col(text_col)))
+        nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+        # guard: sequence(1, 0) runs DESCENDING — empty docs get no blocks
+        blocks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), nblk),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - F.lit(1)) * block_tokens + 1, block_tokens)
+                ),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(blocks)
+        ).select("doc_id", F.col("pos"), F.col("col").alias("segment"))
+    segs = F.split(F.lower(F.col(text_col)), sep)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs))
+        .select("doc_id", F.col("pos"), F.trim(F.col("col")).alias("segment"))
+        .filter(F.col("segment") != "")
+    )
+
+
+def boilerplate_segments(
+    df: DataFrame,
+    min_df: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """Segments appearing in ≥ ``min_df`` distinct documents — the
+    boilerplate head (nav bars, cookie banners, license headers).
+    Output: (segment, n_docs, n_occurrences), most-shared first.
+
+    One shuffle keyed by segment; hot segments are exactly the
+    boilerplate being measured and their per-key state is two counters
+    (partial-aggregable), so skew is harmless."""
+    seg = segment_table(df, text_col, id_col, sep, block_tokens)
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_df)
+        .orderBy(F.col("n_docs").desc(), "segment")
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    min_df: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n",
+    block_tokens: int | None = None,
+    join_sep: str = "\n",
+) -> DataFrame:
+    """Rebuild each document without its boilerplate segments (segments
+    shared by ≥ ``min_df`` docs) — CCNet/C4 line-level dedup as a
+    document transform.
+
+    Plan: segment table → per-segment doc frequency computed IN the same
+    scan with windows over the segment partitioning (max of dense_rank
+    by doc_id = COUNT DISTINCT; a separate groupBy would self-join the
+    derived segment table and re-plan its posexplode pipeline per branch
+    — the documented bimodal-runtime trap) → per-doc position-sorted
+    rebuild.  The window sorts spill (UnsafeExternalSorter) so a hot
+    boilerplate segment costs a big sorted run, not executor memory.
+    The collect_list/array_sort aggregate is the determinism barrier:
+    reconstruction order is exact whatever the shuffle order.
+
+    Output: (doc_id, n_segments, n_removed, clean_text).
+    """
+    seg = segment_table(df, text_col, id_col, sep, block_tokens)
+    w_seg = Window.partitionBy("segment")
+    dr = F.dense_rank().over(w_seg.orderBy("doc_id"))
+    return (
+        seg.withColumn("__dr", dr)
+        .withColumn("__df", F.max("__dr").over(w_seg))
+        .select("doc_id", "pos", "segment", (F.col("__df") >= min_df).alias("__bp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum(F.col("__bp").cast("long")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "__bp", "segment"))
+                        ),
+                        lambda x: ~x.getField("__bp"),
+                    ),
+                    lambda x: x.getField("segment"),
+                ),
+                join_sep,
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

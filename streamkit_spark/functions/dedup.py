@@ -92,6 +92,33 @@ def shingle_table(
     )
 
 
+def _pairs_from_sorted_groups(grouped: DataFrame, ids_col: str = "ds") -> DataFrame:
+    """Distinct (id_a, id_b) pairs enumerated IN-ROW from each group's
+    ascending-sorted id array — the group-and-enumerate alternative to a
+    derived-table self-join (ONE candidate pipeline in the plan, no AQE
+    exchange-reuse gamble; see the bimodal-runtime note in
+    :func:`ngram_jaccard_pairs`).  Ascending input + tail-slice pairing
+    guarantees id_a < id_b.  The two-param HOF lambda is (element, index),
+    which is exactly what the slice offset needs."""
+    return (
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids_col,
+                        lambda x, i: F.transform(
+                            F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -254,25 +281,10 @@ def overlap_coefficient_pairs(
     # word_ngrams is per-doc distinct already, so shingle_table rows are
     # unique (doc, shingle) pairs — no distinct pass needed
     sh = shingle_table(df, text_col, id_col, n)
-    cand = (
+    cand = _pairs_from_sorted_groups(
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size("ds")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
     )
     arrays = _spread(df).select(
         F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
@@ -396,25 +408,10 @@ def minhash_lsh_pairs(
     # jaccard operator).  Grouping keeps exactly ONE signature computation;
     # bucket group sizes are duplicate-cluster-sized, so the in-row pair
     # enumeration is bounded.
-    cand = (
+    cand = _pairs_from_sorted_groups(
         band_rows.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size("ds")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
     )
     # exact-Jaccard verify on candidates only
     shingles = _spread(df).select(
@@ -972,4 +969,75 @@ def tfidf_cosine_pairs(
         dot.where(F.col("c_raw") >= threshold)
         .select("doc_a", "doc_b", "n_shared", F.round("c_raw", 4).alias("cosine"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------- edit distance
+
+def editdist_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    prefix_chars: int = 512,
+) -> DataFrame:
+    """Near-dup pairs by normalized edit similarity: 1 − lev(a,b)/max(|a|,|b|)
+    ≥ ``threshold`` over the first ``prefix_chars`` characters of the
+    lowercased texts — the character-level verifier that catches small
+    in-place edits (typo fixes, template slot changes) which set-based
+    Jaccard scores leniently and winnowing scores harshly.
+
+    Shape (the reason this scales where a naive all-pairs Levenshtein is
+    hopeless — the DP is O(|a|·|b|) PER PAIR):
+
+    1. candidates: group-and-enumerate docs sharing a rare word shingle
+       (df ≤ ``max_df``) — same blocking and recall contract as
+       :func:`overlap_coefficient_pairs` (pairs sharing only boilerplate
+       shingles are deliberately missed; the oracle mirrors the cut).
+    2. cheap length prefilter: lev ≥ |len(a) − len(b)|, so any qualifying
+       pair satisfies (L − l) · t_den ≤ (t_den − t_num) · L with
+       L = max, l = min of the capped lengths — exact integer arithmetic,
+       no float ceil.
+    3. exact verify: Spark's bounded ``levenshtein(..., threshold=B)``
+       with the static bound B = ⌊(1−t) · prefix_chars⌋ (distance can
+       never exceed that for a qualifying pair since both strings are
+       ≤ prefix_chars); the early-exit bound turns the worst-case DP into
+       a banded one.  −1 (bound exceeded) rows are dropped.
+
+    The prefix cap bounds per-pair cost at 100 TB (a 100 KB document pair
+    would otherwise cost 10^10 DP cells); it makes the measure "prefix
+    edit similarity", which the oracle mirrors with the same substr.
+
+    Output: (id_a, id_b, editsim) with id_a < id_b, editsim rounded 4dp.
+    """
+    t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
+    sh = shingle_table(df, text_col, id_col, n)
+    cand = _pairs_from_sorted_groups(
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
+    )
+    texts = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(_lc(text_col), 1, prefix_chars).alias("__t"),
+    )
+    ta = texts.select(F.col("doc_id").alias("id_a"), F.col("__t").alias("__ta"))
+    tb = texts.select(F.col("doc_id").alias("id_b"), F.col("__t").alias("__tb"))
+    la, lb = F.length("__ta"), F.length("__tb")
+    big, small = F.greatest(la, lb), F.least(la, lb)
+    bound = int((t_den - t_num) * prefix_chars // t_den)
+    lev = F.levenshtein("__ta", "__tb", bound)
+    sim = F.lit(1.0) - lev.cast("double") / big.cast("double")
+    return (
+        ta.join(maybe_broadcast(cand), "id_a")
+        .join(tb, "id_b")
+        # length prefilter: (L - l) / L > (1 - t) already fails on the
+        # |len| lower bound of lev — integer form, no float comparison
+        .filter((big - small) * t_den <= (t_den - t_num) * big)
+        .select("id_a", "id_b", lev.alias("__lev"), sim.alias("__sim"))
+        .filter((F.col("__lev") >= 0) & (F.col("__sim") >= F.lit(threshold)))
+        .select("id_a", "id_b", F.round("__sim", 4).alias("editsim"))
+        .orderBy("id_a", "id_b")
     )
