@@ -2050,6 +2050,58 @@ def q_dedup_editdist(spark, sf_dir):
     return D.editdist_pairs(docs, threshold=0.9, max_df=32)
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection
+    (similarity.random_projection, 64→16, seed 7): the (16×64) N(0,1)
+    matrix is a literal folded per row — map-only, zero shuffle.  Output
+    exploded to (vec_id, pos, val) for the hash compare; the oracle
+    carries the SAME matrix literal and replays each dot fold
+    left-to-right.  dim pinned to the fixture's 64 so engine and oracle
+    agree on the plane literals."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    proj = SIM.random_projection(emb, out_dim=16, seed=7, dim=64)
+    return (
+        proj.select("vec_id", F.posexplode("proj"))
+        .select("vec_id", F.col("pos"), F.round("col", 4).alias("val"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+def q_knn_graph(spark, sf_dir):
+    """Exact kNN graph (similarity.knn_graph, brute, k=3): directed
+    (src, dst, cos, rank) edges over the whole corpus — the verifier
+    baseline for the IVF scale path (whose full-probe equivalence and
+    partial-probe recall are pytest-checked).  Cosine rounded 4dp BEFORE
+    ranking; ties break by dst."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=3, method="brute")
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN symmetrization (similarity.mutual_knn_pairs over the
+    k=3 brute graph): undirected pairs within each other's top-k —
+    group-and-enumerate on the undirected key, no edge-table
+    self-join."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.mutual_knn_pairs(SIM.knn_graph(emb, k=3, method="brute"))
+
+
+def q_compaction_bins(spark, sf_dir):
+    """Small-file compaction planning (layout.compaction_bins): per-source
+    streaming-concat bin assignment — bin = (prefix_sum − size) div
+    target, exact integer math — summarized to one row per planned output
+    file.  Documents stand in as the file table (doc_id = file name,
+    n_chars = bytes); Store.compaction_plan runs the same planner over
+    real parquet sizes (tested)."""
+    from streamkit_spark.functions.layout import compaction_bins
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return compaction_bins(
+        docs, 4096, file_col="doc_id", size_col="n_chars",
+        group_cols=("source",),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2217,6 +2269,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "boilerplate_blocks": q_boilerplate_blocks,
         "dedup_editdist": q_dedup_editdist,
+        "random_projection": q_random_projection,
+        "knn_graph": q_knn_graph,
+        "mutual_knn": q_mutual_knn,
+        "compaction_bins": q_compaction_bins,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -3439,7 +3495,13 @@ def oracle_sql() -> dict[str, str]:
     from streamkit_spark.functions.similarity import random_hyperplanes
 
     def _dot_sql(plane) -> str:
-        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        # CAST('<repr>' AS DOUBLE): bare decimal literals parse as DECIMAL
+        # and re-round — a ~1e-8 fold perturbation vs the engine's `...D`
+        # doubles (measured flipping a 4dp rounding in random_projection);
+        # the string cast is strtod, bit-identical to the JVM parse
+        arr = (
+            "[" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane) + "]"
+        )
         return f"list_sum(list_apply(list_zip(e, {arr}), p -> p[1] * p[2]))"
 
     _tables_sql = []
@@ -4554,6 +4616,87 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 - CAST(lev AS DOUBLE) / CAST(big AS DOUBLE), 4) AS editsim
         FROM v
         WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(big AS DOUBLE) >= CAST(0.9 AS DOUBLE)
+        ORDER BY id_a, id_b
+    """
+    sql["compaction_bins"] = """
+        WITH plan AS (
+            SELECT source,
+                   (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_chars) // 4096 AS bin,
+                   n_chars
+            FROM documents
+        )
+        SELECT source, CAST(bin AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        FROM plan GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # JL random projection: the SAME (16×64) plane literals as the engine
+    # (seed 7), each output = left-fold dot × 1/√16 (exactly 0.25).  Bare
+    # decimal literals parse as DECIMAL in DuckDB (NOT the same double as
+    # Spark's `...D` literal — measured a 3e-8 fold divergence that
+    # flipped a 4dp rounding); CAST('<repr>' AS DOUBLE) goes through
+    # strtod, correctly rounded to the identical bits.  +0 normalizes any
+    # -0.0 after rounding.
+    from streamkit_spark.functions.similarity import random_hyperplanes
+
+    _rp_planes = random_hyperplanes(64, 16, seed=7)
+    _rp_mat = (
+        "[" + ", ".join(
+            "[" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in p) + "]"
+            for p in _rp_planes
+        ) + "]"
+    )
+    sql["random_projection"] = f"""
+        SELECT e.vec_id, i - 1 AS pos,
+               round(list_sum(list_apply(list_zip(e.embedding, m.m[i]),
+                                         p -> p[1] * p[2]))
+                     * CAST(0.25 AS DOUBLE), 4) + 0 AS val
+        FROM embeddings e,
+             (SELECT {_rp_mat} AS m) m,
+             unnest(generate_series(1, 16)) AS u(i)
+        ORDER BY vec_id, pos
+    """
+    # kNN graph (brute, k=3): same cosine folds as ann_topk_bruteforce,
+    # every vector as a query; rank on the ROUNDED cosine like the engine.
+    sql["knn_graph"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   round(list_sum(list_apply(list_zip(q.e, c.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(c.e, x -> x * x)))), 4) AS cos
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        )
+        SELECT src, dst, cos + 0 AS cos, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos DESC, dst) AS rank
+            FROM scored)
+        WHERE rank <= 3 ORDER BY src, rank
+    """
+    sql["mutual_knn"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   round(list_sum(list_apply(list_zip(q.e, c.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(c.e, x -> x * x)))), 4) AS cos
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (PARTITION BY src
+                                             ORDER BY cos DESC, dst) AS rank
+                FROM scored)
+            WHERE rank <= 3
+        )
+        SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+        FROM edges GROUP BY 1, 2 HAVING count(*) = 2
         ORDER BY id_a, id_b
     """
     return sql

@@ -731,3 +731,61 @@ def ewma_smooth(
         )
         .orderBy(group_col, order_col)
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group two-sample Welch z statistic of ``value_col`` against the
+    COMPLEMENT of the group (the standard always-on experiment readout:
+    does this variant's mean differ from everyone else's?).
+
+    Determinism contract: sums and sums-of-squares go through
+    DECIMAL(18,2)/DECIMAL(38,4) — exact on both engines whatever the
+    partial-aggregation order (the money convention; a plain double sum
+    near a rounding boundary flips between runs).  The complement's
+    moments are TOTAL − group (exact decimal subtraction, one extra
+    1-row broadcast instead of a second scan); mean/variance/z are then
+    computed in double from those exact components, identical op order
+    on both engines.
+
+    Output: (group, n, mean, n_rest, mean_rest, z) — z is NULL when
+    either side has < 2 rows or zero variance on both sides.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("decimal(18,2)")
+    per = df.groupBy(g.alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("sq"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("sv").alias("tsv"), F.sum("sq").alias("tsq")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n, sv, sq = F.col("n"), F.col("sv").cast("double"), F.col("sq").cast("double")
+    rsv = (F.col("tsv") - F.col("sv")).cast("double")
+    rsq = (F.col("tsq") - F.col("sq")).cast("double")
+    mean = sv / n
+    mean_r = rsv / F.col("n_rest")
+    var = (sq - sv * sv / n) / (n - 1)
+    var_r = (rsq - rsv * rsv / F.col("n_rest")) / (F.col("n_rest") - 1)
+    se = F.sqrt(var / n + var_r / F.col("n_rest"))
+    z = F.when(
+        (n >= 2) & (F.col("n_rest") >= 2) & (se > 0), (mean - mean_r) / se
+    )
+    return (
+        j.withColumn("n_rest", F.col("tn") - n)
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(mean, round_digits).alias("mean"),
+            "n_rest",
+            F.round(mean_r, round_digits).alias("mean_rest"),
+            F.round(z, round_digits).alias("z"),
+        )
+        .orderBy(group_col)
+    )

@@ -1115,7 +1115,12 @@ def segment_table(
     if block_tokens is not None:
         if block_tokens < 1:
             raise ValueError("block_tokens must be >= 1")
-        toks = tokens(F.lower(F.col(text_col)))
+        # NULL text tokenizes to NULL (size -1 — the ==0 guard would let
+        # sequence(1, 0) run DESCENDING and emit phantom '' blocks);
+        # coalesce to empty like quality_classifier_score
+        toks = F.coalesce(
+            tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+        )
         nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
         # guard: sequence(1, 0) runs DESCENDING — empty docs get no blocks
         blocks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(

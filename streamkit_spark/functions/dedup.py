@@ -26,7 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from streamkit_spark.functions.text import normalized_text, tokens, word_ngrams
-from streamkit_spark.functions.util import BROADCAST_ROW_LIMIT, maybe_broadcast
+from streamkit_spark.functions.util import (
+    BROADCAST_ROW_LIMIT,
+    maybe_broadcast,
+    pairs_from_sorted_groups,
+)
 
 
 def _lc(text_col: str) -> Column:
@@ -89,33 +93,6 @@ def shingle_table(
     return _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(_lc(text_col), n)).alias("shingle"),
-    )
-
-
-def _pairs_from_sorted_groups(grouped: DataFrame, ids_col: str = "ds") -> DataFrame:
-    """Distinct (id_a, id_b) pairs enumerated IN-ROW from each group's
-    ascending-sorted id array — the group-and-enumerate alternative to a
-    derived-table self-join (ONE candidate pipeline in the plan, no AQE
-    exchange-reuse gamble; see the bimodal-runtime note in
-    :func:`ngram_jaccard_pairs`).  Ascending input + tail-slice pairing
-    guarantees id_a < id_b.  The two-param HOF lambda is (element, index),
-    which is exactly what the slice offset needs."""
-    return (
-        grouped.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ids_col,
-                        lambda x, i: F.transform(
-                            F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
     )
 
 
@@ -281,7 +258,7 @@ def overlap_coefficient_pairs(
     # word_ngrams is per-doc distinct already, so shingle_table rows are
     # unique (doc, shingle) pairs — no distinct pass needed
     sh = shingle_table(df, text_col, id_col, n)
-    cand = _pairs_from_sorted_groups(
+    cand = pairs_from_sorted_groups(
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
@@ -408,7 +385,7 @@ def minhash_lsh_pairs(
     # jaccard operator).  Grouping keeps exactly ONE signature computation;
     # bucket group sizes are duplicate-cluster-sized, so the in-row pair
     # enumeration is bounded.
-    cand = _pairs_from_sorted_groups(
+    cand = pairs_from_sorted_groups(
         band_rows.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
@@ -1014,7 +991,7 @@ def editdist_pairs(
     """
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
     sh = shingle_table(df, text_col, id_col, n)
-    cand = _pairs_from_sorted_groups(
+    cand = pairs_from_sorted_groups(
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))

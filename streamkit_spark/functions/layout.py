@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "cluster_by_zorder", "zorder_stats"]
+__all__ = [
+    "zorder_key",
+    "cluster_by_zorder",
+    "zorder_stats",
+    "compaction_plan",
+    "compaction_bins",
+]
 
 
 def zorder_key(cols: list[str], bits: int = 16) -> Column:
@@ -96,4 +102,65 @@ def zorder_stats(
         .groupBy("zbucket")
         .agg(*aggs)
         .orderBy("zbucket")
+    )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file",
+    size_col: str = "bytes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign files to compaction output bins by streaming concatenation
+    (the Delta/Iceberg OPTIMIZE shape): within each group, files are laid
+    out in ``file_col`` order and a bin boundary is cut every
+    ``target_bytes`` — bin = (running_sum − size) div target.  A file
+    larger than the target lands alone in its own bin(s) boundary;
+    ordering by name keeps the plan deterministic and incremental
+    (appending files never reshuffles earlier bins).
+
+    This is METADATA-scale work: input rows are file entries (~10⁵-10⁶
+    per table at 100 TB with 256 MB files), so the per-group window
+    prefix sum is cheap; the expensive part — actually rewriting the
+    bytes — is the caller's `read files in bin → write one file` pass,
+    which parallelizes per bin.  Pure integer math, oracle-exact.
+
+    Output: group_cols + (file, bytes, bin).
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    # integer bin index: (prefix-sum BEFORE this file) div target — exact
+    # long arithmetic, no float division
+    bin_ = F.expr(
+        f"(sum({size_col}) over (partition by {', '.join(group_cols) or '1'}"
+        f" order by {file_col}) - {size_col}) div {int(target_bytes)}"
+    )
+    return files.select(
+        *group_cols,
+        F.col(file_col).alias("file"),
+        F.col(size_col).cast("long").alias("bytes"),
+        bin_.cast("long").alias("bin"),
+    )
+
+
+def compaction_bins(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file",
+    size_col: str = "bytes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-bin summary of :func:`compaction_plan`: one row per planned
+    output file with its input count and total bytes — the report that
+    schedules the rewrite (bins with n_files == 1 and total ≈ target need
+    no work)."""
+    plan = compaction_plan(files, target_bytes, file_col, size_col, group_cols)
+    return (
+        plan.groupBy(*group_cols, "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy(*group_cols, "bin")
     )

@@ -21,6 +21,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from streamkit_spark.functions.util import pairs_from_sorted_groups
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -420,25 +422,10 @@ def embedding_near_dup_pairs(
     # folds × bits × tables — the expensive part) once per branch; the
     # aggregate computes it exactly once, and bucket groups are
     # near-dup-cluster-sized so in-row enumeration is bounded.
-    cand = (
+    cand = pairs_from_sorted_groups(
         t.groupBy("tbl", "bkt")
         .agg(F.array_sort(F.collect_list("id")).alias("ds"))
         .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size("ds")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
     )
     # norms land once per vector (materialized by the join exchange), so
     # the per-pair verify is one dot fold + one divide — bit-identical to
@@ -506,25 +493,14 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id"),
         nearest(F.col(vec_col), 1)[0].alias("cluster"),
     )
-    cand = (
+    # single-assignment clusters are disjoint — pairs are unique without a
+    # distinct pass
+    cand = pairs_from_sorted_groups(
         assigned.groupBy("cluster")
         .agg(F.array_sort(F.collect_list("id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-        .select(
-            "cluster",
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + 2, F.size("ds")),
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p"),
-        )
-        .select("cluster", "p.id_a", "p.id_b")
+        .filter(F.size("ds") > 1),
+        carry=("cluster",),
+        distinct=False,
     )
     vecs = spread.select(
         F.col(id_col).alias("id"),
@@ -1189,4 +1165,240 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+# ------------------------------------------------------------ random projection
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: out = R·v / √out_dim with
+    R ~ N(0,1) rows — the standard dense JL map (distances preserved to
+    (1±ε) with out_dim = O(log N / ε²)), used to shrink embeddings before
+    downstream ANN / clustering passes.
+
+    Map-only: the projection matrix is an (out_dim × dim) LITERAL folded
+    per row (one expression parse, the hyperplane_bucket lesson) — zero
+    shuffle, zero state, nothing scales with corpus size but the scan.
+    Folds run left-to-right in double, so the oracle replays them
+    bit-for-bit.  Output: (id, proj array<double>).
+    """
+    dim = _infer_dim(df, vec_col, dim)
+    planes = random_hyperplanes(dim, out_dim, seed)
+    if not np.isfinite(planes).all():
+        raise ValueError("random_projection: non-finite plane component")
+    scale = 1.0 / math.sqrt(out_dim)
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in p) + ")"
+            for p in planes
+        )
+        + ")"
+    )
+    proj = F.transform(
+        planes_lit, lambda p: _dot_raw(F.col(vec_col), p) * F.lit(scale)
+    )
+    return _spread(df).select(F.col(id_col).alias("vec_id"), proj.alias("proj"))
+
+
+# ---------------------------------------------------------------- kNN graph
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    method: str = "brute",
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """k-nearest-neighbor graph over the corpus: directed edges
+    (src, dst, cos, rank), rank ≤ k by (cos desc, dst) — the substrate
+    for graph clustering, SemDeDup-style pruning, and label propagation.
+
+    * ``method="brute"`` — exact: every vector against every other via
+      the broadcast corpus (the verifier; quadratic, small corpora only).
+    * ``method="ivf"`` — the scale path: one coarse-assignment pass emits
+      a SLIM (vec_id, list, rank) table — membership is rank 1, probes
+      are ranks 1..nprobe — which is ``localCheckpoint``'ed (disk-backed)
+      so the probe⋈member join reads ONE materialized table instead of
+      re-planning the C-fold assignment pipeline per branch (the
+      derived-table self-join trap).  Candidates are verified with exact
+      cosine against the raw corpus (cheap scans), then per-src top-k.
+      Shuffle volume: Σ_lists |probes|·|members| candidate id-pairs —
+      vectors never ride the candidate join.
+
+    ``round_digits`` rounds cosine BEFORE ranking so rankings are
+    reproducible across engines (ties break by dst id).
+    """
+    if method == "brute":
+        edges = brute_force_topk(
+            df, df, k=k, id_col=id_col, vec_col=vec_col,
+            round_digits=round_digits,
+        )
+        return edges.select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cos",
+            "rank",
+        )
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r} (brute|ivf)")
+    nearest_lists = _coarse_quantizer(df, n_centroids, id_col, vec_col)
+    assign = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(nearest_lists(F.col(vec_col), nprobe)),
+        )
+        .select("vid", (F.col("pos") + 1).alias("rk"), F.col("col").alias("lst"))
+        .localCheckpoint(eager=False)
+    )
+    probes = assign.select(F.col("vid").alias("src"), "lst")
+    members = assign.filter(F.col("rk") == 1).select(
+        F.col("vid").alias("dst"), "lst"
+    )
+    cand = (
+        probes.join(members, "lst")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    vecs = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    )
+    va = vecs.select(
+        F.col("__id").alias("src"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    vb = vecs.select(
+        F.col("__id").alias("dst"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    sim = _dot_raw(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        cand.join(va, "src").join(vb, "dst").select("src", "dst", sim.alias("cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos", "rank")
+        .orderBy("src", "rank")
+    )
+
+
+def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
+    """Mutual-kNN pairs from a :func:`knn_graph` edge list: (id_a, id_b)
+    where BOTH directions are within each other's top-k — the standard
+    symmetrization that prunes hub-induced false neighbors.
+
+    Group-and-enumerate on the undirected key (no edge-table self-join —
+    the edge pipeline is expensive): an undirected pair with both
+    directions present has exactly 2 rows."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") == 2)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------- label propagation
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    weight_col: str = "cos",
+) -> DataFrame:
+    """Semi-supervised label propagation over a (kNN) graph: seed labels
+    spread along weighted edges; each round, every unseeded node takes
+    the label with the highest incoming vote — Σ edge weights from
+    neighbors labeled in the PREVIOUS round — ties broken by the
+    smallest label (Zhu & Ghahramani '02, hard-clamped seeds).
+
+    Determinism contract: votes are INTEGER weights (round(w·10⁴) — the
+    engine's 4dp similarity grid), so per-(node, label) sums are exact
+    whatever the partial-aggregation order and the argmax cannot flip on
+    float summation noise; the oracle replays every round bit-for-bit.
+
+    Plan shape per round: one edges⋈labels shuffle + one (node, label)
+    combine + a per-node top-1 window — labels are (id, label) rows,
+    never collected.  The edge table is ``localCheckpoint``'ed once and
+    each round's label table is checkpointed too, so round r+1's plan
+    reads materialized partitions instead of replaying r rounds of
+    lineage (the dedup_clusters discipline).  The labeled set grows
+    monotonically (a labeled neighbor never un-labels), so n_iter bounds
+    propagation DEPTH, not correctness.
+
+    Output: (id, label, origin) with origin ∈ seed | propagated |
+    unlabeled (label NULL).
+    """
+    w_int = F.round(F.col(weight_col) * 10000).cast("long")
+    e = (
+        edges.select(
+            F.col("src").alias("__s"), F.col("dst").alias("__d"), w_int.alias("__w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sd = seeds.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__seed")
+    )
+    base = nodes.select(F.col(id_col).alias("__id")).join(sd, "__id", "left")
+    labels = base.select("__id", F.col("__seed").alias("__lab"))
+    top = Window.partitionBy("__s").orderBy(
+        F.col("__votes").desc(), F.col("__lab")
+    )
+    for _ in range(n_iter):
+        votes = (
+            e.join(
+                labels.filter(F.col("__lab").isNotNull()),
+                e["__d"] == labels["__id"],
+            )
+            .groupBy("__s", "__lab")
+            .agg(F.sum("__w").alias("__votes"))
+        )
+        best = (
+            votes.withColumn("__rn", F.row_number().over(top))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__s").alias("__id"), F.col("__lab").alias("__best"))
+        )
+        labels = (
+            base.join(best, "__id", "left")
+            .select(
+                "__id",
+                F.coalesce(F.col("__seed"), F.col("__best")).alias("__lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        base.join(labels, "__id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__lab").alias(label_col),
+            F.when(F.col("__seed").isNotNull(), F.lit("seed"))
+            .when(F.col("__lab").isNotNull(), F.lit("propagated"))
+            .otherwise(F.lit("unlabeled"))
+            .alias("origin"),
+        )
+        .orderBy(id_col)
     )

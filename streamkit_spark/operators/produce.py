@@ -477,6 +477,40 @@ class Store:
                 )
         return out
 
+    def compaction_plan(self, target_bytes: int = 256 * 1024 * 1024):
+        """Bin-packed rewrite plan for the store's parquet files
+        (functions/layout.compaction_plan grouped by space): one row per
+        file with its target output bin — the finer-grained companion to
+        :meth:`compact` (which rewrites whole spaces to N files); this
+        plans SIZE-bounded outputs so a petabyte space compacts into
+        ~target-sized files instead of one giant one.
+
+        The file walk reuses :meth:`file_stats`' discipline (shared
+        flock, skip files removed mid-walk); the plan itself is a
+        metadata-scale DataFrame — nothing reads data bytes."""
+        from streamkit_spark.functions.layout import compaction_plan
+
+        rows = []
+        root = self.events_path
+        if os.path.isdir(root):
+            with _flock(self._store_lock_path, exclusive=False):
+                for entry in sorted(os.listdir(root)):
+                    spath = os.path.join(root, entry)
+                    if not (os.path.isdir(spath) and "=" in entry):
+                        continue
+                    space = urllib.parse.unquote(entry.split("=", 1)[1])
+                    for p in _parquet_paths(spath):
+                        try:
+                            rows.append((space, p, os.path.getsize(p)))
+                        except OSError:
+                            continue  # rolled back mid-walk
+        files = self.spark.createDataFrame(
+            rows, "space string, file string, bytes long"
+        )
+        return compaction_plan(
+            files, target_bytes, group_cols=("space",)
+        )
+
     def compact(self, files_per_space: int = 1) -> dict[str, int]:
         """Rewrite the events table into few large files per space, sorted
         by (segment, sequence).

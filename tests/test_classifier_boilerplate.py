@@ -113,6 +113,17 @@ def test_remove_boilerplate_rebuilds_in_order(spark, lined):
     assert 101 not in out
 
 
+def test_block_segments_null_and_empty_text_yield_no_segments(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    segs = C.segment_table(df, block_tokens=2).collect()
+    assert [(r["doc_id"], r["pos"], r["segment"]) for r in segs] == [
+        (3, 0, "a b"),
+        (3, 1, "c"),
+    ]
+
+
 def test_block_segments_cover_all_tokens(spark, docs):
     seg = C.segment_table(docs, block_tokens=8)
     n_seg_tokens = seg.select(

@@ -101,3 +101,62 @@ def test_zorder_stats_spans_are_bounded(spark):
     for r in rows:
         assert r["max_user_id"] - r["min_user_id"] <= 15
         assert r["max_day"] - r["min_day"] <= 15
+
+
+# ---------------------------------------------------------------------------
+# compaction planning
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_bins_match_python(spark):
+    from streamkit_spark.functions.layout import compaction_plan
+
+    rows = [(f"f{i:02d}", s) for i, s in enumerate([10, 90, 50, 60, 200, 5, 5])]
+    df = spark.createDataFrame(rows, "file string, bytes long")
+    got = {
+        r["file"]: r["bin"]
+        for r in compaction_plan(df, target_bytes=100).collect()
+    }
+    cum = 0
+    for f, s in rows:  # files are already in name order
+        assert got[f] == cum // 100, f
+        cum += s
+
+
+def test_compaction_plan_oversize_file_gets_own_bin(spark):
+    from streamkit_spark.functions.layout import compaction_plan
+
+    df = spark.createDataFrame(
+        [("a", 50), ("b", 300), ("c", 50)], "file string, bytes long"
+    )
+    got = {r["file"]: r["bin"] for r in compaction_plan(df, 100).collect()}
+    # b starts at offset 50 (bin 0 boundary) and spills; c starts at 350
+    assert got == {"a": 0, "b": 0, "c": 3}
+
+
+def test_compaction_bins_summary_grouped(spark):
+    from streamkit_spark.functions.layout import compaction_bins
+
+    df = spark.createDataFrame(
+        [("s1", "a", 60), ("s1", "b", 60), ("s2", "a", 10)],
+        "space string, file string, bytes long",
+    )
+    rows = compaction_bins(df, 100, group_cols=("space",)).collect()
+    # b STARTS inside bin 0 (offset 60 < 100) so bin 0 overshoots to 120
+    # bytes — streaming concat bins exceed the target by at most one file
+    assert [(r["space"], r["bin"], r["n_files"], r["total_bytes"]) for r in rows] == [
+        ("s1", 0, 2, 120),
+        ("s2", 0, 1, 10),
+    ]
+
+
+def test_store_compaction_plan_covers_all_files(spark, tmp_path):
+    from streamkit_spark.operators.produce import Store
+
+    store = Store(spark, str(tmp_path / "cstore"))
+    for seq in range(1, 4):
+        store.produce("sp a", "seg", [(seq, f"payload {seq}".encode(), None)])
+    plan = store.compaction_plan(target_bytes=1 << 20).collect()
+    assert len(plan) == 3  # one append file per produce
+    assert {r["space"] for r in plan} == {"sp a"}
+    assert all(r["bin"] == 0 for r in plan)  # tiny files pack into one bin
+    assert all(r["bytes"] > 0 for r in plan)
