@@ -2102,6 +2102,107 @@ def q_compaction_bins(spark, sf_dir):
     )
 
 
+def q_ab_value_ztest(spark, sf_dir):
+    """Per-event-type Welch z of value vs the complement
+    (analytics.ab_test_report): the always-on experiment readout.  Sums
+    and sums-of-squares ride DECIMAL(18,2)/(38,4) — exact on both
+    engines whatever the partial-agg order (the money convention);
+    mean/var/z are computed from those exact components with identical
+    op order."""
+    from streamkit_spark.functions.analytics import ab_test_report
+
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+    return ab_test_report(ev, "event_type", "value")
+
+
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation (similarity.label_propagation,
+    Zhu & Ghahramani hard-clamped): 20% seeds (vec_id % 5 == 0) spread
+    over the k=5 brute kNN graph for 3 rounds; votes are integer
+    round(cos·10⁴) weights so per-(node,label) sums are exact and the
+    argmax cannot flip on float noise.  The oracle replays all 3 rounds
+    as chained CTEs over the identical integer votes."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=5, method="brute")
+    seeds = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "label")
+    return SIM.label_propagation(
+        edges, seeds, emb.select("vec_id"), n_iter=3
+    )
+
+
+def q_window_funcs(spark, sf_dir):
+    """ANSI window-function parity block (the windowed companion of
+    string_funcs/date_funcs/math_funcs): row_number / rank / dense_rank /
+    ntile / percent_rank / cume_dist / lag / lead over event partitions.
+    Rank-family orderings that must be unique (row_number, ntile) break
+    ties on event_id; rank/dense_rank/percent_rank/cume_dist order by
+    value alone — their tie semantics are the thing being checked."""
+    ev = _ev(spark, sf_dir).filter(F.col("event_id") < 2000).select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("ts_ms"),
+        "value",
+    )
+    w_uniq = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_ties = Window.partitionBy("event_type").orderBy("value")
+    w_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return ev.select(
+        "event_id",
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.ntile(4).over(w_uniq).cast("long").alias("nt"),
+        F.round(F.percent_rank().over(w_ties), 4).alias("prank"),
+        F.round(F.cume_dist().over(w_ties), 4).alias("cdist"),
+        F.lag("value").over(w_user).alias("prev_val"),
+        F.lead("value").over(w_user).alias("next_val"),
+    ).orderBy("event_id")
+
+
+def q_frequent_sequences(spark, sf_dir):
+    """Top-20 most frequent 3-step event-type sequences
+    (analytics.frequent_sequences): per-user histories collected once
+    into order-sorted arrays, n-grams expanded in-row, one map-side-
+    combined count — the n-gram generalization of event_transitions.
+    Total (count desc, sequence asc) ranking keeps the LIMIT
+    reproducible."""
+    from streamkit_spark.functions.analytics import frequent_sequences
+
+    ev = _ev(spark, sf_dir)
+    return frequent_sequences(ev, n=3, k=20)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the unigram distribution
+    (text.token_entropy): one (source, token) count, then an ascending-
+    token fold so the float summation is deterministic and the oracle
+    replays it term-for-term."""
+    from streamkit_spark.functions.text import token_entropy
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+def q_ivfadc_topk(spark, sf_dir):
+    """IVFADC search with RESIDUAL product quantization (Jégou'11 §IV —
+    the billion-scale FAISS recipe proper, vs ivf_pq_topk's raw-vector
+    codes): coarse lists bound candidates, codebooks are trained on
+    v − c(v) residuals, and scores decompose exactly as ⟨q, c_list⟩ +
+    Σ⟨q_s, codeword_s⟩.  The oracle replays the coarse assignment, the
+    residual table (zero-residual centroid rows excluded from training,
+    encoded all-tie), all 4 residual k-means chains, the encode argmax,
+    and the coarse+ADC score sum."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFADC_CACHE:
+        _IVFADC_CACHE[sf_dir] = SIM.ivfadc_components(
+            emb, n_centroids=8, m=4, k=8, iters=2, exact_means=True
+        )
+    cents, books = _IVFADC_CACHE[sf_dir]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivfadc_topk(emb, queries, cents, books, k=5, nprobe=3)
+
+
+_IVFADC_CACHE: dict = {}
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2273,6 +2374,12 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "mutual_knn": q_mutual_knn,
         "compaction_bins": q_compaction_bins,
+        "ab_value_ztest": q_ab_value_ztest,
+        "label_propagation": q_label_propagation,
+        "window_funcs": q_window_funcs,
+        "frequent_sequences": q_frequent_sequences,
+        "token_entropy": q_token_entropy,
+        "ivfadc_topk": q_ivfadc_topk,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -4499,6 +4606,91 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs)
         WHERE rank <= 5 ORDER BY query_id, rank
     """
+    # IVFADC: residual PQ — coarse assignment as in ivf_pq_topk, residual
+    # table (training excludes the zero-residual centroid rows, mirroring
+    # ivfadc_components), 4 residual k-means chains via the same
+    # _asg_t/_upd_t machinery, encode over ALL residuals, score =
+    # coarse dot + left-assoc ADC terms.
+    _radc_chains = []
+    for s in range(4):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        _radc_chains.append(
+            f"rvt{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM rvt),\n"
+            f"rv{s} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM rv),\n"
+            f"rc0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS ci, e AS ce FROM rvt{s} ORDER BY vec_id LIMIT 8),\n"
+            f"ra0_{s} AS ({_asg_t(f'rvt{s}', f'rc0_{s}')}),\n"
+            f"rc1_{s} AS ({_upd_t(f'rvt{s}', f'ra0_{s}', f'rc0_{s}')}),\n"
+            f"ra1_{s} AS ({_asg_t(f'rvt{s}', f'rc1_{s}')}),\n"
+            f"rc2_{s} AS ({_upd_t(f'rvt{s}', f'ra1_{s}', f'rc1_{s}')}),\n"
+            f"renc_{s} AS ({_asg_t(f'rv{s}', f'rc2_{s}')})"
+        )
+    _radc_terms = " + ".join(
+        f"list_sum(list_apply(list_zip(qv.e[{s * _PQ_SUB + 1}:"
+        f"{(s + 1) * _PQ_SUB}], rcw{s}.ce), p -> p[1] * p[2]))"
+        for s in range(4)
+    )
+    _radc_chain_sql = ",\n        ".join(_radc_chains)
+    sql["ivfadc_topk"] = f"""
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), cent AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, e AS ce
+            FROM v ORDER BY vec_id LIMIT 8
+        ), vc AS (
+            SELECT v.vec_id, cent.ci,
+                   list_sum(list_apply(list_zip(v.e, cent.ce),
+                                       p -> p[1] * p[2]))
+                   / sqrt(list_sum(list_apply(cent.ce, x -> x * x))) AS s
+            FROM v, cent
+        ), rankedc AS (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, ci DESC) AS rn
+            FROM vc
+        ), assign AS (
+            SELECT vec_id, ci AS list_id FROM rankedc WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, ci AS list_id FROM rankedc
+            WHERE rn <= 3 AND vec_id < 5
+        ), rv AS (
+            SELECT v.vec_id, a.list_id,
+                   list_apply(list_zip(v.e, cent.ce), p -> p[1] - p[2]) AS e
+            FROM v JOIN assign a ON v.vec_id = a.vec_id
+            JOIN cent ON cent.ci = a.list_id
+        ), rvt AS (
+            SELECT * FROM rv WHERE len(list_filter(e, x -> x <> 0)) > 0
+        ),
+        {_radc_chain_sql},
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, a.list_id
+            FROM probes p JOIN assign a ON p.list_id = a.list_id
+            WHERE p.query_id <> a.vec_id
+        ), pairs AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_sum(list_apply(list_zip(qv.e, cc.ce),
+                                             p -> p[1] * p[2]))
+                         + ({_radc_terms}), 4) + 0 AS score
+            FROM cand c
+            JOIN v qv ON qv.vec_id = c.query_id
+            JOIN cent cc ON cc.ci = c.list_id
+            JOIN renc_0 ON renc_0.vec_id = c.neighbor_id
+            JOIN renc_1 ON renc_1.vec_id = c.neighbor_id
+            JOIN renc_2 ON renc_2.vec_id = c.neighbor_id
+            JOIN renc_3 ON renc_3.vec_id = c.neighbor_id
+            JOIN rc2_0 rcw0 ON rcw0.ci = renc_0.ci
+            JOIN rc2_1 rcw1 ON rcw1.ci = renc_1.ci
+            JOIN rc2_2 rcw2 ON rcw2.ci = renc_2.ci
+            JOIN rc2_3 rcw3 ON rcw3.ci = renc_3.ci
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id)
+                      AS rank
+            FROM pairs)
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
     # Mirrors ewma_smooth(gap_filled_daily(...), alpha=0.3): the gap
     # spine, then per-prefix list_reduce left folds — identical double
     # ops to Spark's aggregate() fold (init = first element, 0.3*x +
@@ -4617,6 +4809,179 @@ def oracle_sql() -> dict[str, str]:
         FROM v
         WHERE 1.0 - CAST(lev AS DOUBLE) / CAST(big AS DOUBLE) >= CAST(0.9 AS DOUBLE)
         ORDER BY id_a, id_b
+    """
+    sql["frequent_sequences"] = """
+        WITH h AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+            FROM events GROUP BY 1
+        ), g AS (
+            SELECT user_id, array_to_string(t[i : i + 2], '>') AS sequence
+            FROM h, unnest(generate_series(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 3
+        )
+        SELECT sequence, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        FROM g GROUP BY 1
+        ORDER BY n_occurrences DESC, sequence LIMIT 20
+    """
+    # entropy: ascending-token count list fold (dsir pattern); +0
+    # normalizes the degenerate single-token group's -0.0
+    sql["token_entropy"] = r"""
+        WITH tk AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents
+        ), c AS (
+            SELECT source, tk, count(*) AS c FROM tk GROUP BY 1, 2
+        ), g AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   list(c ORDER BY tk) AS cl
+            FROM c GROUP BY 1
+        )
+        SELECT source, n_tokens, n_distinct,
+               round(-list_sum(list_apply(cl,
+                   x -> (CAST(x AS DOUBLE) / n_tokens)
+                        * ln(CAST(x AS DOUBLE) / n_tokens))), 4) + 0 AS entropy
+        FROM g ORDER BY source
+    """
+    sql["window_funcs"] = """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) AS ts_ms, value
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS rn,
+               CAST(rank() OVER (PARTITION BY event_type
+                                 ORDER BY value) AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value) AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT) AS nt,
+               round(percent_rank() OVER (PARTITION BY event_type
+                                          ORDER BY value), 4) AS prank,
+               round(cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY value), 4) AS cdist,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id) AS prev_val,
+               lead(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts_ms, event_id) AS next_val
+        FROM ev ORDER BY event_id
+    """
+    # Welch A/B z: exact decimal moments (money convention), complement =
+    # total - group, double math from exact components in the engine's op
+    # order.  +0 normalizes a -0.0 z.
+    sql["ab_value_ztest"] = """
+        WITH per AS (
+            SELECT event_type AS grp, CAST(count(value) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sv,
+                   sum(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS sq
+            FROM events GROUP BY 1
+        ), tot AS (
+            SELECT sum(n) AS tn, sum(sv) AS tsv, sum(sq) AS tsq FROM per
+        ), m AS (
+            SELECT grp, n, CAST(tn - n AS BIGINT) AS n_rest,
+                   CAST(sv AS DOUBLE) AS svd, CAST(sq AS DOUBLE) AS sqd,
+                   CAST(tsv - sv AS DOUBLE) AS rsvd,
+                   CAST(tsq - sq AS DOUBLE) AS rsqd
+            FROM per, tot
+        ), x AS (
+            SELECT grp, n, n_rest,
+                   svd / n AS mean, rsvd / n_rest AS mean_rest,
+                   (sqd - svd * svd / n) / (n - 1) AS var,
+                   (rsqd - rsvd * rsvd / n_rest) / (n_rest - 1) AS var_r
+            FROM m
+        )
+        SELECT grp AS event_type, n, round(mean, 4) AS mean, n_rest,
+               round(mean_rest, 4) AS mean_rest,
+               round(CASE WHEN n >= 2 AND n_rest >= 2
+                          AND (var / n + var_r / n_rest) > 0
+                     THEN (mean - mean_rest)
+                          / sqrt(var / n + var_r / n_rest) END, 4) + 0 AS z
+        FROM x ORDER BY event_type
+    """
+    # Label propagation: identical kNN edges (k=5, rounded cosine) with
+    # integer round(cos*10000) votes, 3 chained rounds, seeds clamped.
+    sql["label_propagation"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   round(list_sum(list_apply(list_zip(q.e, c.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(c.e, x -> x * x)))), 4) AS cos
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ), lp_edges AS (
+            SELECT src, dst, CAST(round(cos * 10000) AS BIGINT) AS w FROM (
+                SELECT src, dst, cos,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos DESC, dst) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        ), lp_seeds AS (
+            SELECT vec_id, label FROM embeddings WHERE vec_id % 5 = 0
+        ), lab0 AS (
+            SELECT vec_id, label FROM lp_seeds
+        ), lab1 AS (
+            SELECT n.vec_id, COALESCE(s.label, b.label) AS label
+            FROM (SELECT vec_id FROM embeddings) n
+            LEFT JOIN lp_seeds s USING (vec_id)
+            LEFT JOIN (
+                SELECT src AS vec_id, label FROM (
+                    SELECT e.src, l.label,
+                           row_number() OVER (PARTITION BY e.src
+                                              ORDER BY sum(e.w) DESC, l.label) AS rn
+                    FROM lp_edges e JOIN lab0 l ON e.dst = l.vec_id
+                    WHERE l.label IS NOT NULL
+                    GROUP BY e.src, l.label)
+                WHERE rn = 1
+            ) b USING (vec_id)
+
+        ), lab2 AS (
+            SELECT n.vec_id, COALESCE(s.label, b.label) AS label
+            FROM (SELECT vec_id FROM embeddings) n
+            LEFT JOIN lp_seeds s USING (vec_id)
+            LEFT JOIN (
+                SELECT src AS vec_id, label FROM (
+                    SELECT e.src, l.label,
+                           row_number() OVER (PARTITION BY e.src
+                                              ORDER BY sum(e.w) DESC, l.label) AS rn
+                    FROM lp_edges e JOIN lab1 l ON e.dst = l.vec_id
+                    WHERE l.label IS NOT NULL
+                    GROUP BY e.src, l.label)
+                WHERE rn = 1
+            ) b USING (vec_id)
+
+        ), lab3 AS (
+            SELECT n.vec_id, COALESCE(s.label, b.label) AS label
+            FROM (SELECT vec_id FROM embeddings) n
+            LEFT JOIN lp_seeds s USING (vec_id)
+            LEFT JOIN (
+                SELECT src AS vec_id, label FROM (
+                    SELECT e.src, l.label,
+                           row_number() OVER (PARTITION BY e.src
+                                              ORDER BY sum(e.w) DESC, l.label) AS rn
+                    FROM lp_edges e JOIN lab2 l ON e.dst = l.vec_id
+                    WHERE l.label IS NOT NULL
+                    GROUP BY e.src, l.label)
+                WHERE rn = 1
+            ) b USING (vec_id)
+
+        )
+        SELECT n.vec_id, lab3.label,
+               CASE WHEN s.label IS NOT NULL THEN 'seed'
+                    WHEN lab3.label IS NOT NULL THEN 'propagated'
+                    ELSE 'unlabeled' END AS origin
+        FROM (SELECT vec_id FROM embeddings) n
+        LEFT JOIN lp_seeds s USING (vec_id)
+        LEFT JOIN lab3 USING (vec_id)
+        ORDER BY vec_id
     """
     sql["compaction_bins"] = """
         WITH plan AS (

@@ -752,13 +752,18 @@ def ab_test_report(
     computed in double from those exact components, identical op order
     on both engines.
 
-    Output: (group, n, mean, n_rest, mean_rest, z) — z is NULL when
-    either side has < 2 rows or zero variance on both sides.
+    Output: (group, n, mean, n_rest, mean_rest, z) — n counts non-NULL
+    values only (NULL observations would silently skew the moments); z is
+    NULL when either side has < 2 observations or the pooled variance
+    term is ≤ 0 (exact-decimal moments can still cancel to a tiny
+    NEGATIVE double variance for near-constant groups — the guard runs
+    BEFORE the sqrt, since Spark's NaN compares greater than 0 and
+    DuckDB's sqrt raises on negatives).
     """
     g = F.col(group_col)
     v = F.col(value_col).cast("decimal(18,2)")
     per = df.groupBy(g.alias("grp")).agg(
-        F.count("*").cast("long").alias("n"),
+        F.count(value_col).cast("long").alias("n"),
         F.sum(v).alias("sv"),
         F.sum(v * v).alias("sq"),
     )
@@ -773,9 +778,10 @@ def ab_test_report(
     mean_r = rsv / F.col("n_rest")
     var = (sq - sv * sv / n) / (n - 1)
     var_r = (rsq - rsv * rsv / F.col("n_rest")) / (F.col("n_rest") - 1)
-    se = F.sqrt(var / n + var_r / F.col("n_rest"))
+    var_sum = var / n + var_r / F.col("n_rest")
     z = F.when(
-        (n >= 2) & (F.col("n_rest") >= 2) & (se > 0), (mean - mean_r) / se
+        (n >= 2) & (F.col("n_rest") >= 2) & (var_sum > 0),
+        (mean - mean_r) / F.sqrt(var_sum),
     )
     return (
         j.withColumn("n_rest", F.col("tn") - n)
@@ -788,4 +794,54 @@ def ab_test_report(
             F.round(z, round_digits).alias("z"),
         )
         .orderBy(group_col)
+    )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent length-``n`` event-type sequences across keys
+    (sequence mining's counting core — the n-gram generalization of
+    :func:`event_transitions`): (sequence, n_occurrences, n_keys).
+
+    Per-key histories collect ONCE into an order-sorted array (bounded by
+    a user's event count, the same contract as retention_cohorts' day
+    sets), n-grams expand in-row, then one count with map-side combine.
+    Ranking is (count desc, sequence asc) — total order, reproducible.
+    ``k`` bounds the result; the count table itself is bounded by the
+    distinct-sequence vocabulary, not the event count."""
+    ordered = (
+        df.groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*order_cols, type_col))
+            ).alias("__o")
+        )
+        .select(
+            "k",
+            F.transform("__o", lambda x: x.getField(type_col)).alias("t"),
+        )
+    )
+    grams = ordered.filter(F.size("t") >= n).select(
+        "k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.concat_ws(">", F.slice(F.col("t"), i, n)),
+            )
+        ).alias("sequence"),
+    )
+    return (
+        grams.groupBy("sequence")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("k").cast("long").alias("n_keys"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "sequence")
+        .limit(k)
     )

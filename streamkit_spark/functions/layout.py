@@ -116,9 +116,10 @@ def compaction_plan(
     (the Delta/Iceberg OPTIMIZE shape): within each group, files are laid
     out in ``file_col`` order and a bin boundary is cut every
     ``target_bytes`` — bin = (running_sum − size) div target.  A file
-    larger than the target lands alone in its own bin(s) boundary;
-    ordering by name keeps the plan deterministic and incremental
-    (appending files never reshuffles earlier bins).
+    larger than the target spills its bin past the target — bins exceed
+    the target by at most one file (the file joins the bin its offset
+    STARTS in); ordering by name keeps the plan deterministic and
+    incremental (appending files never reshuffles earlier bins).
 
     This is METADATA-scale work: input rows are file entries (~10⁵-10⁶
     per table at 100 TB with 256 MB files), so the per-group window

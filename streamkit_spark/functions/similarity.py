@@ -279,6 +279,16 @@ def lsh_topk(
     )
 
 
+def _coarse_centroids(corpus, n_centroids, id_col, vec_col) -> list[list[float]]:
+    """Deterministic coarse-centroid sample: the first ``n_centroids``
+    vectors by id — reproducible, no k-means dependency (shared by the
+    IVF, SemDeDup, and IVFADC paths so their list geometry agrees)."""
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    return [list(r[0]) for r in cent_rows]
+
+
 def _coarse_quantizer(corpus, n_centroids, id_col, vec_col):
     """IVF coarse quantizer: centroids = deterministic corpus sample (first
     ``n_centroids`` by id — reproducible, no k-means dependency), returned
@@ -289,11 +299,12 @@ def _coarse_quantizer(corpus, n_centroids, id_col, vec_col):
     interpreted-HOF work to one fold.  ‖c‖ is pre-computed driver-side
     with the same left-fold order the oracle's ``sqrt(list_sum(...))``
     uses, so scores stay bit-identical across engines."""
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    )
-    centroids = [list(r[0]) for r in cent_rows]
+    return _nearest_lists_from(_coarse_centroids(corpus, n_centroids, id_col, vec_col))
 
+
+def _nearest_lists_from(centroids: list[list[float]]):
+    """The quantizer closure for a known centroid list (see
+    :func:`_coarse_quantizer` for the scoring/determinism contract)."""
     norms = [_fold_norm(c) for c in centroids]
 
     def nearest_lists(vec: Column, n: int) -> Column:
@@ -1205,7 +1216,7 @@ def random_projection(
     proj = F.transform(
         planes_lit, lambda p: _dot_raw(F.col(vec_col), p) * F.lit(scale)
     )
-    return _spread(df).select(F.col(id_col).alias("vec_id"), proj.alias("proj"))
+    return _spread(df).select(F.col(id_col), proj.alias("proj"))
 
 
 # ---------------------------------------------------------------- kNN graph
@@ -1272,9 +1283,13 @@ def knn_graph(
         .select("src", "dst")
         .distinct()
     )
+    # cast to double HERE: zip_with on two float arrays multiplies in
+    # FLOAT (measured ~1e-7 error — enough to flip a 4dp rounding), while
+    # the brute path's cosine() runs double products; the IVF verify must
+    # score identically or full-probe equality breaks
     vecs = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+        _as_double(F.col(vec_col)).alias("__v"),
         l2_norm(F.col(vec_col)).alias("__n"),
     )
     va = vecs.select(
@@ -1401,4 +1416,184 @@ def label_propagation(
             .alias("origin"),
         )
         .orderBy(id_col)
+    )
+
+
+# ------------------------------------------------------------------- IVFADC
+
+def ivfadc_components(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_means: bool = True,
+):
+    """Train the IVFADC pair (Jégou et al. TPAMI'11 §IV): the coarse
+    centroids AND product-quantization codebooks fitted on the RESIDUALS
+    v − c(v) rather than raw vectors — residuals concentrate around the
+    origin, so the same code budget quantizes them with far less error
+    than raw-vector PQ (the reason every billion-scale FAISS index is
+    IVFADC, not IVF+flat-PQ).
+
+    Returns (centroids, books): C full-dim coarse centroids and m
+    per-subspace codebooks trained on residual slices.  Training reads
+    the corpus through one slim checkpointed assignment table (see
+    :func:`ivfadc_assignments` for why the list id must be a real
+    column, not a re-evaluated expression)."""
+    cents = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
+    res = _residual_table(corpus, cents, id_col, vec_col)
+    # the coarse-centroid rows quantize themselves: residual exactly 0.
+    # Zero rows carry no signal and would seed the k-means init with
+    # zero-norm vectors (division by zero in the spherical score) — they
+    # are excluded from TRAINING only; encode still codes them (all-tie
+    # argmax → highest code id, deterministically)
+    train = res.filter(F.exists("res", lambda x: x != 0.0))
+    books = pq_codebooks(
+        train, m=m, k=k, iters=iters, id_col=id_col, vec_col="res",
+        exact_means=exact_means,
+    )
+    return cents, books
+
+
+def ivfadc_assignments(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Slim (id, list) coarse-assignment table, ``localCheckpoint``'ed.
+
+    The checkpoint is load-bearing: every residual expression references
+    the list id, and Catalyst's projection collapse re-evaluates an
+    inline argmax-over-C-folds expression at EVERY reference (the
+    documented 64×-minhash pathology — here it would be m·k ≈ 32
+    re-evaluations of a C×D fold per row).  A materialized column is
+    referenced for free.  At 100 TB the list id is materialized at
+    ingest as the clustering key (docs/SCALE.md) and this function is a
+    no-op read."""
+    nearest = _nearest_lists_from(cents)
+    return (
+        _spread(corpus)
+        .select(
+            F.col(id_col).alias(id_col),
+            nearest(F.col(vec_col), 1)[0].alias("list"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _residual_table(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(id, list, res): residual v − c_list with ``list`` a REAL column
+    (joined from the checkpointed assignment table, one id-keyed
+    shuffle)."""
+    assign = (
+        assignments
+        if assignments is not None
+        else ivfadc_assignments(corpus, cents, id_col, vec_col)
+    )
+    mat = _lit_mat(cents)
+    joined = corpus.select(id_col, vec_col).join(assign, id_col)
+    res = F.zip_with(
+        _as_double(F.col(vec_col)),
+        F.element_at(mat, F.col("list") + 1),
+        lambda x, y: x - y,
+    )
+    return joined.select(id_col, "list", res.alias("res"))
+
+
+def ivfadc_encode(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Encode the corpus to (id, list, codes): each vector's coarse list
+    plus m residual codes — the complete IVFADC index payload (a few
+    bytes per vector).  Per-subspace argmax mirrors :func:`pq_encode`
+    exactly (dot/‖cw‖ spherical score on the residual slice, tie →
+    higher code id), so the oracle replays it with the same chain
+    machinery over the residual table."""
+    sub = len(books[0][0])
+    res_tbl = _residual_table(corpus, cents, id_col, vec_col, assignments)
+    cols = []
+    for s, book in enumerate(books):
+        res_s = F.slice(F.col("res"), s * sub + 1, sub)
+        norms = [_fold_norm(c) for c in book]
+        scored = F.array(
+            *[
+                F.struct(
+                    (_dot_raw(res_s, lit_vec(c)) / F.lit(norms[ci])).alias("s"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_max(scored).getField("c"))
+    return res_tbl.select(id_col, "list", F.array(*cols).alias("codes"))
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` nearest inverted lists, score
+    candidates by ⟨q, c_list + r̂⟩ = ⟨q, c_list⟩ + Σ_s ⟨q_s, codeword_s⟩
+    — the coarse term is one fold per (query, probed list), the ADC part
+    reads only the m-int codes (raw corpus vectors never reach the
+    join).  Exact decomposition, no approximation beyond quantization
+    itself; summation is coarse-term-first then the left-assoc ADC
+    terms, replayed verbatim by the oracle.
+
+    Join volume per query: nprobe/C of the corpus in compressed form."""
+    nearest = _nearest_lists_from(cents)
+    codes = ivfadc_encode(corpus, cents, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "list", "codes"
+    )
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest(F.col(vec_col), nprobe)).alias("list"),
+    )
+    mat = _lit_mat(cents)
+    coarse = _dot_raw(
+        _as_double(F.col("__qvec")), F.element_at(mat, F.col("list") + 1)
+    )
+    score = coarse + _adc_score(books, "__qvec", "codes")
+    scored = (
+        codes.join(F.broadcast(q), "list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
     )

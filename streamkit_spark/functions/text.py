@@ -398,3 +398,55 @@ def pmi_pairs(
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(top_n)
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Shannon entropy of the unigram distribution (nats, 4dp):
+    H = −Σ (c/N)·ln(c/N) — the corpus-diversity readout that separates
+    template-generated sources from organic text.
+
+    Output: (group, n_tokens, n_distinct, entropy).
+
+    Plan: one (group, token) count — partial-aggregable, the only
+    full-data shuffle — then a per-group fold over the ASCENDING-token
+    (count) array so the float summation order is deterministic and the
+    oracle replays it term-for-term (the dsir pattern); the per-group
+    state is vocabulary-sized, not corpus-sized."""
+    tok = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    counts = tok.groupBy("g", "tk").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.array_sort(F.collect_list(F.struct("tk", "c"))).alias("__tc"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_distinct",
+            # + 0.0 normalizes the degenerate single-token group's -0.0
+            (
+                F.round(
+                    -F.aggregate(
+                        "__tc",
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + (x.getField("c").cast("double") / F.col("n_tokens"))
+                        * F.log(
+                            x.getField("c").cast("double") / F.col("n_tokens")
+                        ),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("entropy"),
+        )
+        .orderBy(group_col)
+    )
