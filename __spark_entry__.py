@@ -2141,8 +2141,15 @@ def q_window_funcs(spark, sf_dir):
         "event_id", "user_id", "event_type", F.expr("ts div 1000000").alias("ts_ms"),
         "value",
     )
-    w_uniq = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_ties = Window.partitionBy("event_type").orderBy("value")
+    # NULLS LAST pinned explicitly: Spark defaults NULLS FIRST for ASC,
+    # DuckDB NULLS LAST — a regenerated fixture with one NULL value would
+    # silently shift every rank in its partition
+    w_uniq = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
+    w_ties = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last()
+    )
     w_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     return ev.select(
         "event_id",
@@ -2195,9 +2202,11 @@ def q_ivfadc_topk(spark, sf_dir):
         _IVFADC_CACHE[sf_dir] = SIM.ivfadc_components(
             emb, n_centroids=8, m=4, k=8, iters=2, exact_means=True
         )
-    cents, books = _IVFADC_CACHE[sf_dir]
+    cents, books, assign = _IVFADC_CACHE[sf_dir]
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivfadc_topk(emb, queries, cents, books, k=5, nprobe=3)
+    return SIM.ivfadc_topk(
+        emb, queries, cents, books, k=5, nprobe=3, assignments=assign
+    )
 
 
 _IVFADC_CACHE: dict = {}
@@ -4854,17 +4863,17 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id,
                CAST(row_number() OVER (PARTITION BY event_type
-                                       ORDER BY value, event_id) AS BIGINT) AS rn,
+                                       ORDER BY value NULLS LAST, event_id) AS BIGINT) AS rn,
                CAST(rank() OVER (PARTITION BY event_type
-                                 ORDER BY value) AS BIGINT) AS rnk,
+                                 ORDER BY value NULLS LAST) AS BIGINT) AS rnk,
                CAST(dense_rank() OVER (PARTITION BY event_type
-                                       ORDER BY value) AS BIGINT) AS drnk,
+                                       ORDER BY value NULLS LAST) AS BIGINT) AS drnk,
                CAST(ntile(4) OVER (PARTITION BY event_type
-                                   ORDER BY value, event_id) AS BIGINT) AS nt,
+                                   ORDER BY value NULLS LAST, event_id) AS BIGINT) AS nt,
                round(percent_rank() OVER (PARTITION BY event_type
-                                          ORDER BY value), 4) AS prank,
+                                          ORDER BY value NULLS LAST), 4) AS prank,
                round(cume_dist() OVER (PARTITION BY event_type
-                                       ORDER BY value), 4) AS cdist,
+                                       ORDER BY value NULLS LAST), 4) AS cdist,
                lag(value) OVER (PARTITION BY user_id
                                 ORDER BY ts_ms, event_id) AS prev_val,
                lead(value) OVER (PARTITION BY user_id

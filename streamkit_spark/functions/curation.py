@@ -1119,7 +1119,7 @@ def segment_table(
         # sequence(1, 0) run DESCENDING and emit phantom '' blocks);
         # coalesce to empty like quality_classifier_score
         toks = F.coalesce(
-            tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+            tokens(F.col(text_col)), F.array().cast("array<string>")
         )
         nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
         # guard: sequence(1, 0) runs DESCENDING — empty docs get no blocks
@@ -1131,15 +1131,20 @@ def segment_table(
                 ),
             )
         )
-        return df.select(
+        seg = df.select(
             F.col(id_col).alias("doc_id"), F.posexplode(blocks)
         ).select("doc_id", F.col("pos"), F.col("col").alias("segment"))
-    segs = F.split(F.lower(F.col(text_col)), sep)
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs))
-        .select("doc_id", F.col("pos"), F.trim(F.col("col")).alias("segment"))
-        .filter(F.col("segment") != "")
-    )
+    else:
+        segs = F.split(F.col(text_col), sep)
+        seg = (
+            df.select(F.col(id_col).alias("doc_id"), F.posexplode(segs))
+            .select("doc_id", F.col("pos"), F.trim(F.col("col")).alias("segment"))
+            .filter(F.col("segment") != "")
+        )
+    # segment: ORIGINAL text (rebuilds preserve case); segment_norm: the
+    # lowercased comparison key (dedup convention — boilerplate matching
+    # is case-insensitive)
+    return seg.withColumn("segment_norm", F.lower(F.col("segment")))
 
 
 def boilerplate_segments(
@@ -1159,7 +1164,7 @@ def boilerplate_segments(
     (partial-aggregable), so skew is harmless."""
     seg = segment_table(df, text_col, id_col, sep, block_tokens)
     return (
-        seg.groupBy("segment")
+        seg.groupBy(F.col("segment_norm").alias("segment"))
         .agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occurrences"),
@@ -1195,7 +1200,7 @@ def remove_boilerplate(
     Output: (doc_id, n_segments, n_removed, clean_text).
     """
     seg = segment_table(df, text_col, id_col, sep, block_tokens)
-    w_seg = Window.partitionBy("segment")
+    w_seg = Window.partitionBy("segment_norm")
     dr = F.dense_rank().over(w_seg.orderBy("doc_id"))
     return (
         seg.withColumn("__dr", dr)

@@ -1438,13 +1438,16 @@ def ivfadc_components(
     than raw-vector PQ (the reason every billion-scale FAISS index is
     IVFADC, not IVF+flat-PQ).
 
-    Returns (centroids, books): C full-dim coarse centroids and m
-    per-subspace codebooks trained on residual slices.  Training reads
-    the corpus through one slim checkpointed assignment table (see
+    Returns (centroids, books, assignments): C full-dim coarse
+    centroids, m per-subspace codebooks trained on residual slices, and
+    the slim checkpointed (id, list) assignment table — pass the latter
+    to :func:`ivfadc_encode` / :func:`ivfadc_topk` so the coarse argmax
+    runs ONCE per corpus, not once per stage (see
     :func:`ivfadc_assignments` for why the list id must be a real
     column, not a re-evaluated expression)."""
     cents = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
-    res = _residual_table(corpus, cents, id_col, vec_col)
+    assignments = ivfadc_assignments(corpus, cents, id_col, vec_col)
+    res = _residual_table(corpus, cents, id_col, vec_col, assignments)
     # the coarse-centroid rows quantize themselves: residual exactly 0.
     # Zero rows carry no signal and would seed the k-means init with
     # zero-norm vectors (division by zero in the spherical score) — they
@@ -1455,7 +1458,7 @@ def ivfadc_components(
         train, m=m, k=k, iters=iters, id_col=id_col, vec_col="res",
         exact_means=exact_means,
     )
-    return cents, books
+    return cents, books, assignments
 
 
 def ivfadc_assignments(
@@ -1554,6 +1557,7 @@ def ivfadc_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     round_digits: int = 4,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search: probe the ``nprobe`` nearest inverted lists, score
     candidates by ⟨q, c_list + r̂⟩ = ⟨q, c_list⟩ + Σ_s ⟨q_s, codeword_s⟩
@@ -1565,7 +1569,9 @@ def ivfadc_topk(
 
     Join volume per query: nprobe/C of the corpus in compressed form."""
     nearest = _nearest_lists_from(cents)
-    codes = ivfadc_encode(corpus, cents, books, id_col, vec_col).select(
+    codes = ivfadc_encode(
+        corpus, cents, books, id_col, vec_col, assignments
+    ).select(
         F.col(id_col).alias("neighbor_id"), "list", "codes"
     )
     qid = query_id_col or id_col

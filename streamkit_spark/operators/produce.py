@@ -511,7 +511,9 @@ class Store:
             files, target_bytes, group_cols=("space",)
         )
 
-    def compact(self, files_per_space: int = 1) -> dict[str, int]:
+    def compact(
+        self, files_per_space: int = 1, target_bytes: int | None = None
+    ) -> dict[str, int]:
         """Rewrite the events table into few large files per space, sorted
         by (segment, sequence).
 
@@ -519,6 +521,16 @@ class Store:
         small-file problem; at scale this turns scans into metadata storms.
         Compaction restores the designed layout (space partitions, sorted
         files → parquet min/max stats prune segment scans).
+
+        ``target_bytes`` switches to SIZE-TARGETED output: the partition
+        count comes from current on-disk bytes / target, and rows are
+        ``repartitionByRange``d on (space, segment, sequence) — so every
+        output file covers a NON-OVERLAPPING sorted key range (hash-split
+        files overlap on (segment, sequence) and defeat min/max pruning;
+        range-split files don't), and a petabyte space compacts into
+        ~target-sized files instead of one giant one.  File sizes track
+        the target approximately (row-count-proportional ranges ×
+        compression variance).
 
         Concurrency contract: compact takes the store flock EXCLUSIVELY
         while producers hold it shared, so no produce can rename a
@@ -549,9 +561,23 @@ class Store:
             before = count_files(self.events_path)
             snapshot = parquet_files(self.events_path)
             staging = self.events_path + ".compacting"
+            if target_bytes is not None:
+                if target_bytes <= 0:
+                    raise ValueError("target_bytes must be positive")
+                total = sum(
+                    os.path.getsize(p)
+                    for p in _parquet_paths(self.events_path)
+                )
+                n_parts = max(1, -(-total // target_bytes))
+                laid_out = self.events().repartitionByRange(
+                    n_parts, "space", "segment", "sequence"
+                )
+            else:
+                laid_out = self.events().repartition(
+                    files_per_space, "space"
+                )
             (
-                self.events()
-                .repartition(files_per_space, "space")
+                laid_out
                 .sortWithinPartitions("space", "segment", "sequence")
                 .write.mode("overwrite")
                 .partitionBy("space")

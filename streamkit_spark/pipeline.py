@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from streamkit_spark.functions import curation as C
 from streamkit_spark.functions import dedup as D
 from streamkit_spark.functions import text as TX
 
@@ -41,6 +42,20 @@ class CurationConfig:
     substring_min_shared: int = 0
     substring_k: int = 16
     substring_w: int = 8
+    # strip boilerplate segments (shared by >= N docs, case-insensitive
+    # match, case-preserving rebuild) BEFORE any dedup — CCNet line
+    # dedup; 0 disables.  NOTE: the rebuild reflows whitespace (lines
+    # re-trimmed / blocks single-spaced), so length-derived metadata
+    # columns (n_chars) go stale; quality metrics recompute from text.  boilerplate_block_tokens switches to
+    # fixed-width token blocks for corpora without newline layout.
+    boilerplate_min_df: int = 0
+    boilerplate_block_tokens: int | None = None
+    # hashed-feature linear classifier gate (fastText-style) applied with
+    # the quality rules; None disables.  classifier_weights is an optional
+    # (bucket, weight) DataFrame — default is the deterministic stand-in
+    # model (see curation.quality_classifier_score).
+    classifier_cutoff: float | None = None
+    classifier_weights: object | None = None
 
 
 def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:
@@ -52,6 +67,21 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
          each pair — i.e. drop any doc that appears as id_b);
       3. drop low-quality docs (quality < min_quality or too few tokens).
     """
+    if cfg.boilerplate_min_df > 0:
+        cleaned = C.remove_boilerplate(
+            docs,
+            min_df=cfg.boilerplate_min_df,
+            block_tokens=cfg.boilerplate_block_tokens,
+            join_sep=" " if cfg.boilerplate_block_tokens else "\n",
+        ).select("doc_id", F.col("clean_text").alias("__ct"))
+        # LEFT join: empty-text docs emit no segments and must survive to
+        # the quality gates (which drop them on their own terms)
+        docs = (
+            docs.withColumnRenamed("text", "__orig")
+            .join(cleaned, "doc_id", "left")
+            .withColumn("text", F.coalesce("__ct", F.lit("")))
+            .select(*[c for c in docs.columns])
+        )
     exact = D.dedup_exact(docs)
     if cfg.use_lsh:
         near_pairs = D.minhash_lsh_pairs(
@@ -79,10 +109,25 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
     scored = kept.withColumn("quality", F.round(TX.quality_score("text"), 4)).withColumn(
         "n_tokens", TX.token_count("text").cast("long")
     )
-    return scored.filter(
+    out = scored.filter(
         (F.col("quality") >= cfg.min_quality)
         & (F.col("n_tokens") >= cfg.min_tokens)
     )
+    if cfg.classifier_cutoff is not None:
+        # score the CHEAP pre-dedup docs scan, not `out`: joining a branch
+        # derived from `out` would re-plan the whole dedup/LSH pipeline
+        # (the derived-table self-join trap); text is unchanged by dedup,
+        # so the scores are identical
+        keep = (
+            C.quality_classifier_score(
+                docs, weights=cfg.classifier_weights,
+                cutoff=cfg.classifier_cutoff,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        out = out.join(keep, "doc_id")
+    return out
 
 
 def curation_report(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:

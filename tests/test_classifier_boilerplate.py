@@ -198,3 +198,20 @@ def test_editdist_respects_prefix_cap(spark):
     )
     rows = editdist_pairs(df, threshold=0.9, max_df=16, prefix_chars=512).collect()
     assert [(r["id_a"], r["id_b"], r["editsim"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_boilerplate_match_case_insensitive_rebuild_case_preserving(spark):
+    rows = [
+        (i, f"Unique Opening {i}\nACCEPT all Cookies\nBody Text {i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bp = C.boilerplate_segments(df, min_df=4).collect()
+    # matching is case-insensitive: the banner counts across case variants
+    assert [(r["segment"], r["n_docs"]) for r in bp] == [
+        ("accept all cookies", 6)
+    ]
+    out = {r["doc_id"]: r for r in C.remove_boilerplate(df, min_df=4).collect()}
+    # the rebuild preserves the ORIGINAL case of surviving lines
+    assert out[2]["clean_text"] == "Unique Opening 2\nBody Text 2"
+    assert out[2]["n_removed"] == 1

@@ -86,3 +86,49 @@ def test_substring_stage_drops_verbatim_overlap(spark):
         ).collect()
     }
     assert sub == {1, 3}  # doc 2 dropped: shares the verbatim span with 1
+
+
+def test_pipeline_boilerplate_stage_strips_banner(spark):
+    from streamkit_spark.pipeline import CurationConfig, curate
+
+    banner = "accept all cookies please now"
+    rows = [
+        (
+            i,
+            f"unique start {i} alpha beta\n{banner}\nreal body text number {i} gamma delta",
+            "en",
+            "web",
+            80,
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curate(
+        df,
+        CurationConfig(
+            use_lsh=False,
+            boilerplate_min_df=6,
+            min_quality=0.0,
+            min_tokens=1,
+        ),
+    ).collect()
+    assert out, "docs should survive"
+    for r in out:
+        assert banner not in r["text"]
+        assert f"unique start {r['doc_id']}" in r["text"]
+
+
+def test_pipeline_classifier_gate_filters(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.pipeline import CurationConfig, curate
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    base = curate(docs, CurationConfig(use_lsh=False))
+    gated = curate(
+        docs, CurationConfig(use_lsh=False, classifier_cutoff=0.02)
+    )
+    nb, ng = base.count(), gated.count()
+    assert 0 < ng < nb  # the gate bites but doesn't wipe the corpus

@@ -300,3 +300,52 @@ def test_file_stats_reports_small_files_then_compaction_clears(spark, tmp_path):
     assert st2["s"]["n_files"] == 1
     assert st2["s"]["needs_compaction"] is False
     assert st2["s"]["total_bytes"] > 0
+
+
+def test_compact_target_bytes_range_layout(store):
+    """Size-targeted compaction: multiple output files per space whose
+    (segment, sequence) ranges do NOT overlap — the min/max-pruning
+    property hash-split multi-file layouts lack."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for seg in range(4):
+        for batch in range(3):
+            store.produce(
+                "sp", f"g{seg}",
+                recs(1 + batch * 50, 50, payload=b"p" * 200),
+                now_ms=10 + batch,
+            )
+    before = store.events().orderBy("space", "segment", "sequence").collect()
+    total = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(store.events_path)
+        for f in fs if f.endswith(".parquet")
+    )
+    stats = store.compact(target_bytes=max(1, total // 4))
+    assert stats["files_after"] > 1
+    after = store.events().orderBy("space", "segment", "sequence").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+    # per-file (segment, sequence) spans must be pairwise non-overlapping
+    spans = []
+    for d, _, fs in os.walk(store.events_path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f))
+            segs, seqs = [], []
+            for rg in range(md.metadata.num_row_groups):
+                g = md.metadata.row_group(rg)
+                cols = {
+                    g.column(c).path_in_schema: g.column(c).statistics
+                    for c in range(g.num_columns)
+                }
+                segs += [cols["segment"].min, cols["segment"].max]
+                seqs += [cols["sequence"].min, cols["sequence"].max]
+            if segs:
+                spans.append(((min(segs), min(seqs)), (max(segs), max(seqs))))
+    spans.sort()
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (hi1, lo2)

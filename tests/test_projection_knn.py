@@ -139,7 +139,8 @@ def test_mutual_knn_pairs(spark):
 def ivfadc(emb):
     from streamkit_spark.functions.similarity import ivfadc_components
 
-    return ivfadc_components(emb, n_centroids=8, m=4, k=8, iters=2)
+    cents, books, _assign = ivfadc_components(emb, n_centroids=8, m=4, k=8, iters=2)
+    return cents, books
 
 
 def _np_spherical_argmax(x, book):
@@ -215,7 +216,7 @@ def test_ivfadc_reconstruction_beats_raw_pq_on_clustered_data(spark):
         head + [(i + 32, v) for i, v in rows], "vec_id long, embedding array<float>"
     )
     vecs = {r[0]: np.array(r[1], dtype=np.float64) for r in head + [(i + 32, v) for i, v in rows]}
-    cents, books = ivfadc_components(df, n_centroids=32, m=4, k=8, iters=2)
+    cents, books, _assign = ivfadc_components(df, n_centroids=32, m=4, k=8, iters=2)
     adc_rows = {
         r["vec_id"]: (r["list"], list(r["codes"]))
         for r in ivfadc_encode(df, cents, books).collect()
