@@ -995,6 +995,36 @@ def _qc_bucket(tok: Column, salt: str) -> Column:
     ).cast("long")
 
 
+def _qc_tokens(text_col: str) -> Column:
+    # NULL text tokenizes to NULL; coalesce to empty so every scoring
+    # path treats a NULL-text doc as zero tokens (score = bias)
+    return F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+
+
+def classifier_score_column(
+    text_col: str = "text", salt: str = "qc", bias: float = 0.0
+) -> Column:
+    """The stand-in-model classifier score as ONE in-row Column — pure
+    map expression (exact dyadic fold, see
+    :func:`quality_classifier_score`), so it splices into batch selects
+    AND streaming plans with zero state."""
+    toks = _qc_tokens(text_col)
+    w_of = lambda t: (
+        ((_qc_bucket(t, salt) * F.lit(2654435761)) % N_QC_BUCKETS).cast(
+            "double"
+        )
+        / F.lit(float(N_QC_BUCKETS))
+        - F.lit(0.5)
+    )
+    raw = F.aggregate(
+        F.transform(toks, w_of), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(float(bias))).otherwise(
+        F.lit(float(bias)) + raw / n.cast("double")
+    )
+
+
 def quality_classifier_score(
     df: DataFrame,
     weights: DataFrame | None = None,
@@ -1030,24 +1060,10 @@ def quality_classifier_score(
 
     Output: (doc_id, n_tokens, score rounded 4dp, keep).
     """
-    # NULL text tokenizes to NULL; coalesce to empty so BOTH paths score
-    # a NULL-text doc as bias (the join path's left-join already does)
-    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    toks = _qc_tokens(text_col)
     if weights is None:
-        w_of = lambda t: (
-            ((_qc_bucket(t, salt) * F.lit(2654435761)) % N_QC_BUCKETS).cast(
-                "double"
-            )
-            / F.lit(float(N_QC_BUCKETS))
-            - F.lit(0.5)
-        )
-        raw = F.aggregate(
-            F.transform(toks, w_of), F.lit(0.0), lambda acc, x: acc + x
-        )
         n = F.size(toks)
-        score = F.when(n == 0, F.lit(float(bias))).otherwise(
-            F.lit(float(bias)) + raw / n.cast("double")
-        )
+        score = classifier_score_column(text_col, salt=salt, bias=bias)
         return df.select(
             F.col(id_col).alias("doc_id"),
             n.cast("long").alias("n_tokens"),

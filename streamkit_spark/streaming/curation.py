@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streamkit_spark.functions.curation import quality_metric_columns
+from streamkit_spark.functions.curation import (
+    quality_classifier_score,
+    quality_metric_columns,
+)
 from streamkit_spark.functions.text import fingerprint
 
 
@@ -35,6 +38,7 @@ def curate_stream(
     watermark_col: str | None = None,
     delay: str = "1 hour",
     keep_metrics: bool = True,
+    classifier_cutoff: float | None = None,
 ) -> DataFrame:
     """Score → filter → dedup a (streaming or batch) document DataFrame.
 
@@ -47,6 +51,14 @@ def curate_stream(
     for name, col in metrics.items():
         out = out.withColumn(name, col)
     out = out.filter(F.col("passes")).withColumn("fp", fingerprint(text_col))
+    if classifier_cutoff is not None:
+        # the hashed-feature linear score is a pure in-row expression
+        # (stand-in-weight path) — streaming-safe, zero state
+        from streamkit_spark.functions.curation import classifier_score_column
+
+        out = out.withColumn(
+            "clf_score", F.round(classifier_score_column(text_col), 4)
+        ).filter(F.col("clf_score") >= F.lit(float(classifier_cutoff)))
     if watermark_col is not None and out.isStreaming:
         # state bounded by the watermark delay: duplicates farther apart
         # than `delay` both survive (documented trade)

@@ -103,3 +103,33 @@ def test_watermarked_dedup_bounds_state(spark, tmp_path):
     )
     fps = [r["fp"] for r in rows]
     assert len(fps) == len(set(fps))
+
+
+def test_stream_classifier_gate_parity_and_zero_state(spark, docs_stream):
+    """classifier_cutoff: pure in-row gate — stream output equals batch
+    output, and the surviving scores match the batch helper exactly."""
+    batch_docs = tables.load(spark, SF_DIR, "documents")
+    cutoff = 0.02
+    expected = {
+        (r["doc_id"], r["clf_score"])
+        for r in curate_stream(batch_docs, classifier_cutoff=cutoff)
+        .select("doc_id", "clf_score")
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["clf_score"])
+        for r in _run(
+            spark,
+            curate_stream(docs_stream, classifier_cutoff=cutoff),
+            "curated_clf",
+        )
+    }
+    assert got == expected and 0 < len(got)
+    # scores agree with the batch quality_classifier_score helper
+    helper = {
+        r["doc_id"]: r["score"]
+        for r in C.quality_classifier_score(batch_docs).collect()
+    }
+    for doc_id, s in got:
+        assert s == helper[doc_id]
+        assert s >= cutoff
