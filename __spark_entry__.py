@@ -2212,6 +2212,35 @@ def q_ivfadc_topk(spark, sf_dir):
 _IVFADC_CACHE: dict = {}
 
 
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle census + transitivity of the k=3 brute kNN graph
+    (similarity.triangle_count): degree-oriented node-iterator — wedges
+    enumerated in-row per sorted oriented adjacency, closed by ONE
+    semi-join against the canonical edge set; each triangle counted once
+    at its orientation-minimal vertex.  The oracle recomputes the same
+    kNN edges and counts triangles with the classic 3-way join (the
+    count is orientation-independent, so the shapes agree exactly)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=3, method="brute")
+    return SIM.triangle_count(edges)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct users per event type
+    (functions/sketch.hll_distinct, Flajolet'07): md5 registers, bucket-
+    sorted harmonic fold, linear-counting correction — unlike the
+    engine-private approx_count_distinct sketch (see `approx_distinct`'s
+    tolerance contract), every step here is byte-replayable in SQL, so
+    the ESTIMATE ITSELF hash-matches the oracle.  include_exact adds the
+    exact count + relative error for the accuracy report."""
+    from streamkit_spark.functions.sketch import hll_distinct
+
+    ev = _ev(spark, sf_dir)
+    return hll_distinct(
+        ev, "user_id", ["event_type"], b=8, include_exact=True
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2389,6 +2418,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences": q_frequent_sequences,
         "token_entropy": q_token_entropy,
         "ivfadc_topk": q_ivfadc_topk,
+        "hll_distinct": q_hll_distinct,
+        "triangle_count": q_triangle_count,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -5072,5 +5103,111 @@ def oracle_sql() -> dict[str, str]:
         SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b
         FROM edges GROUP BY 1, 2 HAVING count(*) = 2
         ORDER BY id_a, id_b
+    """
+    # Triangle census over the k=3 brute kNN graph: same edge CTE as the
+    # knn_graph oracle, then the classic wedge 3-way join on the
+    # canonical a<b edge set (count is orientation-independent, so it
+    # equals the engine's degree-oriented enumeration exactly).
+    sql["triangle_count"] = """
+        WITH v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   round(list_sum(list_apply(list_zip(q.e, c.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(c.e, x -> x * x)))), 4) AS cos
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (PARTITION BY src
+                                             ORDER BY cos DESC, dst) AS rank
+                FROM scored)
+            WHERE rank <= 3
+        ), und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ), deg AS (
+            SELECT nv, count(*) AS d FROM (
+                SELECT a AS nv FROM und UNION ALL SELECT b AS nv FROM und)
+            GROUP BY 1
+        ), tri AS (
+            SELECT count(*) AS t
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), dagg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+            FROM deg
+        ), ne AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und
+        )
+        SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+               round(CASE WHEN n_wedges > 0
+                          THEN CAST(3 AS DOUBLE) * t / n_wedges
+                          ELSE CAST(0 AS DOUBLE) END, 4) + 0 AS global_clustering
+        FROM dagg, ne, tri
+    """
+    # Deterministic HLL: md5 registers (2-nibble bucket, 60-bit window),
+    # rho from the leading-zero hex run + bin() nibble length, harmonic
+    # sum as a bucket-ORDERED list_sum (matches Spark's array_sort +
+    # aggregate left fold), linear-counting correction, rel_err computed
+    # from the ROUNDED estimate like the engine.  alpha emitted as a
+    # CAST('repr' AS DOUBLE) strtod literal (round-5 float-literal rule).
+    _hll_alpha_lit = repr(0.7213 / (1.0 + 1.079 / 256))
+    _hll_nib = "strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+    sql["hll_distinct"] = f"""
+        WITH dv AS (
+            SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+            FROM events WHERE user_id IS NOT NULL
+        ), h AS (
+            SELECT event_type, md5('hll:' || v) AS hx FROM dv
+        ), br AS (
+            SELECT event_type,
+                   CAST(({_hll_nib.format(s='hx', i=1)}) * 16
+                      + ({_hll_nib.format(s='hx', i=2)}) AS BIGINT) AS bucket,
+                   substr(hx, 3, 15) AS whex
+            FROM h
+        ), zr AS (
+            SELECT event_type, bucket, whex,
+                   length(regexp_extract(whex, '^(0*)', 1)) AS z
+            FROM br
+        ), rho AS (
+            SELECT event_type, bucket,
+                   CASE WHEN z = 15 THEN 61
+                        ELSE 4 * z + 5 - length(bin(CAST(
+                             {_hll_nib.format(s='whex', i='z + 1')} AS BIGINT)))
+                   END AS rho
+            FROM zr
+        ), regs AS (
+            SELECT event_type, bucket, max(rho) AS r FROM rho GROUP BY 1, 2
+        ), folded AS (
+            SELECT event_type, count(*) AS present,
+                   list_sum(list(pow(2.0, -r) ORDER BY bucket)) AS s_present
+            FROM regs GROUP BY 1
+        ), est AS (
+            SELECT event_type, present,
+                   CAST('{_hll_alpha_lit}' AS DOUBLE) * CAST(65536 AS DOUBLE)
+                     / (s_present + CAST(256 - present AS DOUBLE)) AS raw
+            FROM folded
+        ), he AS (
+            SELECT event_type,
+                   round(CASE WHEN raw <= CAST(640 AS DOUBLE) AND present < 256
+                              THEN CAST(256 AS DOUBLE)
+                                   * ln(CAST(256 AS DOUBLE)
+                                        / CAST(256 - present AS DOUBLE))
+                              ELSE raw END, 4) + 0 AS hll_estimate
+            FROM est
+        ), ex AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+            FROM dv GROUP BY 1
+        )
+        SELECT he.event_type, ex.exact_distinct, he.hll_estimate,
+               round(abs(he.hll_estimate - ex.exact_distinct)
+                     / ex.exact_distinct, 4) + 0 AS rel_err
+        FROM he JOIN ex ON he.event_type = ex.event_type
+        ORDER BY he.event_type
     """
     return sql

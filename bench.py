@@ -70,6 +70,8 @@ HEADLINE = [
     "dedup_editdist",
     "ab_value_ztest",
     "compaction_bins",
+    # round 5, fourth session: deterministic-HLL cardinality
+    "hll_distinct",
 ]
 
 

@@ -1,4 +1,5 @@
-"""Distributed sketch structures: Bloom-filter semi-join pre-filtering.
+"""Distributed sketch structures: Bloom-filter semi-join pre-filtering and
+a deterministic HyperLogLog distinct-count estimator.
 
 The reference engine carries no sketch machinery (its scans are
 key-range-pruned pebble iterators, internal/enumerate/enumerate.go); this
@@ -34,7 +35,16 @@ from pyspark.sql import functions as F
 
 from streamkit_spark.functions.util import maybe_broadcast
 
-__all__ = ["bloom_positions", "bloom_build", "bloom_filter", "bloom_report"]
+__all__ = [
+    "bloom_positions",
+    "bloom_build",
+    "bloom_filter",
+    "bloom_report",
+    "hll_bucket_rho",
+    "hll_registers",
+    "hll_estimate_from_registers",
+    "hll_distinct",
+]
 
 
 def bloom_positions(
@@ -157,3 +167,163 @@ def bloom_report(
             (F.col("bloom_pass") - F.col("exact_pass")).alias("false_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (Flajolet et al. 2007, AofA)
+# ---------------------------------------------------------------------------
+
+#: alpha_m bias-correction constants for small register counts; larger m
+#: uses the asymptotic 0.7213 / (1 + 1.079/m) formula from the paper.
+_HLL_ALPHA_SMALL = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA_SMALL.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_bucket_rho(
+    value: Column, b: int = 8, salt: str = "hll"
+) -> tuple[Column, Column]:
+    """(register bucket, rho) of one value under the md5-based HLL hash.
+
+    The hash is md5(``salt:value``): the first ``b/4`` hex chars pick the
+    register (``b`` must be a nibble multiple so the split is exact), the
+    next 15 hex chars form the 60-bit observation window, and rho is the
+    1-based position of the window's first set bit (61 if it is all
+    zero).  rho is extracted WITHOUT materializing the 60-bit integer:
+    count the run of leading '0' hex chars, then the leading zeros inside
+    the first non-zero nibble via ``length(bin(nibble))`` — every step is
+    string/integer-exact and byte-identical in DuckDB (same md5, same
+    regexp_extract, same bin), which is what lets the declared query
+    hash-match its oracle instead of settling for a tolerance check.
+    """
+    if b % 4 != 0 or b <= 0:
+        raise ValueError(f"b must be a positive multiple of 4, got {b}")
+    nib = b // 4
+    if nib + 15 > 32:
+        raise ValueError(f"b too large for a 128-bit digest: {b}")
+    hx = F.md5(F.concat(F.lit(salt + ":"), value.cast("string")))
+    bucket = F.conv(F.substring(hx, 1, nib), 16, 10).cast("long")
+    whex = F.substring(hx, nib + 1, 15)
+    z = F.length(F.regexp_extract(whex, "^(0*)", 1))
+    first_nib = F.conv(whex.substr(z + 1, F.lit(1)), 16, 10).cast("int")
+    rho = F.when(z == 15, F.lit(61)).otherwise(
+        F.lit(4) * z + F.lit(5) - F.length(F.bin(first_nib))
+    )
+    return bucket, rho.cast("int")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    b: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register table: (group..., bucket, r) with
+    ``r = max(rho)`` — at most ``2^b`` rows per group whatever the input
+    size, so registers are always mergeable/broadcastable.  NULL values
+    are skipped (COUNT DISTINCT semantics)."""
+    bucket, rho = hll_bucket_rho(F.col(value_col), b, salt)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    b: int = 8,
+) -> DataFrame:
+    """Fold a register table (group..., bucket, r) into per-group
+    estimates (group..., hll_estimate) — the finisher shared by
+    :func:`hll_distinct` and the streaming register aggregate
+    (streaming/cardinality.py), so batch and stream cannot drift.
+
+    The harmonic sum folds over the bucket-SORTED register array (left
+    fold, 0.0 init) so float rounding is order-pinned on both engines;
+    each 2^{-r} term is dyadic-exact."""
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    gcols = list(group_cols)
+    folded = regs.groupBy(*gcols).agg(
+        F.count("*").alias("__present"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "r"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.pow(F.lit(2.0), -x.getField("r").cast("double")),
+        ).alias("__s_present"),
+    )
+    s = F.col("__s_present") + (F.lit(m) - F.col("__present")).cast("double")
+    raw = F.lit(alpha) * F.lit(float(m * m)) / s
+    v = F.lit(m) - F.col("__present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return folded.select(*gcols, F.round(est, 4).alias("hll_estimate"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    b: int = 8,
+    salt: str = "hll",
+    include_exact: bool = False,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group — deterministic, so
+    it hash-matches a SQL oracle (unlike ``approx_count_distinct``, whose
+    sketch is engine-private; see the ``approx_distinct`` declared query's
+    tolerance contract).
+
+    Estimator (Flajolet et al. 2007): E = alpha_m · m² / Σ_j 2^{-M[j]}
+    with the small-range linear-counting correction E ≤ 2.5m ∧ V>0 →
+    m·ln(m/V), V = empty registers.  The harmonic sum folds over the
+    bucket-SORTED register array (left fold, 0.0 init) so float rounding
+    is order-pinned on both engines; each term 2^{-r} is dyadic-exact.
+
+    Plan at scale: one (group, bucket) partial-aggregable shuffle bounded
+    at 2^b rows per group — the whole point of HLL at 100 TB: no
+    (group, value) distinct shuffle, registers merge associatively.
+    ``include_exact=True`` adds the exact count + relative error for
+    accuracy reporting (that path DOES pay the distinct — report/testing
+    only).
+
+    Output: (group..., hll_estimate[, exact_distinct, rel_err]) — 4dp.
+    """
+    gcols = list(group_cols)
+    src = df
+    if include_exact:
+        src = (
+            df.filter(F.col(value_col).isNotNull())
+            .select(*gcols, value_col)
+            .distinct()
+        )
+    regs = hll_registers(src, value_col, gcols, b, salt)
+    out = hll_estimate_from_registers(regs, gcols, b)
+    if include_exact:
+        exact = src.groupBy(*gcols).agg(
+            F.count("*").alias("exact_distinct")
+        )
+        join_on = gcols if gcols else None
+        if join_on:
+            out = out.join(exact, join_on)
+        else:
+            out = out.crossJoin(F.broadcast(exact))
+        out = out.select(
+            *gcols,
+            "exact_distinct",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+    return out.orderBy(*gcols) if gcols else out

@@ -214,3 +214,72 @@ def test_period_growth_math(spark):
     assert got[0] == (4, None)
     assert got[1] == (6, 0.5)
     assert got[2] == (1, round(1 / 6 - 1, 4))
+
+
+# ----------------------------------------------------------------------- hll
+
+def test_hll_distinct_accuracy_on_fixture(spark):
+    from streamkit_spark.functions.sketch import hll_distinct
+
+    ev = tables.load(spark, SF_DIR, "events")
+    rows = hll_distinct(
+        ev, "user_id", ["event_type"], include_exact=True
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # m=256 → standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+        assert r["rel_err"] <= 0.20, r
+        assert r["hll_estimate"] > 0
+
+
+def test_hll_branch_beyond_linear_counting(spark):
+    """With distinct >> m every register fills: the harmonic-mean branch
+    (not linear counting) produces the estimate, still within 3 sigma."""
+    from streamkit_spark.functions.sketch import hll_distinct
+
+    n = 20000
+    df = spark.range(n).select((F.col("id") * 7 + 13).alias("v"))
+    est = hll_distinct(df, "v").first()["hll_estimate"]
+    assert abs(est - n) / n < 0.20, est
+
+
+def test_hll_registers_bounded_and_mergeable(spark):
+    """Register table is ≤ 2^b rows and merges associatively: registers
+    of two halves max-merged equal the whole — the property that makes
+    HLL a one-pass partial agg at any scale."""
+    from streamkit_spark.functions.sketch import hll_registers
+
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    whole = hll_registers(df, "v", b=8)
+    assert whole.count() <= 256
+    lo = hll_registers(df.filter("v < 2500"), "v", b=8)
+    hi = hll_registers(df.filter("v >= 2500"), "v", b=8)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    got = {(r["bucket"], r["r"]) for r in merged.collect()}
+    want = {(r["bucket"], r["r"]) for r in whole.collect()}
+    assert got == want
+
+
+def test_hll_duplicates_and_nulls_ignored(spark):
+    """Estimate is a function of the distinct value set: duplicating
+    every row and adding NULLs changes nothing."""
+    from streamkit_spark.functions.sketch import hll_distinct
+
+    base = spark.range(300).select(F.col("id").alias("v"))
+    noisy = base.union(base).union(
+        spark.range(5).select(F.lit(None).cast("long").alias("v"))
+    )
+    e1 = hll_distinct(base, "v").first()["hll_estimate"]
+    e2 = hll_distinct(noisy, "v").first()["hll_estimate"]
+    assert e1 == e2
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    from streamkit_spark.functions.sketch import hll_distinct
+
+    df = spark.range(0).select(F.col("id").alias("v"))
+    assert hll_distinct(df, "v").first()["hll_estimate"] == 0.0

@@ -209,3 +209,39 @@ def test_user_accumulation_parity(spark, fixture_stream):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_hll_cardinality_parity(spark, fixture_stream):
+    """Streaming HLL register aggregate + shared finisher equals the
+    batch sketch.hll_distinct exactly (streaming/cardinality.py), and
+    the streaming state is register-bounded: ≤ 2^b rows per group."""
+    from streamkit_spark.functions.sketch import hll_distinct
+    from streamkit_spark.streaming.cardinality import (
+        finalize_hll,
+        hll_register_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    expected = {
+        (r["event_type"], r["hll_estimate"])
+        for r in hll_distinct(batch, "user_id", ["event_type"]).collect()
+    }
+    q = (
+        hll_register_stream(fixture_stream, "user_id", ["event_type"])
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_hll_regs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        regs = spark.sql("SELECT * FROM parity_hll_regs")
+        per_group = regs.groupBy("event_type").count().collect()
+        assert all(r["count"] <= 256 for r in per_group)
+        got = {
+            (r["event_type"], r["hll_estimate"])
+            for r in finalize_hll(regs, ["event_type"]).collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()

@@ -264,3 +264,67 @@ def test_ivfadc_topk_score_decomposition(emb, emb_np, ivfadc):
             for s in range(4)
         )
         assert r["score"] == pytest.approx(expect, abs=1e-3)
+
+
+# ------------------------------------------------------------------ triangles
+
+def _tri_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_count_complete_graph(spark):
+    """K4: 6 edges, 4 triangles, 12 wedges, transitivity exactly 1."""
+    from streamkit_spark.functions.similarity import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_count(_tri_df(spark, k4)).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert r["global_clustering"] == 1.0
+
+
+def test_triangle_count_path_graph_has_none(spark):
+    from streamkit_spark.functions.similarity import triangle_count
+
+    r = triangle_count(_tri_df(spark, [(1, 2), (2, 3)])).first()
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 1
+    assert r["global_clustering"] == 0.0
+
+
+def test_triangle_count_canonicalizes_edges(spark):
+    """Reversed duplicates and self-loops collapse to the simple graph."""
+    from streamkit_spark.functions.similarity import triangle_count
+
+    noisy = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (1, 1), (2, 2)]
+    r = triangle_count(_tri_df(spark, noisy)).first()
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+    assert r["global_clustering"] == 1.0
+
+
+def test_triangle_count_matches_bruteforce_on_random_graph(spark):
+    """Seeded Erdős–Rényi graph vs an itertools triangle counter."""
+    import itertools
+    import random
+
+    from streamkit_spark.functions.similarity import triangle_count
+
+    rng = random.Random(7)
+    n = 30
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+             if rng.random() < 0.2]
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want_tri = sum(
+        1 for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    want_wedges = sum(
+        len(nb) * (len(nb) - 1) // 2 for nb in adj.values()
+    )
+    r = triangle_count(_tri_df(spark, edges)).first()
+    assert r["n_triangles"] == want_tri
+    assert r["n_wedges"] == want_wedges
+    assert r["n_edges"] == len(edges)
