@@ -70,8 +70,9 @@ HEADLINE = [
     "dedup_editdist",
     "ab_value_ztest",
     "compaction_bins",
-    # round 5, fourth session: deterministic-HLL cardinality
+    # round 5, fourth session: deterministic-HLL cardinality, KMV overlap
     "hll_distinct",
+    "kmv_overlap",
 ]
 
 

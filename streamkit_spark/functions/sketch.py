@@ -30,7 +30,7 @@ each join branch otherwise re-plans the build pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamkit_spark.functions.util import maybe_broadcast
@@ -44,6 +44,8 @@ __all__ = [
     "hll_registers",
     "hll_estimate_from_registers",
     "hll_distinct",
+    "kmv_sketch",
+    "kmv_overlap",
 ]
 
 
@@ -327,3 +329,131 @@ def hll_distinct(
             ).alias("rel_err"),
         )
     return out.orderBy(*gcols) if gcols else out
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values sketches (Beyer et al. SIGMOD'07) — distinct + set overlap
+# ---------------------------------------------------------------------------
+
+#: 16^15 = 2^60 — the hash-fraction denominator.  A power of two, so the
+#: division is an exact double scaling on both engines.
+_KMV_DEN = float(16**15)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...] = (),
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` lexicographically-smallest salted
+    md5 hashes of the group's distinct values, as (group..., h, u) rows —
+    ``u`` is the hash mapped to (0,1) via its first 15 hex chars (a
+    60-bit integer over 2^60; both steps are correctly-rounded on both
+    engines, so estimates hash-match a SQL oracle).
+
+    KMV's defining property: the k smallest of a UNION equal the k
+    smallest of the merged per-set sketches — sketches union+re-top-k
+    into exact union sketches, which is what :func:`kmv_overlap`
+    exploits.  Plan: one (group, h) distinct + a per-group top-k window;
+    the output is ≤ k rows per group whatever the input size."""
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(value_col).cast("string"))
+    )
+    gcols = list(group_cols)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    u = (
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("double")
+        / F.lit(_KMV_DEN)
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*gcols, "h", u.alias("u"))
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from KMV sketches:
+    (g_a, g_b, jaccard_est, union_est, inter_est) for every group pair
+    g_a < g_b — the audience-overlap question ("how many values do these
+    partitions share?") answered WITHOUT a pairwise distinct join.
+
+    Estimator (Beyer'07 §5): X = the k smallest of sketch_A ∪ sketch_B
+    (exactly the k smallest of A ∪ B, by the KMV merge property);
+    Ĵ = |{h ∈ X : h ∈ A ∧ h ∈ B}| / |X|; union D̂ = (|X|−1)/u_(|X|) —
+    or |X| exactly when the union fits inside the sketch; intersection
+    = Ĵ·D̂.  Membership flags are exact: h ∈ X ∩ A implies h is among
+    A's k smallest, hence in A's sketch.
+
+    Scale shape: the corpus is scanned ONCE (the sketch build); the pair
+    stage touches only sketch rows — G·(G−1)·k rows for G groups — so
+    it never rescans data.  The sketch is localCheckpoint'ed (it feeds
+    the group list and both join branches — the derived-table self-join
+    lesson).  Outputs rounded 4dp."""
+    sk = kmv_sketch(df, value_col, [group_col], k, salt).localCheckpoint(
+        eager=False
+    )
+    gl = sk.select(F.col(group_col).alias("g")).distinct()
+    pairs = (
+        gl.select(F.col("g").alias("g_a"))
+        .crossJoin(gl.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    a_rows = pairs.join(
+        sk.select(F.col(group_col).alias("g_a"), "h", "u"), "g_a"
+    ).select(
+        "g_a", "g_b", "h", "u",
+        F.lit(True).alias("__in_a"), F.lit(False).alias("__in_b"),
+    )
+    b_rows = pairs.join(
+        sk.select(F.col(group_col).alias("g_b"), "h", "u"), "g_b"
+    ).select(
+        "g_a", "g_b", "h", "u",
+        F.lit(False).alias("__in_a"), F.lit(True).alias("__in_b"),
+    )
+    merged = (
+        a_rows.unionByName(b_rows)
+        .groupBy("g_a", "g_b", "h")
+        .agg(
+            F.max("__in_a").alias("__in_a"),
+            F.max("__in_b").alias("__in_b"),
+            F.min("u").alias("u"),
+        )
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("h")
+    x = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    stats = x.groupBy("g_a", "g_b").agg(
+        F.count("*").alias("__kk"),
+        F.sum(
+            F.when(F.col("__in_a") & F.col("__in_b"), 1).otherwise(0)
+        ).alias("__matches"),
+        F.max("u").alias("__uk"),
+    )
+    jac = F.col("__matches").cast("double") / F.col("__kk").cast("double")
+    union_est = F.when(
+        F.col("__kk") < k, F.col("__kk").cast("double")
+    ).otherwise(
+        (F.col("__kk") - 1).cast("double") / F.col("__uk")
+    )
+    return stats.select(
+        "g_a",
+        "g_b",
+        F.round(jac, 4).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("inter_est"),
+    ).orderBy("g_a", "g_b")

@@ -283,3 +283,72 @@ def test_hll_empty_input_estimates_zero(spark):
 
     df = spark.range(0).select(F.col("id").alias("v"))
     assert hll_distinct(df, "v").first()["hll_estimate"] == 0.0
+
+
+# ----------------------------------------------------------------------- kmv
+
+def test_kmv_overlap_accuracy_on_fixture(spark):
+    """Jaccard / union / intersection estimates vs exact set arithmetic
+    over the (user, day) activity sets — within the k=256 error budget."""
+    from streamkit_spark.functions.sketch import kmv_overlap
+
+    ev = tables.load(spark, SF_DIR, "events")
+    uday = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("(ts div 1000000) div 86400000").cast("string"),
+    )
+    df = ev.select("event_type", uday.alias("v"))
+    got = {(r["g_a"], r["g_b"]): r for r in
+           kmv_overlap(df, "v", "event_type", k=256).collect()}
+    sets: dict[str, set] = {}
+    for r in df.distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["v"])
+    assert len(got) == len(sets) * (len(sets) - 1) // 2
+    for (a, b), r in got.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        true_j = inter / union
+        # sigma(J) ~ sqrt(J(1-J)/k) ~ 0.026 here; allow ~4 sigma
+        assert abs(r["jaccard_est"] - true_j) < 0.1, (a, b, r)
+        assert abs(r["union_est"] - union) / union < 0.2
+        assert abs(r["inter_est"] - inter) / inter < 0.35
+
+
+def test_kmv_exact_when_sets_fit_in_sketch(spark):
+    """Union smaller than k: every estimator degenerates to the exact
+    answer (the sketch IS the set)."""
+    from streamkit_spark.functions.sketch import kmv_overlap
+
+    rows = [("a", i) for i in range(60)] + [("b", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_overlap(df, "v", "g", k=256).first()
+    assert r["jaccard_est"] == round(20 / 100, 4)
+    assert r["union_est"] == 100.0
+    assert r["inter_est"] == 20.0
+
+
+def test_kmv_sketch_bounded_and_merge_property(spark):
+    """Sketch ≤ k rows per group, and the k smallest of two merged
+    sketches equal the sketch of the concatenated input — the property
+    kmv_overlap's union estimator stands on."""
+    from streamkit_spark.functions.sketch import kmv_sketch
+
+    lo = spark.range(2000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    hi = spark.range(1500, 4000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    k = 64
+    sk_lo = kmv_sketch(lo, "v", ["g"], k=k)
+    sk_hi = kmv_sketch(hi, "v", ["g"], k=k)
+    assert sk_lo.count() <= k and sk_hi.count() <= k
+    merged = sorted(
+        {r["h"] for r in sk_lo.collect()} | {r["h"] for r in sk_hi.collect()}
+    )[:k]
+    whole = [
+        r["h"]
+        for r in kmv_sketch(lo.union(hi), "v", ["g"], k=k)
+        .orderBy("h")
+        .collect()
+    ]
+    assert merged == whole
