@@ -1009,12 +1009,15 @@ def pq_codebooks(
         return [_train(0)]
     # the m subspace chains are independent Lloyd runs whose per-
     # iteration jobs are tiny (k×(D/m) collect each) — submit them from
-    # m threads so the driver round-trips overlap instead of serializing
-    # (measured ~2.5× on the m=4 bench path; results are identical,
-    # each chain is deterministic in isolation)
+    # a few threads so the driver round-trips overlap instead of
+    # serializing (measured ~2.5× on the m=4 bench path; results are
+    # identical, each chain is deterministic in isolation).  The pool is
+    # bounded: each chain caches its own corpus slice for the Lloyd
+    # iterations, so concurrency multiplies executor cache pressure —
+    # 4 chains ≈ the whole corpus cached once at D/m width per slice.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=m) as ex:
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as ex:
         return list(ex.map(_train, range(m)))
 
 

@@ -37,18 +37,13 @@ def hll_register_stream(
 ) -> DataFrame:
     """Streaming HLL register aggregate: (group..., bucket, r).
 
-    Works unchanged on a batch DataFrame (same plan, one-shot) — the
-    register expression is shared with the batch path via
-    ``sketch.hll_bucket_rho``."""
-    from streamkit_spark.functions.sketch import hll_bucket_rho
+    Works unchanged on a batch DataFrame (same plan, one-shot): the
+    register aggregate IS ``sketch.hll_registers`` — pure DataFrame ops
+    that Structured Streaming runs as a stateful agg — delegated so the
+    two paths cannot drift."""
+    from streamkit_spark.functions.sketch import hll_registers
 
-    bucket, rho = hll_bucket_rho(F.col(value_col), b, salt)
-    return (
-        events.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    return hll_registers(events, value_col, group_cols, b, salt)
 
 
 def finalize_hll(

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from streamkit_spark.functions.curation import (
-    quality_classifier_score,
+    classifier_score_column,
     quality_metric_columns,
 )
 from streamkit_spark.functions.text import fingerprint
@@ -54,8 +54,6 @@ def curate_stream(
     if classifier_cutoff is not None:
         # the hashed-feature linear score is a pure in-row expression
         # (stand-in-weight path) — streaming-safe, zero state
-        from streamkit_spark.functions.curation import classifier_score_column
-
         out = out.withColumn(
             "clf_score", F.round(classifier_score_column(text_col), 4)
         ).filter(F.col("clf_score") >= F.lit(float(classifier_cutoff)))

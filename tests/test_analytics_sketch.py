@@ -312,7 +312,12 @@ def test_kmv_overlap_accuracy_on_fixture(spark):
         # sigma(J) ~ sqrt(J(1-J)/k) ~ 0.026 here; allow ~4 sigma
         assert abs(r["jaccard_est"] - true_j) < 0.1, (a, b, r)
         assert abs(r["union_est"] - union) / union < 0.2
-        assert abs(r["inter_est"] - inter) / inter < 0.35
+        if inter >= 50:
+            assert abs(r["inter_est"] - inter) / inter < 0.35
+        else:
+            # tiny/empty true intersections (possible on a regenerated
+            # fixture): only require the estimate stays small too
+            assert r["inter_est"] <= 50 + 0.35 * union
 
 
 def test_kmv_exact_when_sets_fit_in_sketch(spark):
