@@ -2225,6 +2225,50 @@ def q_triangle_count(spark, sf_dir):
     return SIM.triangle_count(edges)
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Token-budget mixture plan (curation.mixture_plan): per-source
+    available tokens vs the target mixture's ask — sampling rate,
+    deficit, epochs — the pretraining-recipe bookkeeping (GPT-3 Table
+    2.2 / Pile-style weights).  Weights cycle 1..5 over the 20 fixture
+    sources; budget 30k tokens ≈ 1.2× the sf0.01 corpus, so both
+    downsampled (rate < 1) and repeated (epochs > 1) sources appear."""
+    from streamkit_spark.functions.curation import mixture_plan
+
+    docs = tables.load(spark, sf_dir, "documents")
+    weights = {f"src{i}": float((i % 5) + 1) for i in range(20)}
+    return mixture_plan(docs, weights, budget_tokens=30000)
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min-sketch frequency estimates (sketch.cms_build/cms_lookup,
+    Cormode-Muthukrishnan '05) for the 20 busiest users: exact count,
+    CMS estimate (min over d=4 md5-positioned counter rows, w=4096) and
+    the overcount.  The sketch is a ≤ d·w counter table whatever the key
+    cardinality; the oracle rebuilds the identical counters nibble-for-
+    nibble, so the ESTIMATES hash-match, not just the exact counts."""
+    from streamkit_spark.functions.sketch import cms_build, cms_lookup
+
+    ev = _ev(spark, sf_dir)
+    sk = cms_build(ev, "user_id", d=4, w=4096)
+    est = cms_lookup(sk, ev, "user_id", d=4, w=4096).select(
+        F.col("user_id").cast("long").alias("user_id"), "cms_n"
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+
+
 def q_semantic_clusters(spark, sf_dir):
     """Semantic cluster assignment: connected components
     (dedup.duplicate_clusters — hash-to-min + pointer jumping) over the
@@ -2468,6 +2512,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "kmv_overlap": q_kmv_overlap,
         "semantic_clusters": q_semantic_clusters,
+        "cms_user_counts": q_cms_user_counts,
+        "mixture_plan": q_mixture_plan,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -5257,6 +5303,83 @@ def oracle_sql() -> dict[str, str]:
                      / ex.exact_distinct, 4) + 0 AS rel_err
         FROM he JOIN ex ON he.event_type = ex.event_type
         ORDER BY he.event_type
+    """
+    # Mixture plan: normalized weight literals emitted as CAST('repr' AS
+    # DOUBLE) (strtod — the round-5 float-literal rule); targets are one
+    # double multiply + floor, counts exact longs.
+    _mix_w = ", ".join(
+        f"('src{i}', CAST('{(float((i % 5) + 1) / 60.0)!r}' AS DOUBLE))"
+        for i in range(20)
+    )
+    sql["mixture_plan"] = rf"""
+        WITH w(source, wgt) AS (VALUES {_mix_w}),
+        tok AS (
+            SELECT source,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n
+            FROM documents
+        ), avail AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+            FROM tok GROUP BY 1
+        ), j AS (
+            SELECT a.source, available_tokens,
+                   CAST(floor(CAST(30000 AS DOUBLE) * wgt) AS BIGINT)
+                     AS target_tokens
+            FROM avail a JOIN w ON a.source = w.source
+            WHERE available_tokens > 0
+        )
+        SELECT source, available_tokens, target_tokens,
+               round(least(CAST(1 AS DOUBLE),
+                           CAST(target_tokens AS DOUBLE)
+                           / CAST(available_tokens AS DOUBLE)), 4) + 0 AS rate,
+               greatest(CAST(0 AS BIGINT),
+                        target_tokens - available_tokens) AS deficit,
+               CAST(ceil(CAST(target_tokens AS DOUBLE)
+                         / CAST(available_tokens AS DOUBLE)) AS BIGINT)
+                 AS epochs
+        FROM j ORDER BY source
+    """
+    # Count-min sketch: d=4 salted-md5 counter rows, col = 3 leading
+    # nibbles (w=4096); estimate = min over rows.  Counters rebuilt
+    # nibble-identically, so estimates hash-match.
+    _cms_col = (
+        f"({_hll_nib.format(s='hx', i=1)}) * 256"
+        f" + ({_hll_nib.format(s='hx', i=2)}) * 16"
+        f" + ({_hll_nib.format(s='hx', i=3)})"
+    )
+    sql["cms_user_counts"] = f"""
+        WITH occ AS (
+            SELECT CAST(user_id AS VARCHAR) AS v FROM events
+            WHERE user_id IS NOT NULL
+        ), pos AS (
+            SELECT v, i AS r,
+                   CAST({_cms_col} AS BIGINT) AS pos
+            FROM (SELECT v, i,
+                         md5('cms:' || CAST(i AS VARCHAR) || ':' || v) AS hx
+                  FROM occ, unnest([0, 1, 2, 3]) AS t(i))
+        ), sk AS (
+            SELECT r, pos, CAST(count(*) AS BIGINT) AS c
+            FROM pos GROUP BY 1, 2
+        ), probes AS (
+            SELECT DISTINCT v FROM occ
+        ), ppos AS (
+            SELECT v, i AS r,
+                   CAST({_cms_col} AS BIGINT) AS pos
+            FROM (SELECT v, i,
+                         md5('cms:' || CAST(i AS VARCHAR) || ':' || v) AS hx
+                  FROM probes, unnest([0, 1, 2, 3]) AS t(i))
+        ), est AS (
+            SELECT CAST(p.v AS BIGINT) AS user_id,
+                   min(coalesce(sk.c, 0)) AS cms_n
+            FROM ppos p LEFT JOIN sk ON sk.r = p.r AND sk.pos = p.pos
+            GROUP BY 1
+        ), exact AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        )
+        SELECT exact.user_id, exact_n, cms_n, cms_n - exact_n AS overcount
+        FROM exact JOIN est ON exact.user_id = est.user_id
+        ORDER BY exact_n DESC, exact.user_id LIMIT 20
     """
     # Semantic clusters: mutual-kNN edges (same CTE as the mutual_knn
     # oracle) + recursive-CTE transitive closure with min-id canonical

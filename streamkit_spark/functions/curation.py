@@ -1241,3 +1241,79 @@ def remove_boilerplate(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning
+# ---------------------------------------------------------------------------
+
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan a training-data mixture: given target source WEIGHTS and a
+    total token BUDGET, report per source how many tokens are available,
+    how many the mixture wants, the sampling rate (< 1 = downsample),
+    the deficit, and the number of epochs (> 1 = repeat the source) —
+    the bookkeeping every published pretraining recipe (GPT-3 Table 2.2,
+    Llama, The Pile) does before materializing a mix.
+
+    Weights are normalized over the PROVIDED entries; sources absent
+    from ``weights`` are excluded from the plan.  All counts are exact
+    longs (token counts summed as integers); targets use one
+    double multiply + floor, so the plan replays bit-identically in SQL.
+
+    One corpus scan (a map-side-combined per-source token sum) + a
+    broadcast join against the weight literals — at 100 TB this is the
+    same shape as any per-key count.
+
+    Output: (group, available_tokens, target_tokens, rate 4dp, deficit,
+    epochs), sorted by group."""
+    from streamkit_spark.functions.text import token_count
+
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, w / total_w) for s, w in sorted(weights.items())],
+        f"{group_col} string, __w double",
+    )
+    avail = df.groupBy(group_col).agg(
+        F.sum(token_count(text_col)).cast("long").alias("available_tokens")
+    )
+    target = F.floor(F.lit(float(budget_tokens)) * F.col("__w")).cast("long")
+    joined = avail.join(F.broadcast(wdf), group_col).select(
+        group_col,
+        "available_tokens",
+        target.alias("target_tokens"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.col("target_tokens").cast("double")
+            / F.col("available_tokens").cast("double"),
+        ),
+        4,
+    )
+    return (
+        joined.filter(F.col("available_tokens") > 0)
+        .select(
+            group_col,
+            "available_tokens",
+            "target_tokens",
+            rate.alias("rate"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("target_tokens") - F.col("available_tokens"),
+            ).alias("deficit"),
+            F.ceil(
+                F.col("target_tokens").cast("double")
+                / F.col("available_tokens").cast("double")
+            ).cast("long").alias("epochs"),
+        )
+        .orderBy(group_col)
+    )

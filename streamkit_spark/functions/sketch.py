@@ -46,6 +46,9 @@ __all__ = [
     "hll_distinct",
     "kmv_sketch",
     "kmv_overlap",
+    "cms_positions",
+    "cms_build",
+    "cms_lookup",
 ]
 
 
@@ -457,3 +460,89 @@ def kmv_overlap(
         F.round(union_est, 4).alias("union_est"),
         F.round(jac * union_est, 4).alias("inter_est"),
     ).orderBy("g_a", "g_b")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan '05) — deterministic md5 rows
+# ---------------------------------------------------------------------------
+
+def cms_positions(
+    value: Column, d: int = 4, w: int = 4096, salt: str = "cms"
+) -> Column:
+    """Array of ``d`` (row, col) position structs for one value — one
+    salted md5 per row, leading ``log16(w)`` hex chars as the column
+    (the Bloom nibble convention, byte-identical in DuckDB).  ``w`` must
+    be a power of 16."""
+    import math
+
+    digits = round(math.log(w, 16))
+    if 16**digits != w:
+        raise ValueError(f"w must be a power of 16, got {w}")
+    v = value.cast("string")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}:{i}:"), v)), 1, digits
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("pos"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 4096,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch of a column's value frequencies as a ≤ ``d·w``-row
+    (r, pos, c) counter table — one explode + one partial-aggregable
+    groupBy over the corpus, and the result is broadcast-sized whatever
+    the input cardinality.  Guarantees: estimate ≥ true count, and
+    ≤ true + εN with ε = e/w at probability 1−e^{−d} (Cormode &
+    Muthukrishnan '05).  NULLs are skipped."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(cms_positions(F.col(value_col), d, w, salt)).alias("p"))
+        .select("p.r", "p.pos")
+        .groupBy("r", "pos")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 4096,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` (deduplicated):
+    (value, cms_n) with cms_n = min over the ``d`` counter rows.  The
+    sketch is ≤ d·w rows, so the join is a broadcast hash join against
+    the exploded probe positions — the probe side is never shuffled."""
+    p = (
+        probes.select(F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .select(
+            "__v",
+            F.explode(cms_positions(F.col("__v"), d, w, salt)).alias("p"),
+        )
+        .select("__v", "p.r", "p.pos")
+    )
+    return (
+        p.join(maybe_broadcast(sketch), ["r", "pos"], "left")
+        .groupBy("__v")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
+        .select(F.col("__v").alias(value_col), "cms_n")
+    )

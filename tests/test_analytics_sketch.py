@@ -357,3 +357,52 @@ def test_kmv_sketch_bounded_and_merge_property(spark):
         .collect()
     ]
     assert merged == whole
+
+
+# ----------------------------------------------------------------------- cms
+
+def test_cms_never_underestimates(spark):
+    from streamkit_spark.functions.sketch import cms_build, cms_lookup
+
+    ev = tables.load(spark, SF_DIR, "events")
+    sk = cms_build(ev, "user_id", d=4, w=4096)
+    est = {
+        int(r["user_id"]): r["cms_n"]
+        for r in cms_lookup(sk, ev, "user_id", d=4, w=4096).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    n_total = sum(exact.values())
+    for u, n in exact.items():
+        assert est[u] >= n, (u, est[u], n)
+        # epsilon = e/w error bound, generous slack for the tiny fixture
+        assert est[u] <= n + max(10, 0.01 * n_total)
+
+
+def test_cms_sketch_bounded_and_skews_only_up(spark):
+    """Sketch never exceeds d*w rows; a skewed key's estimate is exact
+    unless another key collides on ALL d rows (prob ~ (1/w)^d)."""
+    from streamkit_spark.functions.sketch import cms_build, cms_lookup
+
+    rows = [("hot",)] * 500 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = cms_build(df, "v", d=4, w=4096)
+    assert sk.count() <= 4 * 4096
+    est = {r["v"]: r["cms_n"] for r in
+           cms_lookup(sk, df, "v", d=4, w=4096).collect()}
+    assert est["hot"] == 500
+    assert all(v >= 1 for v in est.values())
+
+
+def test_cms_nulls_skipped(spark):
+    from streamkit_spark.functions.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "v string"
+    )
+    sk = cms_build(df, "v", d=2, w=16)
+    # only 'a' contributes: every counter row sums to 2
+    assert sorted(r["c"] for r in sk.collect()) == [2, 2]

@@ -516,3 +516,38 @@ def test_weighted_sample_grouped(spark):
     one = docs.filter("source = 'src0'")
     solo = {r["doc_id"] for r in weighted_sample(one, "n_chars", k=3).collect()}
     assert set(per["src0"]) == solo
+
+
+# -------------------------------------------------------------- mixture plan
+
+def test_mixture_plan_arithmetic(spark):
+    from streamkit_spark.functions.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", "one two three four"), ("a", "five six"),
+         ("b", "just three tokens"), ("c", "ignored source")],
+        "source string, text string",
+    )
+    got = {r["source"]: r for r in
+           mixture_plan(df, {"a": 3.0, "b": 1.0}, 12).collect()}
+    # weights normalize to 0.75 / 0.25; a has 6 tokens, b has 3
+    assert set(got) == {"a", "b"}
+    a, b = got["a"], got["b"]
+    assert (a["available_tokens"], a["target_tokens"]) == (6, 9)
+    assert a["rate"] == 1.0 and a["deficit"] == 3 and a["epochs"] == 2
+    assert (b["available_tokens"], b["target_tokens"]) == (3, 3)
+    assert b["rate"] == 1.0 and b["deficit"] == 0 and b["epochs"] == 1
+
+
+def test_mixture_plan_weight_normalization_invariant(spark):
+    from streamkit_spark.functions.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", "w " * 50), ("b", "w " * 20)], "source string, text string"
+    )
+    p1 = mixture_plan(df, {"a": 1.0, "b": 1.0}, 40).collect()
+    p2 = mixture_plan(df, {"a": 7.0, "b": 7.0}, 40).collect()
+    assert [tuple(r) for r in p1] == [tuple(r) for r in p2]
+    got = {r["source"]: r for r in p1}
+    assert got["a"]["target_tokens"] == 20 and got["a"]["rate"] == 0.4
+    assert got["b"]["target_tokens"] == 20 and got["b"]["deficit"] == 0
