@@ -2225,6 +2225,21 @@ def q_triangle_count(spark, sf_dir):
     return SIM.triangle_count(edges)
 
 
+def q_funnel_timing(spark, sf_dir):
+    """Click→purchase time-to-convert report (operators/windows.py
+    funnel_timing): conversion rate + exact interpolated p50/p90 of the
+    first-qualifying-purchase delay — the timing companion to
+    event_funnel's step counts.  Percentile parity per the
+    quantile_report/column_stats precedent (Spark percentile ≡ DuckDB
+    quantile_cont, rounded 4dp)."""
+    from streamkit_spark.operators.windows import funnel_timing
+
+    ev = _ev(spark, sf_dir)
+    return funnel_timing(
+        ev, "click", "purchase", ts_ms=F.expr("ts div 1000000")
+    )
+
+
 def q_mixture_plan(spark, sf_dir):
     """Token-budget mixture plan (curation.mixture_plan): per-source
     available tokens vs the target mixture's ask — sampling rate,
@@ -2514,6 +2529,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "cms_user_counts": q_cms_user_counts,
         "mixture_plan": q_mixture_plan,
+        "funnel_timing": q_funnel_timing,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -5303,6 +5319,39 @@ def oracle_sql() -> dict[str, str]:
                      / ex.exact_distinct, 4) + 0 AS rel_err
         FROM he JOIN ex ON he.event_type = ex.event_type
         ORDER BY he.event_type
+    """
+    # Funnel timing: first-from / first-qualifying-to min-aggregates,
+    # exact interpolated percentiles (quantile_cont ≡ Spark percentile).
+    sql["funnel_timing"] = """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        ), a AS (
+            SELECT user_id, min(ts_ms) AS t0 FROM e
+            WHERE event_type = 'click' GROUP BY 1
+        ), c AS (
+            SELECT e.user_id, min(e.ts_ms) AS t1, min(a.t0) AS t0
+            FROM e JOIN a ON e.user_id = a.user_id
+            WHERE e.event_type = 'purchase' AND e.ts_ms > a.t0
+            GROUP BY 1
+        ), d AS (
+            SELECT t1 - t0 AS delta FROM c
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                   round(quantile_cont(delta, 0.5), 4) + 0 AS p50_ms,
+                   round(quantile_cont(delta, 0.9), 4) + 0 AS p90_ms,
+                   max(delta) AS max_ms
+            FROM d
+        ), n AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_start FROM a
+        )
+        SELECT 'click' AS step_from, 'purchase' AS step_to,
+               n_start, n_converted,
+               round(CASE WHEN n_start > 0
+                          THEN CAST(n_converted AS DOUBLE)
+                               / CAST(n_start AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END, 4) + 0 AS conv_rate,
+               p50_ms, p90_ms, max_ms
+        FROM s, n
     """
     # Mixture plan: normalized weight literals emitted as CAST('repr' AS
     # DOUBLE) (strtod — the round-5 float-literal rule); targets are one

@@ -149,3 +149,70 @@ def funnel_counts(
         out = row if out is None else out.unionByName(row)
         prev = cur
     return out
+
+
+def funnel_timing(
+    df: DataFrame,
+    from_step: str,
+    to_step: str,
+    key: str = "user_id",
+    ts_ms: Column | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between two funnel steps: for every key whose
+    earliest ``to_step`` event is strictly later than its earliest
+    ``from_step`` event (the :func:`funnel_counts` conversion rule),
+    delta = first qualifying ``to`` − first ``from``.  One-row report:
+    (step_from, step_to, n_start, n_converted, conv_rate, p50_ms,
+    p90_ms, max_ms).
+
+    Percentiles are Spark's EXACT interpolated ``percentile`` (the
+    quantile_report determinism note: identical to DuckDB's
+    quantile_cont, deterministic under any partition order because the
+    sort happens inside the aggregate), rounded 4dp.  Plan: two filtered
+    min-aggregates co-partitioned on the key + single-row aggregates —
+    no window, no collect; delta rows are one fixed-width row per
+    converting key."""
+    ts = ts_ms if ts_ms is not None else F.col("ts")
+    a = (
+        df.filter(F.col(type_col) == from_step)
+        .select(F.col(key).alias("__k"), ts.alias("__ts"))
+        .groupBy("__k")
+        .agg(F.min("__ts").alias("__t0"))
+    )
+    conv = (
+        df.filter(F.col(type_col) == to_step)
+        .select(F.col(key).alias("__k"), ts.alias("__ts"))
+        .join(a, "__k")
+        .filter(F.col("__ts") > F.col("__t0"))
+        .groupBy("__k")
+        .agg(F.min("__ts").alias("__t1"), F.min("__t0").alias("__t0"))
+    )
+    deltas = conv.select((F.col("__t1") - F.col("__t0")).alias("delta"))
+    stats = deltas.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile(F.col("delta"), F.lit(0.5)), 4).alias("p50_ms"),
+        F.round(F.percentile(F.col("delta"), F.lit(0.9)), 4).alias("p90_ms"),
+        F.max("delta").alias("max_ms"),
+    )
+    starts = a.agg(F.count("*").cast("long").alias("n_start"))
+    return (
+        stats.crossJoin(F.broadcast(starts))
+        .select(
+            F.lit(from_step).alias("step_from"),
+            F.lit(to_step).alias("step_to"),
+            "n_start",
+            "n_converted",
+            F.round(
+                F.when(
+                    F.col("n_start") > 0,
+                    F.col("n_converted").cast("double")
+                    / F.col("n_start").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("conv_rate"),
+            "p50_ms",
+            "p90_ms",
+            "max_ms",
+        )
+    )

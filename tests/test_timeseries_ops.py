@@ -194,3 +194,39 @@ def test_asof_rejects_unknown_direction(spark):
     df = spark.createDataFrame([(1, "k", 1)], "id long, k string, t long")
     with pytest.raises(ValueError, match="unknown direction"):
         asof_join(df, df, on="k", left_ts="t", right_ts="t", direction="nearest")
+
+
+def test_funnel_timing_hand_computed(spark):
+    from streamkit_spark.operators.windows import funnel_timing
+
+    rows = [
+        # u1: click@10 -> purchase@30 (delta 20); earlier purchase@5 ignored
+        (1, "click", 10), (1, "purchase", 5), (1, "purchase", 30),
+        # u2: click@100 -> purchase@200 (delta 100), second purchase later
+        (2, "click", 100), (2, "purchase", 200), (2, "purchase", 900),
+        # u3: click only -> no conversion
+        (3, "click", 50),
+        # u4: purchase before any click -> no conversion
+        (4, "purchase", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, t long")
+    r = funnel_timing(
+        df, "click", "purchase", ts_ms=F.col("t")
+    ).first()
+    assert (r["n_start"], r["n_converted"]) == (3, 2)
+    assert r["conv_rate"] == round(2 / 3, 4)
+    # deltas [20, 100]: interpolated p50 = 60, p90 = 92
+    assert r["p50_ms"] == 60.0
+    assert r["p90_ms"] == 92.0
+    assert r["max_ms"] == 100
+
+
+def test_funnel_timing_no_conversions(spark):
+    from streamkit_spark.operators.windows import funnel_timing
+
+    df = spark.createDataFrame(
+        [(1, "click", 10)], "user_id long, event_type string, t long"
+    )
+    r = funnel_timing(df, "click", "purchase", ts_ms=F.col("t")).first()
+    assert (r["n_start"], r["n_converted"], r["conv_rate"]) == (1, 0, 0.0)
+    assert r["p50_ms"] is None and r["max_ms"] is None
