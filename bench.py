@@ -70,9 +70,13 @@ HEADLINE = [
     "dedup_editdist",
     "ab_value_ztest",
     "compaction_bins",
-    # round 5, fourth session: deterministic-HLL cardinality, KMV overlap
+    # round 5, fourth session: deterministic sketches (HLL cardinality,
+    # KMV overlap, count-min), mixture planning, funnel timing
     "hll_distinct",
     "kmv_overlap",
+    "cms_user_counts",
+    "mixture_plan",
+    "funnel_timing",
 ]
 
 

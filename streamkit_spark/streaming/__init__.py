@@ -2,6 +2,10 @@ from streamkit_spark.streaming.anomaly import (
     ewma_anomalies_stream,
     subscribe_anomalies,
 )
+from streamkit_spark.streaming.cardinality import (
+    finalize_hll,
+    hll_register_stream,
+)
 from streamkit_spark.streaming.heavyhitters import (
     heavy_hitters_stream,
     subscribe_heavy_hitters,
@@ -41,4 +45,6 @@ __all__ = [
     "rollup_aggregate",
     "ewma_anomalies_stream",
     "subscribe_anomalies",
+    "hll_register_stream",
+    "finalize_hll",
 ]

@@ -96,3 +96,37 @@ def test_layout_on_empty_events(spark, empty_events):
     clustered = cluster_by_zorder(ev, ["user_id", "day"], num_partitions=4)
     assert clustered.count() == 0
     assert clustered.columns == ["user_id", "day"]
+
+
+def test_sketches_on_empty_inputs(spark, empty_events):
+    from streamkit_spark.functions.sketch import (
+        cms_build,
+        cms_lookup,
+        hll_distinct,
+        kmv_overlap,
+    )
+
+    assert hll_distinct(empty_events, "user_id").first()["hll_estimate"] == 0.0
+    assert hll_distinct(empty_events, "user_id", ["event_type"]).count() == 0
+    assert kmv_overlap(empty_events, "user_id", "event_type").count() == 0
+    sk = cms_build(empty_events, "user_id")
+    assert sk.count() == 0
+    assert cms_lookup(sk, empty_events, "user_id").count() == 0
+
+
+def test_graph_and_plan_ops_on_empty_inputs(spark, empty_docs, empty_events):
+    from streamkit_spark.functions.curation import mixture_plan
+    from streamkit_spark.functions.similarity import triangle_count
+    from streamkit_spark.operators.windows import funnel_timing
+
+    e = spark.createDataFrame([], "src long, dst long")
+    r = triangle_count(e).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        0, 0, 0, 0,
+    )
+    assert r["global_clustering"] == 0.0
+    assert mixture_plan(empty_docs, {"src0": 1.0}, 1000).count() == 0
+    ft = funnel_timing(
+        empty_events, "click", "purchase", ts_ms=F.col("ts")
+    ).first()
+    assert (ft["n_start"], ft["n_converted"], ft["conv_rate"]) == (0, 0, 0.0)
