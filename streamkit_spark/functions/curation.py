@@ -1254,65 +1254,41 @@ def mixture_plan(
     group_col: str = "source",
     text_col: str = "text",
 ) -> DataFrame:
-    """Plan a training-data mixture: given target source WEIGHTS and a
-    total token BUDGET, report per source how many tokens are available,
-    how many the mixture wants, the sampling rate (< 1 = downsample),
-    the deficit, and the number of epochs (> 1 = repeat the source) —
-    the bookkeeping every published pretraining recipe (GPT-3 Table 2.2,
-    Llama, The Pile) does before materializing a mix.
-
-    Weights are normalized over the PROVIDED entries; sources absent
-    from ``weights`` are excluded from the plan.  All counts are exact
-    longs (token counts summed as integers); targets use one
-    double multiply + floor, so the plan replays bit-identically in SQL.
-
-    One corpus scan (a map-side-combined per-source token sum) + a
-    broadcast join against the weight literals — at 100 TB this is the
-    same shape as any per-key count.
+    """Deficit/epoch view of :func:`mixing_plan` — the pretraining-recipe
+    bookkeeping (GPT-3 Table 2.2 / Pile-style weights): per source, the
+    available tokens, the mixture's ask, the sampling rate (< 1 =
+    downsample), the token DEFICIT and the number of EPOCHS (> 1 =
+    repeat the source).  All arithmetic is the ONE shared
+    :func:`mixing_plan` definition (exact long token sums, one double
+    multiply + floor), so the two planners cannot drift; this view
+    additionally DROPS sources absent from ``weights`` (mixing_plan
+    keeps them at weight 0) and empty sources.
 
     Output: (group, available_tokens, target_tokens, rate 4dp, deficit,
     epochs), sorted by group."""
-    from streamkit_spark.functions.text import token_count
-
-    total_w = float(sum(weights.values()))
-    if total_w <= 0:
+    if float(sum(weights.values())) <= 0:
         raise ValueError("weights must sum to a positive value")
-    spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [(s, w / total_w) for s, w in sorted(weights.items())],
-        f"{group_col} string, __w double",
+    base = mixing_plan(
+        df, weights, budget_tokens, source_col=group_col, text_col=text_col
     )
-    avail = df.groupBy(group_col).agg(
-        F.sum(token_count(text_col)).cast("long").alias("available_tokens")
-    )
-    target = F.floor(F.lit(float(budget_tokens)) * F.col("__w")).cast("long")
-    joined = avail.join(F.broadcast(wdf), group_col).select(
-        group_col,
-        "available_tokens",
-        target.alias("target_tokens"),
-    )
-    rate = F.round(
-        F.least(
-            F.lit(1.0),
-            F.col("target_tokens").cast("double")
-            / F.col("available_tokens").cast("double"),
-        ),
-        4,
-    )
+    keys = F.array(*[F.lit(s) for s in sorted(weights)])
     return (
-        joined.filter(F.col("available_tokens") > 0)
+        base.filter(
+            F.array_contains(keys, F.col("source"))
+            & (F.col("n_tokens") > 0)
+        )
         .select(
-            group_col,
-            "available_tokens",
+            F.col("source").alias(group_col),
+            F.col("n_tokens").alias("available_tokens"),
             "target_tokens",
-            rate.alias("rate"),
+            "rate",
             F.greatest(
                 F.lit(0).cast("long"),
-                F.col("target_tokens") - F.col("available_tokens"),
+                F.col("target_tokens") - F.col("n_tokens"),
             ).alias("deficit"),
             F.ceil(
                 F.col("target_tokens").cast("double")
-                / F.col("available_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
             ).cast("long").alias("epochs"),
         )
         .orderBy(group_col)

@@ -541,7 +541,10 @@ def cms_lookup(
         .select("__v", "p.r", "p.pos")
     )
     return (
-        p.join(maybe_broadcast(sketch), ["r", "pos"], "left")
+        # explicit hint, not maybe_broadcast: the sketch is PROVABLY
+        # ≤ d·w rows by construction, and the documented "probe side
+        # never shuffles" contract must hold even with AQE off
+        p.join(F.broadcast(sketch), ["r", "pos"], "left")
         .groupBy("__v")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
         .select(F.col("__v").alias(value_col), "cms_n")

@@ -172,8 +172,14 @@ def funnel_timing(
     sort happens inside the aggregate), rounded 4dp.  Plan: two filtered
     min-aggregates co-partitioned on the key + single-row aggregates —
     no window, no collect; delta rows are one fixed-width row per
-    converting key."""
-    ts = ts_ms if ts_ms is not None else F.col("ts")
+    converting key.
+
+    ``ts_ms`` defaults to ``ts div 1000000`` — the engine's ts column is
+    epoch-NANOSECONDS (tables.load contract) and this report's columns
+    are unit-suffixed ``_ms``, so unlike :func:`funnel_counts` (whose
+    outputs are unit-free counts) the raw column would be silently
+    mislabeled by 10^6.  Pass a Column for any other source unit."""
+    ts = ts_ms if ts_ms is not None else F.expr("ts div 1000000")
     a = (
         df.filter(F.col(type_col) == from_step)
         .select(F.col(key).alias("__k"), ts.alias("__ts"))
