@@ -49,6 +49,8 @@ __all__ = [
     "cms_positions",
     "cms_build",
     "cms_lookup",
+    "hll_daily_registers",
+    "hll_merge_estimate",
 ]
 
 
@@ -549,3 +551,48 @@ def cms_lookup(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_n"))
         .select(F.col("__v").alias(value_col), "cms_n")
     )
+
+
+def hll_daily_registers(
+    df: DataFrame,
+    value_col: str,
+    ts_ms: Column,
+    group_cols: list[str] | tuple[str, ...] = (),
+    b: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Day-bucketed HLL register table: (day, group..., bucket, r) with
+    ``day = ts_ms div 86400000`` (the integer-div day convention).  The
+    pre-aggregated distinct-count cube: persist this (e.g. as a
+    streaming/rollup.py rollup partitioned by day) and ANY date range's
+    cardinality comes from a register max-merge over ≤ days·2^b rows —
+    no rescan, which plain per-day distinct counts cannot do (they don't
+    add)."""
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        ts_ms.alias("__ts_ms"), *group_cols, value_col
+    )
+    return hll_registers(
+        base.select(
+            F.expr("__ts_ms div 86400000").alias("day"), *group_cols, value_col
+        ),
+        value_col,
+        ["day", *group_cols],
+        b,
+        salt,
+    )
+
+
+def hll_merge_estimate(
+    regs: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = (),
+    b: int = 8,
+) -> DataFrame:
+    """Max-merge a register table over any extra dimensions (days,
+    partitions, streams) down to ``group_cols`` and estimate: registers
+    are associative maxima, so merged sketches estimate the UNION's
+    cardinality exactly as if built in one pass — the property the
+    parity test pins (merge-then-estimate ≡ estimate-on-filtered-data).
+    """
+    gcols = list(group_cols)
+    merged = regs.groupBy(*gcols, "bucket").agg(F.max("r").alias("r"))
+    return hll_estimate_from_registers(merged, gcols, b)

@@ -406,3 +406,42 @@ def test_cms_nulls_skipped(spark):
     sk = cms_build(df, "v", d=2, w=16)
     # only 'a' contributes: every counter row sums to 2
     assert sorted(r["c"] for r in sk.collect()) == [2, 2]
+
+
+def test_hll_daily_merge_equals_one_pass(spark):
+    """Max-merging the day-partitioned register cube over a range gives
+    EXACTLY the estimate of a one-pass sketch over that range's rows —
+    the associativity that makes the cube answer any date range without
+    a rescan."""
+    from streamkit_spark.functions.sketch import (
+        hll_daily_registers,
+        hll_distinct,
+        hll_merge_estimate,
+    )
+
+    ev = tables.load(spark, SF_DIR, "events")
+    day = F.expr("(ts div 1000000) div 86400000")
+    evd = ev.withColumn("__day", day)
+    d0 = evd.agg(F.min("__day")).first()[0]
+    lo, hi = d0 + 1, d0 + 3
+    regs = hll_daily_registers(
+        ev, "user_id", F.expr("ts div 1000000"), ["event_type"]
+    )
+    merged = {
+        (r["event_type"], r["hll_estimate"])
+        for r in hll_merge_estimate(
+            regs.filter(F.col("day").between(lo, hi)).select(
+                "event_type", "bucket", "r"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    direct = {
+        (r["event_type"], r["hll_estimate"])
+        for r in hll_distinct(
+            evd.filter(F.col("__day").between(lo, hi)),
+            "user_id",
+            ["event_type"],
+        ).collect()
+    }
+    assert merged == direct and len(merged) > 0
