@@ -130,3 +130,56 @@ def register_analytics_views(
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
+
+
+def register_sketch_views(
+    spark: SparkSession, events: DataFrame, prefix: str = "sk_"
+) -> list[str]:
+    """Sketch-estimator views over a (normalized) events frame — the SQL
+    twin of functions/sketch for spark.sql users:
+
+    * ``{p}distinct_users``  — per-event-type deterministic HLL distinct
+      (estimate + exact + relative error)
+    * ``{p}daily_registers`` — the day-partitioned HLL register cube
+      (persist/query it for date-range cardinality via max-merge)
+    * ``{p}user_overlap``    — pairwise KMV Jaccard/union/intersection
+      of (user, day) activity sets between event types
+    * ``{p}user_counts``     — count-min frequency estimates vs exact
+      per-user event counts
+
+    Views are logical plans (no materialization); each inherits the
+    underlying scan's pushdown."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions import sketch as S
+
+    p = prefix
+    uday = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("(ts div 1000000) div 86400000").cast("string"),
+    )
+    cms = S.cms_build(events, "user_id")
+    est = S.cms_lookup(cms, events, "user_id").select(
+        F.col("user_id").cast("long").alias("user_id"), "cms_n"
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    views = {
+        f"{p}distinct_users": S.hll_distinct(
+            events, "user_id", ["event_type"], include_exact=True
+        ),
+        f"{p}daily_registers": S.hll_daily_registers(
+            events, "user_id", F.expr("ts div 1000000"), ["event_type"]
+        ),
+        f"{p}user_overlap": S.kmv_overlap(
+            events.select("event_type", uday.alias("uday")),
+            "uday",
+            "event_type",
+        ),
+        f"{p}user_counts": exact.join(est, "user_id"),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

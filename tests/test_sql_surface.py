@@ -113,3 +113,34 @@ def test_analytics_views_queryable_from_sql(spark):
     assert row["click_mass"] == 1.0
     assert row["hist_rows"] == ev.count()
     assert row["ordered_q"] == 5
+
+
+def test_sketch_views_queryable_from_sql(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.sql import register_sketch_views
+    from tests.conftest import SF_DIR
+
+    ev = tables.load(spark, SF_DIR, "events")
+    names = register_sketch_views(spark, ev)
+    assert names == [
+        "sk_daily_registers", "sk_distinct_users", "sk_user_counts",
+        "sk_user_overlap",
+    ]
+    row = spark.sql(
+        """
+        SELECT (SELECT count(*) FROM sk_distinct_users
+                WHERE rel_err <= 0.2) AS tight_groups,
+               (SELECT count(*) FROM sk_distinct_users) AS n_groups,
+               (SELECT max(cnt) FROM (
+                   SELECT day, event_type, count(*) AS cnt
+                   FROM sk_daily_registers GROUP BY 1, 2)) AS max_regs,
+               (SELECT count(*) FROM sk_user_counts
+                WHERE cms_n < exact_n) AS underestimates,
+               (SELECT count(*) FROM sk_user_overlap
+                WHERE jaccard_est < 0 OR jaccard_est > 1) AS bad_jaccard
+        """
+    ).first()
+    assert row["tight_groups"] == row["n_groups"] > 0
+    assert row["max_regs"] <= 256
+    assert row["underestimates"] == 0
+    assert row["bad_jaccard"] == 0
