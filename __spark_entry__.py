@@ -2228,11 +2228,17 @@ def q_triangle_count(spark, sf_dir):
 def q_hll_daily_range(spark, sf_dir):
     """Date-range cardinality from the day-partitioned HLL register cube
     (sketch.hll_daily_registers + hll_merge_estimate): distinct users
-    per event type over days [d0+2, d0+5] by MAX-MERGING the per-day
+    per event type over days [d0, d0+3] by MAX-MERGING the per-day
     registers — no rescan of the range, which per-day distinct counts
-    cannot do (they don't add).  Register maxima are associative, so
-    the merged estimate equals a one-pass sketch of the range exactly;
-    the oracle replays registers over the filtered range directly."""
+    cannot do (they don't add).  The range is anchored AT the min day so
+    it is non-empty on any fixture (day d0 has rows by definition of
+    min — a floating window could go vacuous on a short regenerated
+    fixture).  Register maxima are associative, so the merged estimate
+    equals a one-pass sketch of the range exactly; the oracle replays
+    registers over the filtered range directly.  d0 is a 1-row bounded
+    collect (the kmeans-centroid convention) so the est and exact
+    branches filter on a literal instead of each re-planning the
+    min-day scan."""
     from streamkit_spark.functions.sketch import (
         hll_daily_registers,
         hll_merge_estimate,
@@ -2241,20 +2247,17 @@ def q_hll_daily_range(spark, sf_dir):
     ev = _ev(spark, sf_dir)
     day = F.expr("(ts div 1000000) div 86400000")
     evd = ev.select("event_type", day.alias("day"), "user_id")
-    bounds = evd.agg(F.min("day").alias("__d0"))
+    d0 = evd.agg(F.min("day")).first()[0]
     regs = hll_daily_registers(
         ev, "user_id", F.expr("ts div 1000000"), ["event_type"]
     )
-    in_range = lambda c: (c >= F.col("__d0") + 2) & (c <= F.col("__d0") + 5)
-    sel = (
-        regs.crossJoin(F.broadcast(bounds))
-        .filter(in_range(F.col("day")))
-        .select("event_type", "bucket", "r")
+    in_range = lambda c: (c >= F.lit(d0)) & (c <= F.lit(d0) + 3)
+    sel = regs.filter(in_range(F.col("day"))).select(
+        "event_type", "bucket", "r"
     )
     est = hll_merge_estimate(sel, ["event_type"])
     exact = (
-        evd.crossJoin(F.broadcast(bounds))
-        .filter(in_range(F.col("day")) & F.col("user_id").isNotNull())
+        evd.filter(in_range(F.col("day")) & F.col("user_id").isNotNull())
         .select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
@@ -2315,10 +2318,9 @@ def q_cms_user_counts(spark, sf_dir):
     from streamkit_spark.functions.sketch import cms_build, cms_lookup
 
     ev = _ev(spark, sf_dir)
+    # cms_lookup preserves the probe column's original (long) type
     sk = cms_build(ev, "user_id", d=4, w=4096)
-    est = cms_lookup(sk, ev, "user_id", d=4, w=4096).select(
-        F.col("user_id").cast("long").alias("user_id"), "cms_n"
-    )
+    est = cms_lookup(sk, ev, "user_id", d=4, w=4096)
     exact = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("exact_n")
     )
@@ -5532,7 +5534,7 @@ def oracle_sql() -> dict[str, str]:
                    md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
             FROM events, b
             WHERE user_id IS NOT NULL
-              AND epoch_ms(ts) // 86400000 BETWEEN b.d0 + 2 AND b.d0 + 5
+              AND epoch_ms(ts) // 86400000 BETWEEN b.d0 AND b.d0 + 3
         ), br AS (
             SELECT event_type,
                    CAST(({_hll_nib.format(s='hx', i=1)}) * 16
@@ -5574,7 +5576,7 @@ def oracle_sql() -> dict[str, str]:
                      AS exact_distinct
             FROM events, b
             WHERE user_id IS NOT NULL
-              AND epoch_ms(ts) // 86400000 BETWEEN b.d0 + 2 AND b.d0 + 5
+              AND epoch_ms(ts) // 86400000 BETWEEN b.d0 AND b.d0 + 3
             GROUP BY 1
         )
         SELECT he.event_type, ex.exact_distinct, he.hll_estimate,

@@ -1271,10 +1271,9 @@ def mixture_plan(
     base = mixing_plan(
         df, weights, budget_tokens, source_col=group_col, text_col=text_col
     )
-    keys = F.array(*[F.lit(s) for s in sorted(weights)])
     return (
         base.filter(
-            F.array_contains(keys, F.col("source"))
+            F.col("source").isin(*sorted(weights))
             & (F.col("n_tokens") > 0)
         )
         .select(

@@ -155,8 +155,8 @@ def funnel_timing(
     df: DataFrame,
     from_step: str,
     to_step: str,
+    ts_ms: Column,
     key: str = "user_id",
-    ts_ms: Column | None = None,
     type_col: str = "event_type",
 ) -> DataFrame:
     """Time-to-convert between two funnel steps: for every key whose
@@ -174,12 +174,13 @@ def funnel_timing(
     no window, no collect; delta rows are one fixed-width row per
     converting key.
 
-    ``ts_ms`` defaults to ``ts div 1000000`` — the engine's ts column is
-    epoch-NANOSECONDS (tables.load contract) and this report's columns
-    are unit-suffixed ``_ms``, so unlike :func:`funnel_counts` (whose
-    outputs are unit-free counts) the raw column would be silently
-    mislabeled by 10^6.  Pass a Column for any other source unit."""
-    ts = ts_ms if ts_ms is not None else F.expr("ts div 1000000")
+    ``ts_ms`` is REQUIRED (no default, unlike :func:`funnel_counts`
+    whose outputs are unit-free counts): this report's columns are
+    unit-suffixed ``_ms``, and the engine's raw ts column is
+    epoch-NANOSECONDS (tables.load contract) — any silent default would
+    mislabel one unit or the other by 10^6.  Pass
+    ``F.expr("ts div 1000000")`` for engine tables."""
+    ts = ts_ms
     a = (
         df.filter(F.col(type_col) == from_step)
         .select(F.col(key).alias("__k"), ts.alias("__ts"))

@@ -147,8 +147,12 @@ def register_sketch_views(
     * ``{p}user_counts``     — count-min frequency estimates vs exact
       per-user event counts
 
-    Views are logical plans (no materialization); each inherits the
-    underlying scan's pushdown."""
+    These are REPORT views, heavier than the analytics/curation ones:
+    ``{p}distinct_users`` includes the exact-count audit columns (it
+    pays the distinct the pure estimator avoids — use
+    ``sketch.hll_distinct(include_exact=False)`` for the cheap path),
+    and ``{p}user_overlap`` materializes its ≤ G·k-row sketch
+    (localCheckpoint) on first use for the session's lifetime."""
     from pyspark.sql import functions as F
 
     from streamkit_spark.functions import sketch as S
@@ -160,9 +164,8 @@ def register_sketch_views(
         F.expr("(ts div 1000000) div 86400000").cast("string"),
     )
     cms = S.cms_build(events, "user_id")
-    est = S.cms_lookup(cms, events, "user_id").select(
-        F.col("user_id").cast("long").alias("user_id"), "cms_n"
-    )
+    # cms_lookup preserves the probe column's original (long) type
+    est = S.cms_lookup(cms, events, "user_id")
     exact = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("exact_n")
     )

@@ -423,7 +423,9 @@ def test_hll_daily_merge_equals_one_pass(spark):
     day = F.expr("(ts div 1000000) div 86400000")
     evd = ev.withColumn("__day", day)
     d0 = evd.agg(F.min("__day")).first()[0]
-    lo, hi = d0 + 1, d0 + 3
+    # anchored at d0: day d0 has rows by definition of min, so the
+    # range is non-empty on any regenerated fixture length
+    lo, hi = d0, d0 + 2
     regs = hll_daily_registers(
         ev, "user_id", F.expr("ts div 1000000"), ["event_type"]
     )
