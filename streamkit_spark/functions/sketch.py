@@ -45,7 +45,10 @@ __all__ = [
     "hll_estimate_from_registers",
     "hll_distinct",
     "kmv_sketch",
+    "kmv_hash",
+    "kmv_u",
     "kmv_overlap",
+    "kmv_overlap_from_sketches",
     "cms_positions",
     "cms_build",
     "cms_lookup",
@@ -363,9 +366,7 @@ def kmv_sketch(
     into exact union sketches, which is what :func:`kmv_overlap`
     exploits.  Plan: one (group, h) distinct + a per-group top-k window;
     the output is ≤ k rows per group whatever the input size."""
-    h = F.md5(
-        F.concat(F.lit(salt + ":"), F.col(value_col).cast("string"))
-    )
+    h = kmv_hash(F.col(value_col), salt)
     gcols = list(group_cols)
     d = (
         df.filter(F.col(value_col).isNotNull())
@@ -373,14 +374,25 @@ def kmv_sketch(
         .distinct()
     )
     w = Window.partitionBy(*gcols).orderBy("h")
-    u = (
-        F.conv(F.substring("h", 1, 15), 16, 10).cast("double")
-        / F.lit(_KMV_DEN)
-    )
     return (
         d.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .select(*gcols, "h", u.alias("u"))
+        .select(*gcols, "h", kmv_u(F.col("h")).alias("u"))
+    )
+
+
+def kmv_hash(value: Column, salt: str = "kmv") -> Column:
+    """The KMV hash of one value — shared by the batch sketch and the
+    streaming maintainer so their hash spaces cannot drift."""
+    return F.md5(F.concat(F.lit(salt + ":"), value.cast("string")))
+
+
+def kmv_u(h: Column) -> Column:
+    """Map a KMV hash to its (0,1) fraction: first-15-nibble integer
+    over 2^60 (exact double scaling, correctly-rounded on both
+    engines)."""
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(
+        _KMV_DEN
     )
 
 
@@ -411,6 +423,18 @@ def kmv_overlap(
     sk = kmv_sketch(df, value_col, [group_col], k, salt).localCheckpoint(
         eager=False
     )
+    return kmv_overlap_from_sketches(sk, group_col, k)
+
+
+def kmv_overlap_from_sketches(
+    sk: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """The pair stage of :func:`kmv_overlap` over a PREBUILT sketch
+    table (group_col, h, u) — e.g. one maintained incrementally by
+    ``streaming/cardinality.kmv_sketch_stream`` — so streaming sketches
+    feed the identical estimator (the shared-finisher discipline).  The
+    input should be materialized (checkpointed / collected from a sink):
+    it feeds the group list and both join branches."""
     gl = sk.select(F.col(group_col).alias("g")).distinct()
     pairs = (
         gl.select(F.col("g").alias("g_a"))

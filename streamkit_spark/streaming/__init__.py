@@ -4,7 +4,9 @@ from streamkit_spark.streaming.anomaly import (
 )
 from streamkit_spark.streaming.cardinality import (
     finalize_hll,
+    finalize_kmv_overlap,
     hll_register_stream,
+    kmv_sketch_stream,
 )
 from streamkit_spark.streaming.heavyhitters import (
     heavy_hitters_stream,
@@ -47,4 +49,6 @@ __all__ = [
     "subscribe_anomalies",
     "hll_register_stream",
     "finalize_hll",
+    "kmv_sketch_stream",
+    "finalize_kmv_overlap",
 ]

@@ -245,3 +245,58 @@ def test_hll_cardinality_parity(spark, fixture_stream):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_kmv_sketch_stream_parity(spark, fixture_stream):
+    """Streaming KMV maintainer + shared finisher equal the batch
+    kmv_sketch / kmv_overlap exactly, with ≤ k hashes of state."""
+    from streamkit_spark.functions.sketch import kmv_overlap, kmv_sketch
+    from streamkit_spark.streaming.cardinality import (
+        finalize_kmv_overlap,
+        kmv_sketch_stream,
+    )
+
+    k = 64
+    uday = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.expr("(ts div 1000000) div 86400000").cast("string"),
+    )
+    batch = tables.load(spark, SF_DIR, "events").select(
+        F.col("event_type").cast("string").alias("event_type"),
+        uday.alias("v"),
+    )
+    want_hashes = {
+        (r["event_type"], r["h"])
+        for r in kmv_sketch(batch, "v", ["event_type"], k=k).collect()
+    }
+    want_overlap = {
+        tuple(r) for r in kmv_overlap(batch, "v", "event_type", k=k).collect()
+    }
+    stream = fixture_stream.select(
+        "event_type", uday.alias("v")
+    )
+    q = (
+        kmv_sketch_stream(stream, "v", "event_type", k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("parity_kmv")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # latest row per group (single file batch → exactly one emission)
+        sketches = spark.sql("SELECT * FROM parity_kmv")
+        rows = sketches.collect()
+        assert all(len(r["hs"]) <= k for r in rows)
+        got_hashes = {
+            (r["event_type"], h) for r in rows for h in r["hs"]
+        }
+        assert got_hashes == want_hashes
+        got_overlap = {
+            tuple(r)
+            for r in finalize_kmv_overlap(sketches, "event_type", k=k).collect()
+        }
+        assert got_overlap == want_overlap and len(got_overlap) > 0
+    finally:
+        q.stop()
