@@ -2308,6 +2308,24 @@ def q_mixture_plan(spark, sf_dir):
     return mixture_plan(docs, weights, budget_tokens=30000)
 
 
+def q_apply_mixture(spark, sf_dir):
+    """Materialized mixture (curation.apply_mixture_plan): every doc
+    replicated target-div-available times plus an md5-selected
+    fractional copy — exact integer cross-multiplied keep rule (bucket ·
+    available < rem · 65536, no float thresholds), 0-based epoch column.
+    Same weights/budget as `mixture_plan`; the oracle replays the plan
+    arithmetic, the bucket compare, and the epoch unnest."""
+    from streamkit_spark.functions.curation import apply_mixture_plan
+
+    docs = tables.load(spark, sf_dir, "documents")
+    weights = {f"src{i}": float((i % 5) + 1) for i in range(20)}
+    return (
+        apply_mixture_plan(docs, weights, budget_tokens=30000)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-min-sketch frequency estimates (sketch.cms_build/cms_lookup,
     Cormode-Muthukrishnan '05) for the 20 busiest users: exact count,
@@ -2582,6 +2600,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "cms_user_counts": q_cms_user_counts,
         "mixture_plan": q_mixture_plan,
+        "apply_mixture": q_apply_mixture,
         "funnel_timing": q_funnel_timing,
         "hll_daily_range": q_hll_daily_range,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
@@ -5441,6 +5460,46 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(available_tokens AS DOUBLE)) AS BIGINT)
                  AS epochs
         FROM j ORDER BY source
+    """
+    # Materialized mixture: plan arithmetic + exact integer bucket
+    # compare + epoch unnest (range(0, n) is empty at n = 0).
+    from streamkit_spark.functions.curation import sample_bucket_sql
+
+    sql["apply_mixture"] = rf"""
+        WITH w(source, wgt) AS (VALUES {_mix_w}),
+        tok AS (
+            SELECT source,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n
+            FROM documents
+        ), avail AS (
+            SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+            FROM tok GROUP BY 1
+        ), j AS (
+            SELECT a.source, available_tokens,
+                   CAST(floor(CAST(30000 AS DOUBLE) * wgt) AS BIGINT)
+                     AS target_tokens
+            FROM avail a JOIN w ON a.source = w.source
+            WHERE available_tokens > 0
+        ), d2 AS (
+            SELECT d.doc_id, d.source,
+                   j.target_tokens // j.available_tokens AS efull,
+                   j.target_tokens
+                     - (j.target_tokens // j.available_tokens)
+                       * j.available_tokens AS rem,
+                   j.available_tokens AS avail,
+                   {sample_bucket_sql('d.doc_id', 'mix')} AS bucket
+            FROM documents d JOIN j ON d.source = j.source
+        ), counted AS (
+            SELECT doc_id, source,
+                   efull + CASE WHEN bucket * avail < rem * 65536
+                                THEN 1 ELSE 0 END AS n
+            FROM d2
+        )
+        SELECT doc_id, source, CAST(t.i AS INT) AS epoch
+        FROM counted, unnest(range(0, n)) AS t(i)
+        WHERE n > 0
+        ORDER BY doc_id, epoch
     """
     # Count-min sketch: d=4 salted-md5 counter rows, col = 3 leading
     # nibbles (w=4096); estimate = min over rows.  Counters rebuilt

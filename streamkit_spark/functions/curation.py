@@ -1292,3 +1292,54 @@ def mixture_plan(
         )
         .orderBy(group_col)
     )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """MATERIALIZE the mixture :func:`mixture_plan` describes: every doc
+    of source s appears ``target div available`` times (full epochs)
+    plus one md5-selected fractional copy, so the kept token count per
+    source lands on the target in expectation — the executable step
+    between "plan the mix" and "train on it".
+
+    Determinism: the fractional keep compares the doc's
+    :func:`sample_bucket` against the remainder in EXACT integer
+    cross-multiplied form (``bucket·available < rem·65536`` — no float
+    thresholds), and replica indices come from an explicit ``epoch``
+    column (0-based), so the output is stable across runs/engines and
+    nested in the budget (a bigger budget's fractional copies are a
+    superset — the stratified_sample property).  Plan shape: one
+    broadcast join of the #sources-row plan + a per-row explode; no
+    shuffle beyond mixture_plan's own token count.
+
+    Output: input columns + ``epoch``; ``sequence`` is only built for
+    rows with ≥ 1 copy (the sequence(1,0)-descends trap)."""
+    plan = mixture_plan(df, weights, budget_tokens, group_col, text_col)
+    j = df.join(
+        F.broadcast(
+            plan.select(group_col, "available_tokens", "target_tokens")
+        ),
+        group_col,
+    )
+    full = F.expr("target_tokens div available_tokens")
+    rem = F.col("target_tokens") - full * F.col("available_tokens")
+    bucket = sample_bucket(id_col, salt)
+    extra = (bucket * F.col("available_tokens")) < (
+        rem * F.lit(N_SAMPLE_BUCKETS)
+    )
+    n_copies = (full + F.when(extra, 1).otherwise(0)).cast("int")
+    return (
+        j.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n", "available_tokens", "target_tokens")
+    )

@@ -447,3 +447,20 @@ def test_hll_daily_merge_equals_one_pass(spark):
         ).collect()
     }
     assert merged == direct and len(merged) > 0
+
+
+def test_cms_lookup_plan_is_broadcast_no_probe_shuffle(spark):
+    """The documented contract: the sketch broadcasts and the probe
+    side never shuffles — must hold structurally, not via AQE luck."""
+    from streamkit_spark.functions.sketch import cms_build, cms_lookup
+
+    ev = tables.load(spark, SF_DIR, "events")
+    sk = cms_build(ev, "user_id", d=4, w=4096)
+    plan = (
+        cms_lookup(sk, ev, "user_id", d=4, w=4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

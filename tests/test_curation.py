@@ -551,3 +551,58 @@ def test_mixture_plan_weight_normalization_invariant(spark):
     got = {r["source"]: r for r in p1}
     assert got["a"]["target_tokens"] == 20 and got["a"]["rate"] == 0.4
     assert got["b"]["target_tokens"] == 20 and got["b"]["deficit"] == 0
+
+
+def test_apply_mixture_plan_materializes_epochs(spark):
+    from streamkit_spark.functions.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+
+    # a: 6 tokens, target 9 -> 1 full epoch + rem 3/6 fractional copies
+    # b: 3 tokens, target 3 -> exactly 1 epoch, no fractional
+    df = spark.createDataFrame(
+        [(1, "a", "one two three four"), (2, "a", "five six"),
+         (3, "b", "just three tokens")],
+        "doc_id long, source string, text string",
+    )
+    out = apply_mixture_plan(df, {"a": 3.0, "b": 1.0}, 12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every a-doc appears at least once (full epoch), b exactly once
+    assert sorted(by_doc[3]) == [0]
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    assert 1 <= len(by_doc[1]) <= 2 and 1 <= len(by_doc[2]) <= 2
+    # determinism: identical output on a second run
+    again = apply_mixture_plan(df, {"a": 3.0, "b": 1.0}, 12).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_apply_mixture_plan_tracks_token_targets(spark):
+    """Kept tokens per source land near the plan's target (md5 buckets
+    approximate the fractional rate; full epochs are exact)."""
+    from streamkit_spark.functions.curation import (
+        apply_mixture_plan,
+        mixture_plan,
+    )
+    from streamkit_spark.functions.text import token_count
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    weights = {f"src{i}": float((i % 5) + 1) for i in range(20)}
+    budget = 30000
+    plan = {r["source"]: r for r in
+            mixture_plan(docs, weights, budget).collect()}
+    kept = {
+        r["source"]: r["kept"]
+        for r in apply_mixture_plan(docs, weights, budget)
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).alias("kept"))
+        .collect()
+    }
+    for s, p in plan.items():
+        # fractional sampling noise is bounded by the largest doc span;
+        # full epochs contribute exactly available_tokens each
+        assert abs(kept[s] - p["target_tokens"]) <= 0.35 * p["available_tokens"], (
+            s, kept[s], p["target_tokens"],
+        )
