@@ -2417,6 +2417,272 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Per-returnflag Spearman rank correlation of quantity vs price
+    (analytics.spearman_by_group): doubled fractional ranks are exact
+    integers, the five Pearson moments aggregate as BIGINTs, and the
+    n·Σxy − Σx·Σy combination runs in DECIMAL(38,0) (HUGEINT on the
+    oracle) — only the final divide/sqrt is float, identical op order
+    on both engines."""
+    from streamkit_spark.functions import analytics as AN
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    return AN.spearman_by_group(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def q_chi2_weekday(spark, sf_dir):
+    """Chi-squared independence test of event_type × weekday
+    (analytics.chi2_independence): exact integer contingency table,
+    one fixed double expression per cell, and the only order-sensitive
+    float sum runs as a left fold over the (row, col)-sorted cell list
+    — the oracle's list_sum(list(t ORDER BY r, c)) replays it exactly."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    wd = ((F.expr("ts div 86400000000000") + 4) % 7).cast("long")
+    return AN.chi2_independence(
+        ev.select("event_type", wd.alias("weekday")), "event_type", "weekday"
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier report via exact-median MAD
+    (analytics.mad_outliers): both medians are order statistics picked
+    by row_number — no approx-percentile value error, no tie-order or
+    aggregation-order sensitivity — and the |x−med| > 3·mad flag
+    compares unrounded doubles with the same expression on both
+    engines."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+def q_kcore_knn(spark, sf_dir):
+    """3-core of the mutual-kNN(5) graph (similarity.k_core, Seidman
+    '83): simultaneous peeling to the unique fixpoint — each round drops
+    every node with surviving degree < 3 at once, so the result is
+    round-count independent and the oracle's recursive-CTE replay (the
+    alive set and the edge list carried as row columns, per the repo's
+    lambda-no-subquery rule) converges to the identical core.  The
+    mutual graph is the one with real degree variance (the raw kNN
+    union graph has min degree ≥ k by construction, so its only cores
+    are `everything` or `nothing` — measured on this fixture): at
+    sf0.01 the peel cascades for 8 rounds before stabilizing."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    mut = SIM.mutual_knn_pairs(SIM.knn_graph(emb, k=5, method="brute"))
+    return SIM.k_core(mut, k=3, src="id_a", dst="id_b")
+
+
+def q_cube_revenue(spark, sf_dir):
+    """Revenue CUBE over (nation, order year) with grouping markers —
+    the multi-dimensional rollup family beyond the 1-D
+    `rollup_event_counts`: all four grouping sets in one pass
+    (Catalyst expands the cube into a single Expand + aggregate, one
+    shuffle).  DECIMAL(18,2) revenue per the money convention; gid is
+    grouping_id() engine-side and the equivalent NULL-marker CASE on
+    the oracle (the dimension columns are never natively NULL)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+    )
+    return (
+        base.cube("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("p").cast("double"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year").cast("string"), F.lit("ALL")).alias(
+                "o_year"
+            ),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("gid", "nation", "o_year")
+    )
+
+
+def q_value_trend(spark, sf_dir):
+    """Per-type OLS trend of event value over the day index
+    (analytics.ols_trend): six exact moments (BIGINT x-sums, exact
+    DECIMAL y-sums — partial-agg-order independent), closed-form
+    slope/intercept/r2 in double with one fixed op order on both
+    engines."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.ols_trend(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+    )
+
+
+def q_source_ngram_overlap(spark, sf_dir):
+    """Cross-source lexical overlap matrix — the train/test-leakage
+    readout: pairwise Jaccard/union/intersection of each source's
+    3-gram shingle SET, estimated from k=256 KMV sketches
+    (sketch.kmv_overlap over text.word_ngrams).  One corpus scan builds
+    the sketches; the pair stage touches only sketch rows — at 100 TB
+    a pairwise distinct shingle join would reshuffle the corpus per
+    source pair.  Same deterministic estimator as `kmv_overlap`, so
+    the ESTIMATES hash-match the oracle replay."""
+    from streamkit_spark.functions.sketch import kmv_overlap
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(TX.word_ngrams(F.col("text"), 3)).alias("sh3")
+    )
+    return kmv_overlap(sh, "sh3", "source", k=256)
+
+
+def q_attribution_linear(spark, sf_dir):
+    """Equal-credit multi-touch attribution of purchases to click/view
+    touches in the prior 3 days (operators/windows.linear_attribution):
+    per-conversion touch counts are exact, every credit is a rational
+    1/n, and the only float reduction is a fold over the
+    denominator-sorted (n, cnt) list — bounded by the distinct
+    denominator count, replayed exactly by the oracle's list_sum."""
+    from streamkit_spark.operators.windows import linear_attribution
+
+    ev = _ev(spark, sf_dir)
+    return linear_attribution(
+        ev,
+        "purchase",
+        ["click", "view"],
+        F.expr("ts div 1000000"),
+        window_ms=3 * 86400000,
+    )
+
+
+def q_zipf_shingles(spark, sf_dir):
+    """Log-log Zipf fit of the 3-gram shingle document-frequency
+    spectrum (text.zipf_fit over word_ngrams counts): rank is a total
+    order, all five ln-moments run as rank-sorted left folds (ln parity
+    engine↔oracle is the token_entropy precedent), closed form in one
+    fixed double op order.  The distributional complement of
+    `vocab_spectrum`'s frequency-of-frequencies."""
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(TX.word_ngrams(F.col("text"), 3)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    return TX.zipf_fit(counts)
+
+
+def q_weekday_seasonality(spark, sf_dir):
+    """Per-type weekday seasonality profile: each weekday's mean value
+    relative to the type's overall mean (index 1.0 = no seasonality).
+    Exact BIGINT counts + DECIMAL(18,2) sums; the two means and their
+    ratio are one fixed double expression from exact components.  The
+    per-(type, weekday) table is localCheckpoint'ed — it feeds both
+    itself and the per-type totals branch."""
+    ev = _ev(spark, sf_dir)
+    wd = ((F.expr("ts div 86400000000000") + 4) % 7).cast("long")
+    per = (
+        # ts guard: a NULL ts would create a NULL weekday group whose
+        # sort position diverges (Spark NULLS FIRST vs DuckDB NULLS
+        # LAST — the armed windowed-oracle divergence)
+        ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("event_type", wd.alias("weekday"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = per.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("tn"), F.sum("sv").alias("tsv")
+    )
+    mean_wd = F.col("sv").cast("double") / F.col("n").cast("double")
+    mean_all = F.col("tsv").cast("double") / F.col("tn").cast("double")
+    return (
+        per.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "weekday",
+            "n",
+            F.round(mean_wd, 4).alias("avg_value"),
+            F.round(mean_wd / mean_all, 4).alias("seasonality"),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-type CUSUM changepoint over daily value totals
+    (analytics.cusum_changepoint): exact decimal cumulative sums, one
+    fixed double deviation expression — bit-identical doubles on both
+    engines, so the (dev desc, day asc) argmax is stable."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.cusum_changepoint(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+    )
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Dedup impact per source — the pipeline readout behind "which
+    crawl is polluting the corpus?": fraction of each source's docs
+    that belong to ANY near-dup cluster (minhash LSH pairs →
+    duplicate_clusters connected components, the dedup_clusters
+    machinery).  Exact integer counts; one double division at the
+    end."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    cl = D.duplicate_clusters(pairs)
+    flagged = docs.join(
+        cl.select("doc_id", F.lit(1).alias("__dup")), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2603,6 +2869,18 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_mixture": q_apply_mixture,
         "funnel_timing": q_funnel_timing,
         "hll_daily_range": q_hll_daily_range,
+        "spearman_corr": q_spearman_corr,
+        "chi2_weekday": q_chi2_weekday,
+        "mad_outliers": q_mad_outliers,
+        "kcore_knn": q_kcore_knn,
+        "cube_revenue": q_cube_revenue,
+        "value_trend": q_value_trend,
+        "source_ngram_overlap": q_source_ngram_overlap,
+        "attribution_linear": q_attribution_linear,
+        "zipf_shingles": q_zipf_shingles,
+        "weekday_seasonality": q_weekday_seasonality,
+        "cusum_changepoint": q_cusum_changepoint,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -5703,5 +5981,467 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(kk - 1 AS DOUBLE) / uk END), 4) + 0
                  AS inter_est
         FROM st ORDER BY g_a, g_b
+    """
+    # Spearman: doubled fractional ranks are exact integers; moments are
+    # BIGINT; the n·Σ combination needs HUGEINT (mirrors DECIMAL(38,0)).
+    sql["spearman_corr"] = """
+        WITH base AS (
+            SELECT l_returnflag AS grp, l_quantity AS x, l_extendedprice AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ), ranked AS (
+            SELECT grp,
+                   CAST(2 * rank() OVER (PARTITION BY grp ORDER BY x)
+                        + count(*) OVER (PARTITION BY grp, x) - 1
+                        AS BIGINT) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY grp ORDER BY y)
+                        + count(*) OVER (PARTITION BY grp, y) - 1
+                        AS BIGINT) AS ry
+            FROM base
+        ), m AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS sx,
+                   CAST(sum(ry) AS BIGINT) AS sy,
+                   CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                   CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                   CAST(sum(ry * ry) AS BIGINT) AS syy
+            FROM ranked GROUP BY grp
+        )
+        SELECT grp AS l_returnflag, n,
+               round(CASE WHEN CAST(n AS HUGEINT) * sxx
+                               - CAST(sx AS HUGEINT) * sx > 0
+                           AND CAST(n AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy > 0
+                     THEN CAST(CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                          / sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                                      - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                                 * CAST(CAST(n AS HUGEINT) * syy
+                                        - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                     END, 4) + 0 AS spearman_rho
+        FROM m ORDER BY l_returnflag
+    """
+    # Chi-squared: exact BIGINT contingency table; the only float
+    # reduction replays as list_sum over the (r, c)-sorted term list.
+    sql["chi2_weekday"] = """
+        WITH base AS (
+            SELECT event_type AS r,
+                   (epoch_ms(ts) // 86400000 + 4) % 7 AS c
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY r, c
+        ), rt AS (
+            SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r
+        ), ct AS (
+            SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS tn FROM cells
+        ), terms AS (
+            SELECT cells.r, cells.c, o,
+                   (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tn AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tn AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(tn AS DOUBLE)) AS t
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        )
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+               CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                    AS BIGINT) AS dof,
+               round(list_sum(list(t ORDER BY r, c)), 4) + 0 AS chi2
+        FROM terms
+    """
+    # MAD: both medians are exact order statistics (row_number selects
+    # the one/two middle rows — depends only on the sorted multiset).
+    sql["mad_outliers"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE value IS NOT NULL
+        ), r1 AS (
+            SELECT grp, v,
+                   row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY grp) AS n
+            FROM base
+        ), med AS (
+            SELECT grp, avg(v) AS med FROM r1
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY grp
+        ), devs AS (
+            SELECT base.grp, abs(base.v - med.med) AS dev, med.med
+            FROM base JOIN med USING (grp)
+        ), r2 AS (
+            SELECT grp, dev,
+                   row_number() OVER (PARTITION BY grp ORDER BY dev) AS rn,
+                   count(*) OVER (PARTITION BY grp) AS n
+            FROM devs
+        ), mad AS (
+            SELECT grp, avg(dev) AS mad FROM r2
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY grp
+        )
+        SELECT devs.grp AS event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(devs.med), 4) + 0 AS median,
+               round(min(mad.mad), 4) + 0 AS mad,
+               CAST(sum(CASE WHEN devs.dev > CAST(3 AS DOUBLE) * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM devs JOIN mad USING (grp)
+        GROUP BY devs.grp ORDER BY event_type
+    """
+    # k-core: recursive-CTE replay of simultaneous peeling — the alive
+    # set and the edge list ride along as row columns (lambdas cannot
+    # contain subqueries); the fixpoint is round-count independent.
+    sql["kcore_knn"] = """
+        WITH RECURSIVE v AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   round(list_sum(list_apply(list_zip(q.e, c.e),
+                                             p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_apply(q.e, x -> x * x)))
+                            * sqrt(list_sum(list_apply(c.e, x -> x * x)))), 4)
+                       AS cos
+            FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        ), edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst, row_number() OVER (PARTITION BY src
+                                             ORDER BY cos DESC, dst) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        ), und AS (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges GROUP BY 1, 2 HAVING count(*) = 2
+        ), nodes AS (
+            -- NOT a bare UNION: inside WITH RECURSIVE, DuckDB executed
+            -- the bare two-branch UNION as UNION ALL (measured: 2x the
+            -- node count) — dedup explicitly.
+            SELECT DISTINCT nv FROM (
+                SELECT a AS nv FROM und UNION ALL SELECT b AS nv FROM und)
+        ), peel(r, alive, es) AS (
+            SELECT 0,
+                   (SELECT list(nv ORDER BY nv) FROM nodes),
+                   (SELECT list(struct_pack(a := a, b := b) ORDER BY a, b)
+                    FROM und)
+            UNION ALL
+            SELECT r + 1, alive2, es FROM (
+                SELECT r, es, alive,
+                       list_filter(alive, vv -> len(list_filter(es,
+                           e -> list_contains(alive, e.a)
+                                AND list_contains(alive, e.b)
+                                AND (e.a = vv OR e.b = vv))) >= 3) AS alive2
+                FROM peel) s
+            WHERE alive2 <> alive AND r < 100
+        ), fin AS (
+            SELECT alive, es FROM peel ORDER BY r DESC LIMIT 1
+        )
+        SELECT vv AS v,
+               CAST(len(list_filter(es,
+                        e -> list_contains(alive, e.a)
+                             AND list_contains(alive, e.b)
+                             AND (e.a = vv OR e.b = vv))) AS BIGINT) AS d
+        FROM (SELECT unnest(alive) AS vv, alive, es FROM fin)
+        ORDER BY v
+    """
+    # CUBE: all four grouping sets in one aggregate; gid via NULL-marker
+    # CASE (the dimension columns are never natively NULL).
+    sql["cube_revenue"] = """
+        WITH base AS (
+            SELECT n_name, year(o_orderdate) AS o_year,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(CAST(o_year AS VARCHAR), 'ALL') AS o_year,
+               CAST(2 * (CASE WHEN n_name IS NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_year IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(p) AS DOUBLE), 4) AS revenue
+        FROM base
+        GROUP BY CUBE (n_name, o_year)
+        ORDER BY gid, nation, o_year
+    """
+    # OLS trend: exact BIGINT/DECIMAL moments; the double combination
+    # mirrors the engine's op order term for term.
+    sql["value_trend"] = """
+        WITH base AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), m AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   sum(y) AS sy,
+                   sum(y * y) AS syy,
+                   sum(CAST(x AS DECIMAL(10,0)) * y) AS sxy
+            FROM base GROUP BY grp
+        ), d AS (
+            SELECT grp, n,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+                   CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+                   CAST(n AS DOUBLE) AS n_d
+            FROM m
+        )
+        SELECT grp AS event_type, n,
+               round(CASE WHEN den > 0 THEN num / den END, 4) + 0 AS slope,
+               round(CASE WHEN den > 0
+                     THEN (sy_d - (num / den) * sx_d) / n_d END, 4) + 0
+                 AS intercept,
+               round(CASE WHEN den > 0 AND deny > 0
+                     THEN num * num / (den * deny) END, 4) + 0 AS r2
+        FROM d ORDER BY event_type
+    """
+    # Cross-source shingle overlap: the kmv_overlap estimator verbatim,
+    # fed 3-gram shingles instead of (user, day) activity values.
+    sql["source_ngram_overlap"] = f"""
+        WITH toks AS (
+            SELECT source, list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS w
+            FROM documents
+        ), shv AS (
+            SELECT DISTINCT source AS g,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS v
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), dv AS (
+            SELECT DISTINCT g, md5('kmv:' || v) AS h FROM shv
+        ), sk AS (
+            SELECT g, h,
+                   CAST(({_kmv_x}) AS DOUBLE)
+                     / CAST(1152921504606846976 AS DOUBLE) AS u
+            FROM (SELECT g, h,
+                         row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM dv)
+            WHERE rn <= 256
+        ), gl AS (
+            SELECT DISTINCT g FROM sk
+        ), pr AS (
+            SELECT a.g AS g_a, b.g AS g_b FROM gl a JOIN gl b ON a.g < b.g
+        ), un AS (
+            SELECT pr.g_a, pr.g_b, s.h, s.u, TRUE AS in_a, FALSE AS in_b
+            FROM pr JOIN sk s ON s.g = pr.g_a
+            UNION ALL
+            SELECT pr.g_a, pr.g_b, s.h, s.u, FALSE, TRUE
+            FROM pr JOIN sk s ON s.g = pr.g_b
+        ), m AS (
+            SELECT g_a, g_b, h, bool_or(in_a) AS in_a, bool_or(in_b) AS in_b,
+                   min(u) AS u
+            FROM un GROUP BY 1, 2, 3
+        ), x AS (
+            SELECT * FROM (
+                SELECT m.*, row_number() OVER (PARTITION BY g_a, g_b
+                                               ORDER BY h) AS rn FROM m)
+            WHERE rn <= 256
+        ), st AS (
+            SELECT g_a, g_b, count(*) AS kk,
+                   sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS mt,
+                   max(u) AS uk
+            FROM x GROUP BY 1, 2
+        )
+        SELECT g_a, g_b,
+               round(CAST(mt AS DOUBLE) / CAST(kk AS DOUBLE), 4) + 0
+                 AS jaccard_est,
+               round(CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                          ELSE CAST(kk - 1 AS DOUBLE) / uk END, 4) + 0
+                 AS union_est,
+               round((CAST(mt AS DOUBLE) / CAST(kk AS DOUBLE))
+                     * (CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                             ELSE CAST(kk - 1 AS DOUBLE) / uk END), 4) + 0
+                 AS inter_est
+        FROM st ORDER BY g_a, g_b
+    """
+    # Linear attribution: credits are rationals 1/n; the float reduction
+    # is a fold over the denominator-sorted (n, cnt) list.
+    sql["attribution_linear"] = """
+        WITH convs AS (
+            SELECT user_id AS k, event_id AS pid, epoch_ms(ts) AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), touches AS (
+            SELECT user_id AS k, event_id AS tid, event_type AS ttype,
+                   epoch_ms(ts) AS tts
+            FROM events WHERE event_type IN ('click', 'view')
+        ), j AS (
+            SELECT c.pid, t.tid, t.ttype
+            FROM convs c LEFT JOIN touches t
+              ON c.k = t.k AND t.tts < c.pts
+                 AND t.tts >= c.pts - 259200000
+        ), pr AS (
+            SELECT coalesce(ttype, '(direct)') AS channel,
+                   CAST(count(tid) OVER (PARTITION BY pid) AS BIGINT) AS n
+            FROM j
+        ), bd AS (
+            SELECT channel, n, CAST(count(*) AS BIGINT) AS cnt
+            FROM pr GROUP BY 1, 2
+        ), tm AS (
+            SELECT channel, n, cnt,
+                   CASE WHEN n = 0 THEN CAST(cnt AS DOUBLE)
+                        ELSE CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS t
+            FROM bd
+        )
+        SELECT channel AS event_type,
+               CAST(sum(cnt) AS BIGINT) AS n_events,
+               round(list_sum(list(t ORDER BY n)), 4) + 0 AS credit
+        FROM tm GROUP BY channel ORDER BY event_type
+    """
+    # Zipf fit: every ln-moment is a rank-sorted left fold; the closed
+    # form mirrors the engine's op order term for term.
+    sql["zipf_shingles"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), counts AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM sh GROUP BY tok
+        ), ranked AS (
+            SELECT row_number() OVER (ORDER BY freq DESC, tok) AS r,
+                   freq AS c
+            FROM counts
+        ), lns AS (
+            SELECT r, c, ln(CAST(r AS DOUBLE)) AS lx,
+                   ln(CAST(c AS DOUBLE)) AS ly
+            FROM ranked
+        ), mo AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   list_sum(list(lx ORDER BY r)) AS slx,
+                   list_sum(list(ly ORDER BY r)) AS sly,
+                   list_sum(list(lx * lx ORDER BY r)) AS slxx,
+                   list_sum(list(lx * ly ORDER BY r)) AS slxy,
+                   list_sum(list(ly * ly ORDER BY r)) AS slyy
+            FROM lns
+        )
+        SELECT n_types, n_tokens,
+               round(CASE WHEN CAST(n_types AS DOUBLE) * slxx - slx * slx > 0
+                     THEN (CAST(n_types AS DOUBLE) * slxy - slx * sly)
+                          / (CAST(n_types AS DOUBLE) * slxx - slx * slx)
+                     END, 4) + 0 AS zipf_slope,
+               round(CASE WHEN CAST(n_types AS DOUBLE) * slxx - slx * slx > 0
+                           AND CAST(n_types AS DOUBLE) * slyy - sly * sly > 0
+                     THEN (CAST(n_types AS DOUBLE) * slxy - slx * sly)
+                          * (CAST(n_types AS DOUBLE) * slxy - slx * sly)
+                          / ((CAST(n_types AS DOUBLE) * slxx - slx * slx)
+                             * (CAST(n_types AS DOUBLE) * slyy - sly * sly))
+                     END, 4) + 0 AS r2
+        FROM mo
+    """
+    # Weekday seasonality: exact counts + decimal sums; ratio of two
+    # exact-component means in one fixed double expression.
+    sql["weekday_seasonality"] = """
+        WITH per AS (
+            SELECT event_type,
+                   (epoch_ms(ts) // 86400000 + 4) % 7 AS weekday,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+                   sum(sv) AS tsv
+            FROM per GROUP BY 1
+        )
+        SELECT per.event_type, weekday, n,
+               round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0
+                 AS avg_value,
+               round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(tsv AS DOUBLE) / CAST(tn AS DOUBLE)), 4) + 0
+                 AS seasonality
+        FROM per JOIN tot USING (event_type)
+        ORDER BY event_type, weekday
+    """
+    # CUSUM: decimal cumsum is exact; the deviation doubles are
+    # bit-identical, so the argmax ordering replays exactly.
+    sql["cusum_changepoint"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sv
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT grp, day,
+                   CAST(row_number() OVER (PARTITION BY grp ORDER BY day)
+                        AS BIGINT) AS t,
+                   sum(sv) OVER (PARTITION BY grp ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS s
+            FROM daily
+        ), tot AS (
+            SELECT grp, sum(sv) AS sn, CAST(count(*) AS BIGINT) AS n
+            FROM daily GROUP BY 1
+        ), ranked AS (
+            SELECT cum.grp, day, n,
+                   abs(CAST(s AS DOUBLE)
+                       - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                         * CAST(sn AS DOUBLE)) AS dev,
+                   row_number() OVER (
+                       PARTITION BY cum.grp
+                       ORDER BY abs(CAST(s AS DOUBLE)
+                                    - (CAST(t AS DOUBLE) / CAST(n AS DOUBLE))
+                                      * CAST(sn AS DOUBLE)) DESC,
+                                day ASC) AS rn
+            FROM cum JOIN tot USING (grp)
+        )
+        SELECT grp AS event_type, n AS n_days, day AS cp_day,
+               round(dev, 4) + 0 AS max_dev
+        FROM ranked WHERE rn = 1 ORDER BY event_type
+    """
+    # Dedup impact per source: the dedup_clusters transitive closure,
+    # rolled up to source level.
+    sql["dup_rate_by_source"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM jp
+            UNION
+            SELECT id_b, id_a FROM jp
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+        ), cl AS (
+            SELECT id AS doc_id FROM reach GROUP BY 1
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               round(CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0
+                                   END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 4) + 0 AS dup_rate
+        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        GROUP BY d.source ORDER BY d.source
     """
     return sql

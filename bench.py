@@ -77,6 +77,10 @@ HEADLINE = [
     "cms_user_counts",
     "mixture_plan",
     "funnel_timing",
+    # round 5, fifth session: robust/categorical stats + iterative graph
+    "spearman_corr",
+    "kcore_knn",
+    "cube_revenue",
 ]
 
 

@@ -36,6 +36,11 @@ __all__ = [
     "user_accumulation",
     "accumulate_first_days",
     "ewma_smooth",
+    "spearman_by_group",
+    "chi2_independence",
+    "mad_outliers",
+    "ols_trend",
+    "cusum_changepoint",
 ]
 
 
@@ -844,4 +849,401 @@ def frequent_sequences(
         )
         .orderBy(F.col("n_occurrences").desc(), "sequence")
         .limit(k)
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of two columns — the robust
+    (monotone-invariant) complement to ``F.corr``'s Pearson: does y tend
+    to increase with x at all, outliers be damned?
+
+    Determinism contract: ties get the standard fractional (average)
+    rank, carried as the DOUBLED rank ``2·rank + ties − 1`` so every
+    rank is an exact integer; the five Pearson moments over those
+    integer ranks aggregate exactly (BIGINT partials — the largest,
+    Σ(2r)², is ≤ 4n³, safe to n ≈ 1.3M rows/group), and the final
+    combination n·Σxy − Σx·Σy runs in DECIMAL(38,0) (HUGEINT on the
+    oracle side) because it exceeds int64 beyond n ≈ 60k.  Only the
+    last divide/sqrt is floating point, identical op order on both
+    engines.  rho is NULL when either rank variance is 0 (a constant
+    column has no ordering to correlate).
+
+    Scale: two rank windows partitioned by group (one exchange on the
+    group key — skewed groups are a repartition-by-(group, range)
+    problem upstream, same as any windowed rank), then a plain
+    map-side-combined aggregate.  No collect, no self-join.
+    """
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    ranked = base.select(
+        "grp",
+        (
+            2 * F.rank().over(Window.partitionBy("grp").orderBy("x"))
+            + F.count("*").over(Window.partitionBy("grp", "x"))
+            - 1
+        ).cast("long").alias("rx"),
+        (
+            2 * F.rank().over(Window.partitionBy("grp").orderBy("y"))
+            + F.count("*").over(Window.partitionBy("grp", "y"))
+            - 1
+        ).cast("long").alias("ry"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    n_d = F.col("n").cast(dec)
+    num = n_d * F.col("sxy").cast(dec) - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    dx = n_d * F.col("sxx").cast(dec) - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    dy = n_d * F.col("syy").cast(dec) - F.col("sy").cast(dec) * F.col("sy").cast(dec)
+    rho = F.when(
+        (dx > 0) & (dy > 0),
+        num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(rho, round_digits).alias("spearman_rho"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns: one row ``(n, n_rows, n_cols, dof, chi2)``.  The classic
+    A/B readout for categorical outcomes (does conversion depend on
+    variant?), complementing :func:`ab_test_report`'s Welch z on means.
+
+    Determinism contract: observed counts and marginals are exact
+    BIGINTs; each cell's (o−e)²/e term is computed in double with ONE
+    fixed expression shape, and the cross-cell sum — the only
+    order-sensitive float reduction — runs as a left fold over the
+    (row, col)-sorted cell list (the repo's array_sort+aggregate
+    pattern; the oracle's ``list_sum(list(... ORDER BY))`` replays it
+    bit-for-bit).  No p-value: a chi2 CDF needs the incomplete gamma,
+    which neither engine exposes deterministically — report (chi2, dof)
+    and let the caller look up the critical value.
+
+    Scale: the fold state is the contingency table itself, bounded by
+    |distinct rows|·|distinct cols| — this operator is for categorical
+    columns (variants, types, buckets), not identifiers; the input scan
+    is a single map-side-combined count.
+    """
+    cells = (
+        df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count("*").cast("long").alias("o"))
+        # cells feeds FOUR branches (itself + both marginals + the
+        # total); without the checkpoint Catalyst re-plans the corpus
+        # scan + count per branch (the derived-table self-join hazard —
+        # AQE exchange reuse is not guaranteed).  The table is
+        # contingency-sized, so materializing it is free.
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("long").alias("tn"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("tn").cast("double")
+    )
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    )
+    j = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select("r", "c", "o", term.alias("t"))
+    )
+    return j.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("c").cast("long").alias("n_cols"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+        # NULL (not 0.0) on zero cells: the SQL mirror's list() over an
+        # empty input is NULL, and the empty test has no statistic.
+        F.when(
+            F.count("*") > 0,
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("r", "c", "t"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["t"],
+                ),
+                round_digits,
+            ),
+        ).alias("chi2"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression of y on x — the trend readout
+    (slope per day, drift per sequence number) behind every "is this
+    metric going up?" dashboard: ``(group, n, slope, intercept, r2)``.
+
+    Determinism contract (the ab_test_report discipline): the six
+    moments are EXACT — x is an integer column so Σx/Σx² are BIGINTs;
+    y rides DECIMAL(18,2), so Σy/Σy²/Σxy are exact decimals under any
+    partial-aggregation order.  The closed-form combination
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) then runs in double from
+    those exact components with one fixed op order on both engines.
+    slope/intercept are NULL when x is constant (den ≤ 0); r2 is NULL
+    when either variance term is ≤ 0 (exact moments can still cancel
+    to a tiny negative double — guard BEFORE the divide).
+
+    Scale: one map-side-combined aggregate; group-count-sized output.
+    The intercept is at x = 0 (not centered) — pass an already-anchored
+    x (e.g. days since the window start) if you need an interpretable
+    intercept.
+    """
+    # |x| must fit DECIMAL(10,0) (the sxy product's exactness bound) —
+    # under non-ANSI Spark an overflowing cast silently NULLs, and
+    # F.sum would then drop only the wide rows while n/sx keep them: a
+    # WRONG slope, not a NULL one.  Fail loudly instead: pass an
+    # anchored index (days since window start), never raw epoch-ms.
+    x_checked = F.when(
+        F.abs(F.col(x_col).cast("long")) <= 9_999_999_999,
+        F.col(x_col).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ols_trend: |x| exceeds the DECIMAL(10,0) exactness bound"
+                " — anchor the axis (e.g. days since epoch), do not pass"
+                " raw epoch-ms/ns"
+            )
+        ).cast("long")
+    )
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        x_checked.alias("x"),
+        F.col(y_col).cast("decimal(18,2)").alias("y"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        # x as DECIMAL(10,0): 10+18+1 = 29-digit product stays exact under
+        # the 38-digit cap (a wider x cast would trigger Spark's
+        # precision-loss scale truncation); day/sequence indexes fit.
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    deny = n_d * syy_d - sy_d * sy_d
+    slope = F.when(den > 0, num / den)
+    intercept = F.when(den > 0, (sy_d - (num / den) * sx_d) / n_d)
+    r2 = F.when((den > 0) & (deny > 0), num * num / (den * deny))
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(slope, round_digits).alias("slope"),
+            F.round(intercept, round_digits).alias("intercept"),
+            F.round(r2, round_digits).alias("r2"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group robust outlier report via the median absolute deviation:
+    ``(group, n, median, mad, n_outliers)`` where an outlier is
+    |x − median| > k·mad.  The order-statistic sibling of
+    :func:`iqr_outliers` that survives the approx-percentile value-error
+    trap (see the quantile_report contract): both medians here are EXACT
+    order statistics — row_number over the value sort picks the one or
+    two middle rows, so the result depends only on the sorted multiset,
+    never on tie order or aggregation order.
+
+    Scale: two rank windows partitioned by group (the exact-median cost;
+    at 100 TB with millions of rows per group you'd swap in the GK
+    sketch and loosen the contract — this operator is the exact gate for
+    group sizes that fit a partition, i.e. up to tens of millions), plus
+    two broadcast joins of the per-group scalars.  k enters the flag
+    comparison unrounded; rounding applies to the REPORTED median/mad
+    only.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("v")
+    )
+
+    def _exact_median(t: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = t.select(
+            "grp",
+            F.col(col),
+            F.row_number()
+            .over(Window.partitionBy("grp").orderBy(col))
+            .alias("__rn"),
+            F.count("*").over(Window.partitionBy("grp")).alias("__n"),
+        )
+        return (
+            ranked.filter(
+                (F.col("__rn") == F.expr("(__n + 1) div 2"))
+                | (F.col("__rn") == F.expr("(__n + 2) div 2"))
+            )
+            .groupBy("grp")
+            .agg(F.avg(col).alias(out))
+        )
+
+    # Both medians are group-count-sized scalars; localCheckpoint them
+    # so their full-corpus rank-window pipelines run ONCE each — devs
+    # feeds two branches (mad + flagged) and without the checkpoints
+    # Catalyst re-plans med's window under both (the derived-table
+    # re-planning hazard).  base itself is re-scanned (a cheap columnar
+    # scan), but no window sort ever runs twice.
+    med = _exact_median(base, "v", "med").localCheckpoint(eager=False)
+    devs = base.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = _exact_median(devs.select("grp", "dev"), "dev", "mad").localCheckpoint(
+        eager=False
+    )
+    flagged = devs.join(F.broadcast(mad), "grp")
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.first("med"), round_digits).alias("median"),
+            F.round(F.first("mad"), round_digits).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(float(k)).cast("double") * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n", "median", "mad", "n_outliers"
+        )
+        .orderBy(group_col)
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group CUSUM changepoint over daily totals: the day t that
+    maximizes |S_t − (t/N)·S_N| (the classic offline single-changepoint
+    statistic — the cumulative sum's largest excursion from the
+    constant-mean diagonal).  One row per group:
+    ``(group, n_days, cp_day, max_dev)`` — "when did this metric's
+    level shift?".
+
+    Determinism contract: daily totals and their running cumulative sum
+    ride DECIMAL(18,2) (window cumsum over decimals is exact whatever
+    the partial order); the deviation is ONE fixed double expression
+    from those exact components, so the doubles are bit-identical on
+    both engines and the (dev desc, day asc) argmax cannot flip.
+
+    Scale: one map-side-combined (group, day) aggregate, then windows
+    over the DAILY table (groups × days rows, not events).  The daily
+    table is localCheckpoint'ed — it feeds the cumsum and the totals
+    branch, and re-planning the corpus scan per branch is the repo's
+    documented hazard.
+    """
+    daily = (
+        # the group filter is explicit (not an accident of the
+        # cum⋈tot equi-join dropping NULL keys): a NULL group has no
+        # changepoint row, same contract as the day/value filters
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(day_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(day_col).alias("day")
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sv"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    cum = daily.select(
+        "grp",
+        "day",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("sv").over(w).alias("s"),
+    )
+    tot = daily.groupBy("grp").agg(
+        F.sum("sv").alias("sn"), F.count("*").cast("long").alias("n")
+    )
+    dev = F.abs(
+        F.col("s").cast("double")
+        - (F.col("t").cast("double") / F.col("n").cast("double"))
+        * F.col("sn").cast("double")
+    )
+    ranked = (
+        cum.join(F.broadcast(tot), "grp")
+        .select("grp", "day", "n", dev.alias("dev"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(
+                    F.col("dev").desc(), F.col("day").asc()
+                )
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_days"),
+            F.col("day").alias("cp_day"),
+            F.round(F.col("dev"), round_digits).alias("max_dev"),
+        )
+        .orderBy(group_col)
     )

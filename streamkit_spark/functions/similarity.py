@@ -1425,6 +1425,74 @@ def triangle_count(
     )
 
 
+# ------------------------------------------------------------------- k-core
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph induced by an edge list:
+    the maximal subgraph in which every node has degree ≥ k (Seidman
+    '83), computed by simultaneous peeling — each round removes ALL
+    nodes whose degree in the surviving subgraph is < k, until a
+    fixpoint.  Returns ``(v, d)`` — the surviving nodes with their
+    in-core degree — the standard prune before community/cluster work
+    (k-core ⊇ every (k+1)-clique, so it's the cheap candidate filter
+    for dense-substructure mining over the kNN graph).
+
+    Determinism contract: the fixpoint of simultaneous peeling is the
+    unique k-core whatever the round count, so the engine's
+    early-exit loop and an oracle that replays rounds to ITS fixpoint
+    agree exactly — no round-count coupling needed (peeling is
+    monotone: extra rounds past the fixpoint are no-ops).
+
+    Scale: each round is one degree aggregate + two anti-joins on the
+    surviving edge set, localCheckpoint'ed to truncate lineage (the
+    connected-components discipline, dedup.duplicate_clusters).  Round
+    count is bounded by the degeneracy ordering's depth — small for
+    real graphs (power-law web/kNN graphs peel in a handful of rounds);
+    ``max_rounds`` is a tripwire against pathological chains, not a
+    budget.  No driver collect: per-round convergence is a count().
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    alive = und
+    for _ in range(max_rounds):
+        deg = (
+            alive.select(F.col("a").alias("v"))
+            .unionAll(alive.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        drop = deg.filter(F.col("d") < k).select("v").localCheckpoint(eager=False)
+        if drop.count() == 0:
+            break
+        alive = (
+            alive.join(drop.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(drop.withColumnRenamed("v", "b"), "b", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:
+        raise ValueError(
+            f"k_core did not converge within {max_rounds} rounds"
+        )
+    return (
+        alive.select(F.col("a").alias("v"))
+        .unionAll(alive.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+        .orderBy("v")
+    )
+
+
 # ---------------------------------------------------------- label propagation
 
 def label_propagation(

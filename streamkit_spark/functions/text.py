@@ -8,7 +8,7 @@ around; on 100 TB these run as map-only stages with zero shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small multilingual stopword lists for the n-gram/stopword language
@@ -449,4 +449,74 @@ def token_entropy(
             ).alias("entropy"),
         )
         .orderBy(group_col)
+    )
+
+
+def zipf_fit(
+    counts: DataFrame,
+    token_col: str = "tok",
+    count_col: str = "freq",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Log-log Zipf fit of a (token, frequency) table: OLS of ln(freq)
+    on ln(rank) — one row ``(n_types, n_tokens, zipf_slope, r2)``.  A
+    natural corpus should fit slope ≈ −1 with high r²; a synthetic or
+    template-heavy corpus flattens — the distributional sibling of the
+    frequency-of-frequencies ``vocab_spectrum`` diagnostic (Gopher-style
+    corpus quality reports plot exactly this line).
+
+    Determinism contract: rank is a total order (count desc, token asc);
+    ln values are doubles, so EVERY moment sum is an order-sensitive
+    float reduction — all five run as left folds over the rank-sorted
+    list (ln itself is parity-proven engine↔oracle by token_entropy).
+    The closed form then follows :func:`analytics.ols_trend`'s fixed op
+    order.
+
+    Scale: the input is a vocabulary table, not the corpus — the global
+    rank window and the collected fold list are vocabulary-sized (the
+    token_entropy group-state contract).  Compute ``counts`` with a
+    map-side-combined groupBy upstream; this finisher never sees the
+    corpus."""
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.col(count_col).desc(), token_col))
+        .cast("long")
+        .alias("r"),
+        F.col(count_col).cast("long").alias("c"),
+    ).select(
+        "r",
+        "c",
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("r", "lx", "ly")))
+    zero = F.lit(0.0).cast("double")
+
+    def fold(field: str) -> Column:
+        return F.aggregate(arr, zero, lambda acc, x: acc + x[field])
+
+    def fold2(fa: str, fb: str) -> Column:
+        return F.aggregate(arr, zero, lambda acc, x: acc + x[fa] * x[fb])
+
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        fold("lx").alias("slx"),
+        fold("ly").alias("sly"),
+        fold2("lx", "lx").alias("slxx"),
+        fold2("lx", "ly").alias("slxy"),
+        fold2("ly", "ly").alias("slyy"),
+    )
+    n_d = F.col("n_types").cast("double")
+    num = n_d * F.col("slxy") - F.col("slx") * F.col("sly")
+    den = n_d * F.col("slxx") - F.col("slx") * F.col("slx")
+    deny = n_d * F.col("slyy") - F.col("sly") * F.col("sly")
+    return stats.select(
+        "n_types",
+        "n_tokens",
+        F.round(F.when(den > 0, num / den), round_digits).alias("zipf_slope"),
+        F.round(
+            F.when((den > 0) & (deny > 0), num * num / (den * deny)),
+            round_digits,
+        ).alias("r2"),
     )

@@ -223,3 +223,87 @@ def funnel_timing(
             "max_ms",
         )
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_step: str,
+    touch_steps: list[str] | tuple[str, ...],
+    ts_ms: Column,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    window_ms: int = 3 * 86400000,
+) -> DataFrame:
+    """Equal-credit (linear) multi-touch attribution: every touch event
+    of the same key in the ``window_ms`` before a conversion shares the
+    conversion's credit equally (1/n each); conversions with no
+    preceding touch credit a synthetic ``(direct)`` channel.  Output:
+    ``(event_type, n_events, credit)`` per attributed channel — the
+    marketing-standard alternative to last-touch (which
+    :func:`streamkit_spark.operators.asof.as_of_join` answers).
+
+    Determinism contract: per-conversion touch counts are exact
+    integers, so every credit is a rational 1/n — the float work
+    reduces to Σ cnt(n)/n per channel, a fold over the
+    denominator-sorted (n, cnt) list.  That list is bounded by the
+    DISTINCT DENOMINATOR count (max touches one key fits in the
+    window), not the event count, so the fold state stays tiny at any
+    corpus size and the oracle's ``list_sum(list(term ORDER BY n))``
+    replays it exactly.
+
+    Scale: one key-equi range join (conversions ⋈ touches co-partition
+    on the key; the window predicate prunes within the key's rows) +
+    one count window partitioned by conversion id + two bounded
+    aggregates.  ``ts_ms`` is required, same unit contract as
+    :func:`funnel_timing` — pass ``F.expr("ts div 1000000")`` for
+    engine tables."""
+    ts = ts_ms
+    convs = df.filter(F.col(type_col) == conversion_step).select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__pid"),
+        ts.alias("__pts"),
+    )
+    touches = df.filter(F.col(type_col).isin(list(touch_steps))).select(
+        F.col(key).alias("__k"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("__ttype"),
+        ts.alias("__tts"),
+    )
+    j = convs.join(
+        touches,
+        [
+            convs["__k"] == touches["__k"],
+            touches["__tts"] < convs["__pts"],
+            touches["__tts"] >= convs["__pts"] - F.lit(int(window_ms)),
+        ],
+        "left",
+    ).select("__pid", "__tid", "__ttype")
+    n_w = Window.partitionBy("__pid")
+    per_row = j.select(
+        F.coalesce(F.col("__ttype"), F.lit("(direct)")).alias("channel"),
+        F.count("__tid").over(n_w).cast("long").alias("n"),
+    )
+    by_denom = per_row.groupBy("channel", "n").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    term = F.when(
+        F.col("n") == 0, F.col("cnt").cast("double")
+    ).otherwise(F.col("cnt").cast("double") / F.col("n").cast("double"))
+    return (
+        by_denom.select("channel", "n", term.alias("t"), "cnt")
+        .groupBy("channel")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("n", "t"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["t"],
+                ),
+                4,
+            ).alias("credit"),
+        )
+        .select(F.col("channel").alias(type_col), "n_events", "credit")
+        .orderBy(type_col)
+    )

@@ -1,0 +1,340 @@
+"""Unit tests for the robust/categorical statistics block and k-core:
+spearman_by_group (fractional ranks, exact moments), chi2_independence
+(fold determinism vs a python reference), mad_outliers (exact medians),
+similarity.k_core (python peel reference + degree invariant)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from streamkit_spark.functions.analytics import (
+    chi2_independence,
+    cusum_changepoint,
+    mad_outliers,
+    ols_trend,
+    spearman_by_group,
+)
+from streamkit_spark.functions.similarity import k_core
+
+
+def _spearman_ref(xs, ys):
+    """Textbook Spearman via fractional ranks + Pearson, in python."""
+
+    def fr(v):
+        s = sorted(v)
+        first = {}
+        cnt = defaultdict(int)
+        for i, x in enumerate(s):
+            cnt[x] += 1
+            if x not in first:
+                first[x] = i + 1
+        return [first[x] + (cnt[x] - 1) / 2.0 for x in v]
+
+    rx, ry = fr(xs), fr(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    if dx <= 0 or dy <= 0:
+        return None
+    return num / math.sqrt(dx * dy)
+
+
+class TestSpearman:
+    def test_monotone_is_one(self, spark):
+        rows = [("g", float(i), float(i * i)) for i in range(1, 20)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = spearman_by_group(df, "grp", "x", "y").collect()
+        assert out[0]["spearman_rho"] == 1.0
+        assert out[0]["n"] == 19
+
+    def test_reverse_is_minus_one(self, spark):
+        rows = [("g", float(i), float(-i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        assert (
+            spearman_by_group(df, "grp", "x", "y").collect()[0]["spearman_rho"]
+            == -1.0
+        )
+
+    def test_ties_match_reference(self, spark):
+        xs = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 5.0, 5.0, 6.0]
+        ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 4.0, 6.0, 7.0, 5.0]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in zip(xs, ys)],
+            "grp string, x double, y double",
+        )
+        got = spearman_by_group(df, "grp", "x", "y").collect()[0]["spearman_rho"]
+        assert got == pytest.approx(_spearman_ref(xs, ys), abs=1e-4)
+
+    def test_constant_column_is_null(self, spark):
+        rows = [("g", 1.0, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        assert (
+            spearman_by_group(df, "grp", "x", "y").collect()[0]["spearman_rho"]
+            is None
+        )
+
+    def test_groups_and_nulls(self, spark):
+        rows = [
+            ("a", 1.0, 1.0),
+            ("a", 2.0, 2.0),
+            ("a", 3.0, 3.0),
+            ("a", None, 9.0),
+            ("b", 1.0, 3.0),
+            ("b", 2.0, 2.0),
+            ("b", 3.0, 1.0),
+            ("b", 4.0, None),
+        ]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = {
+            r["grp"]: (r["n"], r["spearman_rho"])
+            for r in spearman_by_group(df, "grp", "x", "y").collect()
+        }
+        assert out == {"a": (3, 1.0), "b": (3, -1.0)}
+
+
+def _chi2_ref(pairs):
+    cells = defaultdict(int)
+    for r, c in pairs:
+        cells[(r, c)] += 1
+    rt = defaultdict(int)
+    ct = defaultdict(int)
+    for (r, c), o in cells.items():
+        rt[r] += o
+        ct[c] += o
+    n = sum(cells.values())
+    stat = 0.0
+    for (r, c) in sorted(cells):
+        o = cells[(r, c)]
+        e = rt[r] * ct[c] / n
+        stat += (o - e) ** 2 / e
+    return stat, (len(rt) - 1) * (len(ct) - 1), n
+
+
+class TestChi2:
+    def test_matches_reference(self, spark):
+        pairs = [
+            ("a", 0), ("a", 0), ("a", 1), ("a", 1), ("a", 1),
+            ("b", 0), ("b", 1), ("b", 1), ("b", 2), ("b", 2),
+            ("c", 0), ("c", 0), ("c", 0), ("c", 2),
+        ]
+        df = spark.createDataFrame(pairs, "r string, c long")
+        row = chi2_independence(df, "r", "c").collect()[0]
+        stat, dof, n = _chi2_ref(pairs)
+        assert row["n"] == n
+        assert row["dof"] == dof
+        assert row["n_rows"] == 3 and row["n_cols"] == 3
+        assert row["chi2"] == pytest.approx(stat, abs=1e-4)
+
+    def test_independent_uniform_is_zero(self, spark):
+        pairs = [(r, c) for r in ("x", "y") for c in (0, 1) for _ in range(5)]
+        df = spark.createDataFrame(pairs, "r string, c long")
+        row = chi2_independence(df, "r", "c").collect()[0]
+        assert row["chi2"] == 0.0
+        assert row["dof"] == 1
+
+    def test_nulls_excluded(self, spark):
+        pairs = [("a", 0), ("a", 1), (None, 0), ("b", None), ("b", 1)]
+        df = spark.createDataFrame(pairs, "r string, c long")
+        assert chi2_independence(df, "r", "c").collect()[0]["n"] == 3
+
+    def test_empty_input_null_statistic(self, spark):
+        # all rows filtered -> chi2 NULL (matches the SQL mirror, where
+        # list() over zero rows is NULL), never the fold's 0.0 init
+        df = spark.createDataFrame([(None, 1)], "r string, c long")
+        row = chi2_independence(df, "r", "c").collect()[0]
+        assert row["chi2"] is None
+        assert row["n"] is None
+
+
+class TestMadOutliers:
+    def test_known_values(self, spark):
+        # median 10, devs {0,1,1,2,90} -> mad 1; outlier: |100-10| > 3
+        vals = [8.0, 9.0, 10.0, 11.0, 100.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v double"
+        )
+        row = mad_outliers(df, "grp", "v", k=3.0).collect()[0]
+        assert row["median"] == 10.0
+        assert row["mad"] == 1.0
+        assert row["n_outliers"] == 1
+        assert row["n"] == 5
+
+    def test_even_count_interpolates(self, spark):
+        df = spark.createDataFrame(
+            [("g", v) for v in (1.0, 2.0, 3.0, 4.0)], "grp string, v double"
+        )
+        row = mad_outliers(df, "grp", "v").collect()[0]
+        assert row["median"] == 2.5
+        # devs: 1.5, 0.5, 0.5, 1.5 -> sorted 0.5 0.5 1.5 1.5 -> mad 1.0
+        assert row["mad"] == 1.0
+
+    def test_constant_group_zero_mad(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5.0)] * 4 + [("g", 6.0)], "grp string, v double"
+        )
+        row = mad_outliers(df, "grp", "v").collect()[0]
+        assert row["mad"] == 0.0
+        # mad 0 -> any deviation beats k*mad -> the single 6.0 flags
+        assert row["n_outliers"] == 1
+
+
+class TestOlsTrend:
+    def test_exact_line(self, spark):
+        # y = 2x + 1 exactly -> slope 2, intercept 1, r2 1
+        rows = [("g", i, 2.0 * i + 1.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "grp string, x long, y double")
+        r = ols_trend(df, "grp", "x", "y").collect()[0]
+        assert (r["slope"], r["intercept"], r["r2"]) == (2.0, 1.0, 1.0)
+        assert r["n"] == 10
+
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        xs = np.arange(50)
+        ys = np.round(3.5 * xs + 10 + rng.randn(50) * 5, 2)
+        df = spark.createDataFrame(
+            [("g", int(x), float(y)) for x, y in zip(xs, ys)],
+            "grp string, x long, y double",
+        )
+        r = ols_trend(df, "grp", "x", "y").collect()[0]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r["slope"] == pytest.approx(slope, abs=1e-3)
+        assert r["intercept"] == pytest.approx(intercept, abs=1e-3)
+        corr = np.corrcoef(xs, ys)[0, 1]
+        assert r["r2"] == pytest.approx(corr**2, abs=1e-3)
+
+    def test_constant_x_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5, float(i)) for i in range(4)],
+            "grp string, x long, y double",
+        )
+        r = ols_trend(df, "grp", "x", "y").collect()[0]
+        assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+    def test_wide_x_raises(self, spark):
+        # raw epoch-ms x would silently NULL the sxy decimal cast under
+        # non-ANSI Spark -> the guard must fail loudly instead
+        df = spark.createDataFrame(
+            [("g", 1_700_000_000_000 + i, float(i)) for i in range(3)],
+            "grp string, x long, y double",
+        )
+        with pytest.raises(Exception, match="ols_trend"):
+            ols_trend(df, "grp", "x", "y").collect()
+
+    def test_constant_y_zero_slope_null_r2(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, 7.0) for i in range(4)],
+            "grp string, x long, y double",
+        )
+        r = ols_trend(df, "grp", "x", "y").collect()[0]
+        assert r["slope"] == 0.0
+        assert r["r2"] is None
+
+
+class TestCusum:
+    def test_step_change_found(self, spark):
+        # level 10 for days 0-9, level 50 for days 10-19: the CUSUM
+        # excursion peaks at the last low day (day 9)
+        rows = [("g", d, 10.0) for d in range(10)] + [
+            ("g", d, 50.0) for d in range(10, 20)
+        ]
+        df = spark.createDataFrame(rows, "grp string, day long, v double")
+        r = cusum_changepoint(df, "grp", "day", "v").collect()[0]
+        assert r["cp_day"] == 9
+        assert r["n_days"] == 20
+        # S_10 = 100, expected 10/20 * 600 = 300 -> dev 200
+        assert r["max_dev"] == 200.0
+
+    def test_python_reference(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vals = [round(rng.uniform(0, 100), 2) for _ in range(30)]
+        rows = [("g", d, v) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "grp string, day long, v double")
+        r = cusum_changepoint(df, "grp", "day", "v").collect()[0]
+        n = len(vals)
+        total = sum(vals)
+        best = max(
+            (abs(sum(vals[: t + 1]) - (t + 1) / n * total), -t)
+            for t in range(n)
+        )
+        assert r["cp_day"] == -best[1]
+        assert r["max_dev"] == pytest.approx(best[0], abs=1e-3)
+
+    def test_constant_series_day_tiebreak(self, spark):
+        rows = [("g", d, 5.0) for d in range(4)]
+        df = spark.createDataFrame(rows, "grp string, day long, v double")
+        r = cusum_changepoint(df, "grp", "day", "v").collect()[0]
+        # all deviations 0 -> smallest day wins the tiebreak
+        assert r["cp_day"] == 0 and r["max_dev"] == 0.0
+
+
+def _peel_ref(edges, k):
+    edges = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            break
+        edges = {
+            (a, b) for a, b in edges if a not in drop and b not in drop
+        }
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+class TestKCore:
+    # triangle + pendant chain: 2-core is exactly the triangle
+    EDGES = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+
+    def _df(self, spark, edges):
+        return spark.createDataFrame(edges, "src long, dst long")
+
+    def test_triangle_chain(self, spark):
+        out = {
+            r["v"]: r["d"]
+            for r in k_core(self._df(spark, self.EDGES), k=2).collect()
+        }
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(30), rng.randrange(30)) for _ in range(80)
+        ]
+        for k in (2, 3, 4):
+            got = {
+                r["v"]: r["d"]
+                for r in k_core(self._df(spark, edges), k=k).collect()
+            }
+            assert got == _peel_ref(edges, k)
+
+    def test_degree_invariant(self, spark):
+        out = k_core(self._df(spark, self.EDGES), k=2).collect()
+        assert all(r["d"] >= 2 for r in out)
+
+    def test_empty_core(self, spark):
+        assert k_core(self._df(spark, self.EDGES), k=3).count() == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        edges = self.EDGES + [(2, 1), (3, 2), (1, 2)]
+        out = {
+            r["v"]: r["d"]
+            for r in k_core(self._df(spark, edges), k=2).collect()
+        }
+        assert out == {1: 2, 2: 2, 3: 2}
