@@ -2683,6 +2683,28 @@ def q_dup_rate_by_source(spark, sf_dir):
     )
 
 
+def q_benford_values(spark, sf_dir):
+    """Benford first-digit audit of event values
+    (analytics.benford_profile): leading digits come from the exact
+    DECIMAL cent count's string head (never a double repr), counts are
+    exact, and the Benford constants are repr literals on both engines
+    — the synthetic-data / fraud smell test."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.benford_profile(ev, "value")
+
+
+def q_heaps_docs(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over the doc_id-ordered corpus
+    (text.heaps_fit): exact integer token/new-type cumulative sums; the
+    ln-moment sums are doc-sorted left folds and the closed form
+    mirrors ols_trend's op order — the growth companion to
+    `zipf_shingles`."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.heaps_fit(docs)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2881,6 +2903,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_seasonality": q_weekday_seasonality,
         "cusum_changepoint": q_cusum_changepoint,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "benford_values": q_benford_values,
+        "heaps_docs": q_heaps_docs,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -6340,6 +6364,97 @@ def oracle_sql() -> dict[str, str]:
                           * (CAST(n_types AS DOUBLE) * slxy - slx * sly)
                           / ((CAST(n_types AS DOUBLE) * slxx - slx * slx)
                              * (CAST(n_types AS DOUBLE) * slyy - sly * sly))
+                     END, 4) + 0 AS r2
+        FROM mo
+    """
+    # Benford: leading digit from the exact integer cent count's string
+    # head; expectation constants as repr literals on both engines.
+    import math as _math
+
+    _benford_case = " ".join(
+        f"WHEN {d} THEN CAST('{_math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"
+        for d in range(1, 10)
+    )
+    sql["benford_values"] = f"""
+        WITH cents AS (
+            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL
+        ), obs AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM cents WHERE c > 0 GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_obs) AS BIGINT) AS tn FROM obs
+        ), wp AS (
+            SELECT digit, n_obs, tn,
+                   CASE digit {_benford_case} END AS p
+            FROM obs CROSS JOIN tot
+        )
+        SELECT digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(tn AS DOUBLE), 4) + 0
+                 AS share,
+               round(p, 4) + 0 AS benford_p,
+               round(CAST(n_obs AS DOUBLE) / CAST(tn AS DOUBLE) - p, 4) + 0
+                 AS excess
+        FROM wp ORDER BY digit
+    """
+    # Heaps: exact integer cumulative points, doc-sorted ln folds, the
+    # ols_trend closed-form op order.
+    sql["heaps_docs"] = """
+        WITH toks AS (
+            SELECT doc_id AS d,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), per_doc AS (
+            SELECT d, CAST(len(w) AS BIGINT) AS nt FROM toks WHERE len(w) > 0
+        ), ex AS (
+            SELECT DISTINCT d, tok FROM (
+                SELECT d, unnest(w) AS tok FROM toks)
+        ), firsts AS (
+            SELECT mind AS d, CAST(count(*) AS BIGINT) AS nv FROM (
+                SELECT tok, min(d) AS mind FROM ex GROUP BY tok)
+            GROUP BY 1
+        ), pts AS (
+            SELECT p.d,
+                   sum(p.nt) OVER (ORDER BY p.d
+                                   ROWS UNBOUNDED PRECEDING) AS ct,
+                   sum(coalesce(f.nv, 0)) OVER (ORDER BY p.d
+                                   ROWS UNBOUNDED PRECEDING) AS cv
+            FROM per_doc p LEFT JOIN firsts f ON p.d = f.d
+        ), lns AS (
+            SELECT d, CAST(ct AS BIGINT) AS ct, CAST(cv AS BIGINT) AS cv,
+                   ln(CAST(ct AS DOUBLE)) AS lx,
+                   ln(CAST(cv AS DOUBLE)) AS ly
+            FROM pts
+        ), mo AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(max(ct) AS BIGINT) AS total_tokens,
+                   CAST(max(cv) AS BIGINT) AS total_types,
+                   list_sum(list(lx ORDER BY d)) AS slx,
+                   list_sum(list(ly ORDER BY d)) AS sly,
+                   list_sum(list(lx * lx ORDER BY d)) AS slxx,
+                   list_sum(list(lx * ly ORDER BY d)) AS slxy,
+                   list_sum(list(ly * ly ORDER BY d)) AS slyy
+            FROM lns
+        )
+        SELECT n_docs, total_tokens, total_types,
+               round(CASE WHEN CAST(n_docs AS DOUBLE) * slxx - slx * slx > 0
+                     THEN (CAST(n_docs AS DOUBLE) * slxy - slx * sly)
+                          / (CAST(n_docs AS DOUBLE) * slxx - slx * slx)
+                     END, 4) + 0 AS heaps_beta,
+               round(CASE WHEN CAST(n_docs AS DOUBLE) * slxx - slx * slx > 0
+                     THEN (sly - ((CAST(n_docs AS DOUBLE) * slxy - slx * sly)
+                                  / (CAST(n_docs AS DOUBLE) * slxx
+                                     - slx * slx)) * slx)
+                          / CAST(n_docs AS DOUBLE)
+                     END, 4) + 0 AS heaps_logk,
+               round(CASE WHEN CAST(n_docs AS DOUBLE) * slxx - slx * slx > 0
+                           AND CAST(n_docs AS DOUBLE) * slyy - sly * sly > 0
+                     THEN (CAST(n_docs AS DOUBLE) * slxy - slx * sly)
+                          * (CAST(n_docs AS DOUBLE) * slxy - slx * sly)
+                          / ((CAST(n_docs AS DOUBLE) * slxx - slx * slx)
+                             * (CAST(n_docs AS DOUBLE) * slyy - sly * sly))
                      END, 4) + 0 AS r2
         FROM mo
     """

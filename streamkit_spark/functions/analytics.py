@@ -41,6 +41,7 @@ __all__ = [
     "mad_outliers",
     "ols_trend",
     "cusum_changepoint",
+    "benford_profile",
 ]
 
 
@@ -1246,4 +1247,69 @@ def cusum_changepoint(
             F.round(F.col("dev"), round_digits).alias("max_dev"),
         )
         .orderBy(group_col)
+    )
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column:
+    per leading digit d ∈ 1..9, the observed share vs the Benford
+    expectation log10(1 + 1/d) — the classic synthetic-data / fraud
+    smell test (natural multiplicative quantities follow Benford;
+    generated or capped ones don't).  Output: ``(digit, n_obs, share,
+    benford_p, excess)``.
+
+    Determinism contract: values ride DECIMAL(18,2) and the leading
+    digit comes from the INTEGER cent count's string head — never from
+    a double's engine-specific repr.  Counts are exact; share and
+    excess are one fixed double expression; the Benford constants are
+    emitted as repr literals (the CAST('<repr>' AS DOUBLE) rule) so
+    both engines read bit-identical probabilities.
+
+    Scale: one map-side-combined 9-row aggregate.
+    """
+    import math as _math
+
+    cents = (
+        (F.col(value_col).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("long")
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(cents)
+        .filter(F.col("cents") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("tn"))
+    p_map = F.create_map(
+        *[
+            c
+            for d in range(1, 10)
+            for c in (
+                F.lit(d),
+                F.expr(f"CAST('{_math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"),
+            )
+        ]
+    )
+    share = F.col("n_obs").cast("double") / F.col("tn").cast("double")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share, round_digits).alias("share"),
+            F.round(p_map[F.col("digit")], round_digits).alias("benford_p"),
+            F.round(share - p_map[F.col("digit")], round_digits).alias(
+                "excess"
+            ),
+        )
+        .orderBy("digit")
     )

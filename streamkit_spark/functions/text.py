@@ -520,3 +520,101 @@ def zipf_fit(
             round_digits,
         ).alias("r2"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: OLS of ln(distinct types
+    seen) on ln(tokens seen) over the doc_id-ordered corpus prefix —
+    one row ``(n_docs, total_tokens, total_types, heaps_beta,
+    heaps_logk, r2)``.  Natural text grows V(n) ≈ K·n^β with β ≈
+    0.4–0.8; template/synthetic corpora saturate (β → 0) — the growth
+    companion to :func:`zipf_fit`'s static spectrum.
+
+    Determinism contract: per-doc token counts and first-occurrence
+    type counts are exact integers; cumulative sums are integer window
+    sums over the doc_id total order.  The ln-moment sums are left
+    folds over the doc_id-sorted point list (one point per doc — the
+    fold state is |docs| rows, and at corpus scale you'd pre-bucket
+    docs into fixed-size prefixes first).  Closed form follows the
+    ols_trend op order; ln parity is the token_entropy precedent.
+
+    Plan: one size() scan for token counts (no explode) + one
+    explode→min aggregate for first occurrences, joined on the doc id
+    — two corpus scans, no self-join of a derived pipeline.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col).alias("d"), F.size(toks).alias("nt")
+    ).filter(F.col("nt") > 0)
+    firsts = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(F.array_distinct(toks)).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(F.min("d").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    w = Window.orderBy("d")
+    pts = (
+        per_doc.join(firsts, "d", "left")
+        .select(
+            "d",
+            "nt",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("nv"),
+        )
+        .select(
+            "d",
+            F.sum("nt").over(w).cast("long").alias("ct"),
+            F.sum("nv").over(w).cast("long").alias("cv"),
+        )
+        .select(
+            "d",
+            "ct",
+            "cv",
+            F.log(F.col("ct").cast("double")).alias("lx"),
+            F.log(F.col("cv").cast("double")).alias("ly"),
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct("d", "lx", "ly")))
+    zero = F.lit(0.0).cast("double")
+
+    def fold(field):
+        return F.aggregate(arr, zero, lambda acc, x: acc + x[field])
+
+    def fold2(fa, fb):
+        return F.aggregate(arr, zero, lambda acc, x: acc + x[fa] * x[fb])
+
+    stats = pts.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("ct").cast("long").alias("total_tokens"),
+        F.max("cv").cast("long").alias("total_types"),
+        fold("lx").alias("slx"),
+        fold("ly").alias("sly"),
+        fold2("lx", "lx").alias("slxx"),
+        fold2("lx", "ly").alias("slxy"),
+        fold2("ly", "ly").alias("slyy"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    num = n_d * F.col("slxy") - F.col("slx") * F.col("sly")
+    den = n_d * F.col("slxx") - F.col("slx") * F.col("slx")
+    deny = n_d * F.col("slyy") - F.col("sly") * F.col("sly")
+    beta = F.when(den > 0, num / den)
+    logk = F.when(den > 0, (F.col("sly") - (num / den) * F.col("slx")) / n_d)
+    return stats.select(
+        "n_docs",
+        "total_tokens",
+        "total_types",
+        F.round(beta, round_digits).alias("heaps_beta"),
+        F.round(logk, round_digits).alias("heaps_logk"),
+        F.round(
+            F.when((den > 0) & (deny > 0), num * num / (den * deny)),
+            round_digits,
+        ).alias("r2"),
+    )

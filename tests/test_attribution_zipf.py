@@ -135,3 +135,89 @@ class TestZipfFit:
         # the same residue scale); either NULL or 0.0 is a valid "no
         # fit" answer, and the fold is engine/oracle-identical.
         assert out["r2"] in (None, 0.0)
+
+
+class TestBenford:
+    def test_shares_and_constants(self, spark):
+        from streamkit_spark.functions.analytics import benford_profile
+
+        # 9 values with leading cent-digits 1,1,1,2,2,3,4,5,9
+        vals = [1.23, 10.0, 0.19, 2.5, 25.0, 3.33, 0.45, 5.0, 0.99]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+        assert rows[1]["n_obs"] == 3
+        assert rows[2]["n_obs"] == 2
+        assert rows[1]["share"] == round(3 / 9, 4)
+        assert rows[1]["benford_p"] == 0.301
+        assert rows[9]["benford_p"] == 0.0458
+        assert set(rows) == {1, 2, 3, 4, 5, 9}
+
+    def test_nonpositive_excluded(self, spark):
+        from streamkit_spark.functions.analytics import benford_profile
+
+        df = spark.createDataFrame(
+            [(0.0,), (-5.0,), (None,), (7.0,)], "v double"
+        )
+        rows = benford_profile(df, "v").collect()
+        assert len(rows) == 1 and rows[0]["digit"] == 7
+        assert rows[0]["share"] == 1.0
+
+    def test_cent_digit_not_unit_digit(self, spark):
+        from streamkit_spark.functions.analytics import benford_profile
+
+        # 0.19 -> 19 cents -> leading digit 1 (not 0)
+        df = spark.createDataFrame([(0.19,)], "v double")
+        assert benford_profile(df, "v").collect()[0]["digit"] == 1
+
+
+class TestHeaps:
+    def test_growth_exponent_recovered(self, spark):
+        from streamkit_spark.functions.text import heaps_fit
+
+        # each doc introduces exactly 5 new types over 10 repeated
+        # tokens: V(n) grows linearly in tokens -> beta ~= 1
+        rows = []
+        for d in range(30):
+            toks = [f"w{d}_{i}" for i in range(5)] * 2
+            rows.append((d, " ".join(toks)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = heaps_fit(df).collect()[0]
+        assert out["n_docs"] == 30
+        assert out["total_tokens"] == 300
+        assert out["total_types"] == 150
+        assert abs(out["heaps_beta"] - 1.0) < 0.01
+
+    def test_saturated_vocab_flat(self, spark):
+        from streamkit_spark.functions.text import heaps_fit
+
+        # same 3 tokens in every doc: after doc 0 no new types
+        rows = [(d, "a b c a b c") for d in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = heaps_fit(df).collect()[0]
+        assert out["total_types"] == 3
+        assert out["heaps_beta"] < 0.35
+
+    def test_python_reference(self, spark):
+        import math
+
+        from streamkit_spark.functions.text import heaps_fit
+
+        rows = [(0, "a b c"), (1, "a d"), (2, "e f g a"), (3, "b e h")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = heaps_fit(df).collect()[0]
+        ct, cv, seen, pts = 0, 0, set(), []
+        for _, text in rows:
+            toks = text.split()
+            ct += len(toks)
+            new = [t for t in set(toks) if t not in seen]
+            seen.update(new)
+            cv += len(new)
+            pts.append((math.log(ct), math.log(cv)))
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] ** 2 for p in pts)
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert out["heaps_beta"] == pytest.approx(beta, abs=1e-4)
+        assert out["total_types"] == 8
