@@ -178,3 +178,42 @@ def test_salted_join_scatters_identical_hot_rows(spark):
         .count()
     )
     assert n_salts >= 4
+
+
+def test_new_diagnostics_plan_shapes(spark):
+    """Plan contracts for the round-5 fifth-session operators: no
+    cartesian products (the only BroadcastNestedLoopJoin allowed is a
+    1-row scalar cross), broadcast dimension joins, and the Expand-based
+    single-pass cube."""
+    import __spark_entry__ as E
+
+    def plan(q):
+        return plans.explain_str(E.queries()[q](spark, SF_DIR), "extended")
+
+    # cube: one Expand, dimension joins broadcast, no cartesian
+    p = plan("cube_revenue")
+    assert "Expand" in p
+    assert "CartesianProduct" not in p
+
+    # attribution: the conversions⋈touches join must carry the user
+    # equi-key (hash-joinable), never degrade to a pure theta join
+    p = plan("attribution_linear")
+    assert "CartesianProduct" not in p
+
+    # chi2/ols/weekday: scalar crossJoins are broadcast 1-row sides
+    for q in ("chi2_weekday", "value_trend", "weekday_seasonality"):
+        assert "CartesianProduct" not in plan(q)
+
+
+def test_brute_knn_corpus_is_spread(spark):
+    """brute_force_topk must fan the corpus side out of a single-file
+    scan before the cosine stage (the 1-core serialization trap: 78s ->
+    8s measured at sf0.1)."""
+    from streamkit_spark.functions import similarity as SIM
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    edges = SIM.knn_graph(emb, k=3, method="brute")
+    # the physical plan must contain a repartition/exchange ABOVE the
+    # corpus scan feeding the join (defaultParallelism > 1 in tests)
+    p = plans.explain_str(edges, "extended")
+    assert "RoundRobinPartitioning" in p or "Exchange" in p
