@@ -2705,6 +2705,20 @@ def q_heaps_docs(spark, sf_dir):
     return TX.heaps_fit(docs)
 
 
+def q_hist_quantiles(spark, sf_dir):
+    """Mergeable deterministic quantiles from a fixed-width histogram
+    sketch (analytics.histogram_quantiles): integer bucket counts merge
+    by addition across partitions/days/micro-batches — the quantile
+    member of the sketch family, with value error bounded by one
+    stated bucket width (vs approx_percentile's merge-order-sensitive
+    GK internals).  Everything is exact integers until the reported
+    bound."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.histogram_quantiles(ev, "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2905,6 +2919,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "benford_values": q_benford_values,
         "heaps_docs": q_heaps_docs,
+        "hist_quantiles": q_hist_quantiles,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -6457,6 +6472,46 @@ def oracle_sql() -> dict[str, str]:
                              * (CAST(n_docs AS DOUBLE) * slyy - sly * sly))
                      END, 4) + 0 AS r2
         FROM mo
+    """
+    # Histogram quantiles: integer buckets (floor-div via non-negative
+    # operands — Spark div truncates, DuckDB // floors), exact integer
+    # rank threshold; no doubles until the reported bound.
+    sql["hist_quantiles"] = """
+        WITH cents AS (
+            SELECT event_type AS grp,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), bk AS (
+            SELECT grp,
+                   CASE WHEN c >= 0 THEN c // 2500
+                        ELSE -((-c + 2499) // 2500) END AS b
+            FROM cents
+        ), bc AS (
+            SELECT grp, b, CAST(count(*) AS BIGINT) AS cc
+            FROM bk GROUP BY 1, 2
+        ), cum AS (
+            SELECT grp, b,
+                   CAST(sum(cc) OVER (PARTITION BY grp ORDER BY b
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum
+            FROM bc
+        ), tot AS (
+            SELECT grp, CAST(sum(cc) AS BIGINT) AS n FROM bc GROUP BY 1
+        ), ps AS (
+            SELECT CAST(p AS BIGINT) AS p FROM (VALUES (50), (90), (99))
+                AS t(p)
+        ), hits AS (
+            SELECT cum.grp, p, n, CAST(min(b) AS BIGINT) AS b
+            FROM cum JOIN tot USING (grp) CROSS JOIN ps
+            WHERE cum >= (p * n + 99) // 100
+            GROUP BY 1, 2, 3
+        )
+        SELECT grp AS event_type, p, n,
+               round(CAST((b + 1) * 2500 AS DOUBLE)
+                     / CAST(100 AS DOUBLE), 4) + 0 AS est_hi,
+               round(CAST(2500 AS DOUBLE) / CAST(100 AS DOUBLE), 4)
+                 AS bucket_width
+        FROM hits ORDER BY event_type, p
     """
     # Weekday seasonality: exact counts + decimal sums; ratio of two
     # exact-component means in one fixed double expression.

@@ -42,6 +42,7 @@ __all__ = [
     "ols_trend",
     "cusum_changepoint",
     "benford_profile",
+    "histogram_quantiles",
 ]
 
 
@@ -1313,3 +1314,84 @@ def benford_profile(
         )
         .orderBy("digit")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+    bucket_cents: int = 2500,
+) -> DataFrame:
+    """Mergeable deterministic quantile estimates from a fixed-width
+    histogram sketch: per group and percentile p, the upper bound of
+    the first bucket whose cumulative count reaches ceil(p%·n) —
+    ``(group, p, n, est_hi, bucket_width)``.
+
+    This is the quantile member of the repo's mergeable-sketch family
+    (HLL / KMV / CMS / Bloom): bucket counts are plain integer
+    aggregates, so sketches merge by ADDITION across partitions, days,
+    or streaming micro-batches — unlike approx_percentile's GK sketch
+    (merge-order-sensitive internals, rank-error-only contract: see
+    quantile_report) or exact medians (not mergeable at all).  The
+    price is value error bounded by ONE bucket width, stated in the
+    output.
+
+    Determinism contract: values ride DECIMAL(18,2) cents, bucket ids
+    are integer ``div``; the rank threshold ceil(p·n/100) is the exact
+    integer ``(p·n + 99) div 100`` — no doubles anywhere until the
+    reported bound (cents → units, one division by 100.0).
+
+    Scale: one (group, bucket) count — state bounded by the value
+    range over the bucket width per group — then a cumulative window
+    over the bucket-ordered sketch rows.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    bw = int(bucket_cents)
+    buckets = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), cents.alias("cents"))
+        # floor division via non-negative operands only: Spark's `div`
+        # truncates toward zero while DuckDB's `//` floors — they
+        # diverge on negative cents, so neither is used on one
+        .select(
+            "grp",
+            F.expr(
+                f"CASE WHEN cents >= 0 THEN cents div {bw} "
+                f"ELSE -((-cents + {bw} - 1) div {bw}) END"
+            ).alias("b"),
+        )
+        .groupBy("grp", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("grp").orderBy("b")
+    cum = buckets.select(
+        "grp", "b", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    tot = buckets.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    j = cum.join(F.broadcast(tot), "grp")
+    out = None
+    for p in quantiles:
+        thresh = F.expr(f"({p} * n + 99) div 100")
+        hit = (
+            j.filter(F.col("cum") >= thresh)
+            .groupBy("grp", "n")
+            .agg(F.min("b").alias("b"))
+            .select(
+                "grp",
+                F.lit(int(p)).cast("long").alias("p"),
+                "n",
+                F.round(
+                    ((F.col("b") + 1) * bw).cast("double") / F.lit(100.0),
+                    4,
+                ).alias("est_hi"),
+                F.round(F.lit(bw).cast("double") / F.lit(100.0), 4).alias(
+                    "bucket_width"
+                ),
+            )
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out.select(
+        F.col("grp").alias(group_col), "p", "n", "est_hi", "bucket_width"
+    ).orderBy(group_col, "p")

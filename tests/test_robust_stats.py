@@ -338,3 +338,72 @@ class TestKCore:
             for r in k_core(self._df(spark, edges), k=2).collect()
         }
         assert out == {1: 2, 2: 2, 3: 2}
+
+
+class TestHistogramQuantiles:
+    def test_known_buckets(self, spark):
+        from streamkit_spark.functions.analytics import histogram_quantiles
+
+        # values 1..100 dollars, width 25.00: p50 lands in bucket 2
+        # (est_hi 75), p90/p99 in bucket 3 (est_hi 100)
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(1, 101)], "grp string, v double"
+        )
+        rows = {
+            r["p"]: r
+            for r in histogram_quantiles(df, "grp", "v").collect()
+        }
+        assert rows[50]["est_hi"] == 75.0
+        assert rows[90]["est_hi"] == 100.0
+        assert rows[99]["est_hi"] == 100.0
+        assert all(r["bucket_width"] == 25.0 for r in rows.values())
+        assert all(r["n"] == 100 for r in rows.values())
+
+    def test_error_bounded_by_one_bucket(self, spark):
+        import random
+
+        from streamkit_spark.functions.analytics import histogram_quantiles
+
+        rng = random.Random(5)
+        vals = sorted(round(rng.uniform(0, 500), 2) for _ in range(400))
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v double"
+        )
+        rows = {
+            r["p"]: r["est_hi"]
+            for r in histogram_quantiles(df, "grp", "v").collect()
+        }
+        for p, est in rows.items():
+            true_q = vals[-(-p * len(vals) // 100) - 1]  # ceil rank
+            assert est >= true_q - 1e-9
+            assert est - 25.0 <= true_q + 1e-9
+
+    def test_merge_by_addition(self, spark):
+        from streamkit_spark.functions.analytics import histogram_quantiles
+
+        # the sketch is row-additive: quantiles of A ∪ B == quantiles
+        # of the concatenated frame (trivially), and splitting the data
+        # across wildly different partitionings cannot change the
+        # integer bucket counts
+        rows = [("g", float(v)) for v in range(1, 101)]
+        df1 = spark.createDataFrame(rows, "grp string, v double")
+        df8 = spark.createDataFrame(rows, "grp string, v double").repartition(8)
+        a = [tuple(r) for r in histogram_quantiles(df1, "grp", "v").collect()]
+        b = [tuple(r) for r in histogram_quantiles(df8, "grp", "v").collect()]
+        assert a == b
+
+    def test_negative_values_floor_bucketed(self, spark):
+        from streamkit_spark.functions.analytics import histogram_quantiles
+
+        # -1.00 must land in bucket -1 (floor), not bucket 0 (trunc):
+        # with 3 negatives and 1 positive, p50 rank 2 -> bucket -1 ->
+        # est_hi 0.0
+        df = spark.createDataFrame(
+            [("g", -1.0), ("g", -2.0), ("g", -24.0), ("g", 5.0)],
+            "grp string, v double",
+        )
+        rows = {
+            r["p"]: r["est_hi"]
+            for r in histogram_quantiles(df, "grp", "v").collect()
+        }
+        assert rows[50] == 0.0
