@@ -43,6 +43,8 @@ __all__ = [
     "cusum_changepoint",
     "benford_profile",
     "histogram_quantiles",
+    "histogram_buckets",
+    "quantiles_from_histogram",
 ]
 
 
@@ -1346,9 +1348,29 @@ def histogram_quantiles(
     range over the bucket width per group — then a cumulative window
     over the bucket-ordered sketch rows.
     """
+    return quantiles_from_histogram(
+        histogram_buckets(df, group_col, value_col, bucket_cents),
+        group_col,
+        quantiles,
+        bucket_cents,
+    )
+
+
+def histogram_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_cents: int = 2500,
+) -> DataFrame:
+    """The sketch-build half of :func:`histogram_quantiles`:
+    ``(group, b, c)`` integer bucket counts.  Pure aggregate — runs
+    unchanged as a Structured Streaming stateful agg (the HLL/KMV
+    shared-definition discipline, streaming/quantiles.py), and sketches
+    from different partitions/days/micro-batches merge by summing
+    ``c``."""
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     bw = int(bucket_cents)
-    buckets = (
+    return (
         df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), cents.alias("cents"))
         # floor division via non-negative operands only: Spark's `div`
@@ -1363,8 +1385,22 @@ def histogram_quantiles(
         )
         .groupBy("grp", "b")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
     )
+
+
+def quantiles_from_histogram(
+    buckets: DataFrame,
+    group_col: str,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+    bucket_cents: int = 2500,
+) -> DataFrame:
+    """The finisher half of :func:`histogram_quantiles` over a PREBUILT
+    (grp, b, c) bucket table — e.g. one maintained incrementally by
+    ``streaming/quantiles.histogram_bucket_stream``.  The bucket table
+    is localCheckpoint'ed: it feeds the cumulative window AND the
+    per-group totals branch."""
+    bw = int(bucket_cents)
+    buckets = buckets.localCheckpoint(eager=False)
     w = Window.partitionBy("grp").orderBy("b")
     cum = buckets.select(
         "grp", "b", F.sum("c").over(w).cast("long").alias("cum")

@@ -300,3 +300,42 @@ def test_kmv_sketch_stream_parity(spark, fixture_stream):
         assert got_overlap == want_overlap and len(got_overlap) > 0
     finally:
         q.stop()
+
+
+def test_histogram_quantile_stream_parity(spark, fixture_stream):
+    """Streaming bucket-count aggregate + shared finisher equals the
+    batch analytics.histogram_quantiles exactly (streaming/quantiles.py),
+    and streaming state is bucket-bounded, not stream-length-bounded."""
+    from streamkit_spark.functions.analytics import histogram_quantiles
+    from streamkit_spark.streaming.quantiles import (
+        finalize_quantiles,
+        histogram_bucket_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    expected = {
+        tuple(r)
+        for r in histogram_quantiles(batch, "event_type", "value").collect()
+    }
+    q = (
+        histogram_bucket_stream(fixture_stream, "event_type", "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_hist_buckets")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        buckets = spark.sql("SELECT * FROM parity_hist_buckets")
+        # state bound: occupied buckets per group ≤ value range / width,
+        # never row count
+        per_group = buckets.groupBy("grp").count().collect()
+        n_rows = batch.count()
+        assert all(r["count"] < n_rows / 10 for r in per_group)
+        got = {
+            tuple(r)
+            for r in finalize_quantiles(buckets, "event_type").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
