@@ -186,3 +186,66 @@ def register_sketch_views(
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
+
+
+def register_diagnostics_views(
+    spark: SparkSession,
+    events: DataFrame,
+    documents: DataFrame | None = None,
+    prefix: str = "dg_",
+) -> list[str]:
+    """Distributional-diagnostics views — the SQL twin of the round-5
+    robust-statistics block for spark.sql users:
+
+    * ``{p}value_trend``   — per-type OLS slope/intercept/r2 of value
+      over the day index
+    * ``{p}mad_outliers``  — exact-median MAD robust outlier report
+    * ``{p}chi2_weekday``  — chi-squared independence of type × weekday
+    * ``{p}cusum``         — CUSUM changepoint day per type
+    * ``{p}benford``       — first-digit audit of event values
+    * ``{p}quantile_sketch`` — mergeable histogram-quantile report
+    * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit) and
+      ``{p}heaps`` (vocabulary-growth fit)
+
+    Views are logical plans; each inherits the underlying scan's
+    pushdown.  The events frame must be normalized (``tables.load``)."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions import analytics as A
+    from streamkit_spark.functions import text as T
+
+    p = prefix
+    day = F.expr("ts div 86400000000000")
+    wd = ((day + 4) % 7).cast("long")
+    views = {
+        f"{p}value_trend": A.ols_trend(
+            events.select("event_type", day.alias("day"), "value"),
+            "event_type", "day", "value",
+        ),
+        f"{p}mad_outliers": A.mad_outliers(events, "event_type", "value"),
+        f"{p}chi2_weekday": A.chi2_independence(
+            events.select("event_type", wd.alias("weekday")),
+            "event_type", "weekday",
+        ),
+        f"{p}cusum": A.cusum_changepoint(
+            events.select("event_type", day.alias("day"), "value"),
+            "event_type", "day", "value",
+        ),
+        f"{p}benford": A.benford_profile(events, "value"),
+        f"{p}quantile_sketch": A.histogram_quantiles(
+            events, "event_type", "value"
+        ),
+    }
+    if documents is not None:
+        counts = (
+            documents.select(
+                F.explode(T.word_ngrams(F.col("text"), 3)).alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias("freq"))
+        )
+        views[f"{p}zipf"] = T.zipf_fit(counts)
+        views[f"{p}heaps"] = T.heaps_fit(documents)
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

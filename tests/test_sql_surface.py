@@ -144,3 +144,40 @@ def test_sketch_views_queryable_from_sql(spark):
     assert row["max_regs"] <= 256
     assert row["underestimates"] == 0
     assert row["bad_jaccard"] == 0
+
+
+def test_diagnostics_views_queryable_from_sql(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.sql import register_diagnostics_views
+    from tests.conftest import SF_DIR
+
+    ev = tables.load(spark, SF_DIR, "events")
+    docs = tables.load(spark, SF_DIR, "documents")
+    names = register_diagnostics_views(spark, ev, docs)
+    assert names == [
+        "dg_benford", "dg_chi2_weekday", "dg_cusum", "dg_heaps",
+        "dg_mad_outliers", "dg_quantile_sketch", "dg_value_trend",
+        "dg_zipf",
+    ]
+    row = spark.sql(
+        """
+        SELECT (SELECT round(sum(share), 1) FROM dg_benford) AS share_mass,
+               (SELECT count(*) FROM dg_mad_outliers) AS mad_groups,
+               (SELECT dof FROM dg_chi2_weekday) AS dof,
+               (SELECT count(*) FROM dg_cusum
+                WHERE n_days > 0) AS cusum_groups,
+               (SELECT count(*) FROM dg_quantile_sketch
+                WHERE p IN (50, 90, 99)) AS q_rows,
+               (SELECT n_docs FROM dg_heaps) AS heaps_docs
+        """
+    ).first()
+    # Benford shares sum to 1 (all digits observed or not, shares are
+    # fractions of observed rows); every type gets a MAD row and a
+    # CUSUM row; the sketch reports 3 quantiles per type
+    assert row["share_mass"] == 1.0
+    n_types = ev.select("event_type").distinct().count()
+    assert row["mad_groups"] == n_types
+    assert row["cusum_groups"] == n_types
+    assert row["q_rows"] == 3 * n_types
+    assert row["dof"] >= 1
+    assert row["heaps_docs"] > 0
