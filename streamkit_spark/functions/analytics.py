@@ -45,6 +45,8 @@ __all__ = [
     "histogram_quantiles",
     "histogram_buckets",
     "quantiles_from_histogram",
+    "association_rules",
+    "psi_profile",
 ]
 
 
@@ -1431,3 +1433,168 @@ def quantiles_from_histogram(
     return out.select(
         F.col("grp").alias(group_col), "p", "n", "est_hi", "bucket_width"
     ).orderBy(group_col, "p")
+
+
+def association_rules(
+    df: DataFrame,
+    basket_cols: list[str] | tuple[str, ...],
+    item_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) observations:
+    for every ordered item pair A→B that co-occurs in at least one
+    basket, ``(antecedent, consequent, n_pair, support, confidence,
+    lift)`` — the classic affinity readout (support = P(A∧B),
+    confidence = P(B|A), lift = P(A∧B)/(P(A)P(B))).
+
+    Determinism contract: basket/item/pair counts are exact BIGINTs
+    (distinct items per basket, in-row pair enumeration from the sorted
+    item array — no basket self-join); the three ratios are single
+    fixed double expressions from exact counts.
+
+    Scale: baskets collect their DISTINCT item set once (state = items
+    per basket, bounded by the item vocabulary); pairs explode in-row;
+    item totals are a vocabulary-sized broadcast.  Nothing is ever
+    quadratic in baskets.
+    """
+    b_items = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*basket_cols, F.col(item_col).alias("__it"))
+        .groupBy(*basket_cols)
+        .agg(F.array_sort(F.collect_set("__it")).alias("items"))
+        .localCheckpoint(eager=False)
+    )
+    n_baskets = b_items.agg(F.count("*").cast("long").alias("nb"))
+    item_counts = (
+        b_items.select(F.explode("items").alias("it"))
+        .groupBy("it")
+        .agg(F.count("*").cast("long").alias("ci"))
+    )
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    pair_counts = (
+        pairs_from_sorted_groups(
+            b_items.select(F.col("items").alias("ds")), distinct=False
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("cp"))
+        # checkpoint before the both-directions union: the pair-explode
+        # + aggregate is the expensive stage, and a unionAll of two
+        # references re-plans it per branch (the triangle_count `und`
+        # precedent; AQE exchange reuse is not guaranteed)
+        .localCheckpoint(eager=False)
+    )
+    # both rule directions from each unordered pair
+    directed = pair_counts.select(
+        F.col("id_a").alias("ant"), F.col("id_b").alias("con"), "cp"
+    ).unionAll(
+        pair_counts.select(
+            F.col("id_b").alias("ant"), F.col("id_a").alias("con"), "cp"
+        )
+    )
+    j = (
+        directed.join(
+            F.broadcast(item_counts.select(F.col("it").alias("ant"),
+                                           F.col("ci").alias("ca"))),
+            "ant",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("it").alias("con"),
+                                           F.col("ci").alias("cb"))),
+            "con",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    cp_d = F.col("cp").cast("double")
+    return (
+        j.select(
+            F.col("ant").alias("antecedent"),
+            F.col("con").alias("consequent"),
+            F.col("cp").alias("n_pair"),
+            F.round(cp_d / F.col("nb").cast("double"), round_digits).alias(
+                "support"
+            ),
+            F.round(cp_d / F.col("ca").cast("double"), round_digits).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("nb").cast("double") * cp_d)
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                round_digits,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+def psi_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_cents: int = 2500,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Population Stability Index of each group's value distribution
+    against its COMPLEMENT (the always-on drift readout: has this
+    segment's distribution diverged from everyone else's?):
+    ``(group, n, n_rest, n_buckets, psi)``.  Rule of thumb: < 0.1
+    stable, 0.1–0.25 moderate shift, > 0.25 major shift.
+
+    Built on the same histogram sketch as :func:`histogram_quantiles`
+    (exact integer bucket counts over DECIMAL cents), with add-one
+    smoothing — p = (c+1)/(n+B) over the GLOBAL bucket spine — so empty
+    buckets are well-defined without epsilon hacks and the shares stay
+    exact rationals until one double division.  The per-bucket
+    (p_a − p_rest)·ln(p_a/p_rest) terms sum as a bucket-sorted left
+    fold (ln parity: the token_entropy precedent).
+
+    Scale: one histogram aggregate; every later stage runs on the
+    groups × buckets grid, never the corpus.  The bucket table is
+    localCheckpoint'ed — it feeds the spine, the per-bucket totals,
+    and the per-group totals.
+    """
+    buckets = histogram_buckets(
+        df, group_col, value_col, bucket_cents
+    ).localCheckpoint(eager=False)
+    spine = buckets.select("b").distinct()
+    groups = buckets.select("grp").distinct()
+    tot_b = buckets.groupBy("b").agg(F.sum("c").cast("long").alias("tb"))
+    tot_g = buckets.groupBy("grp").agg(F.sum("c").cast("long").alias("na"))
+    scal = buckets.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.countDistinct("b").cast("long").alias("bb"),
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(spine))
+        .join(buckets, ["grp", "b"], "left")
+        .select("grp", "b", F.coalesce(F.col("c"), F.lit(0)).alias("ca"))
+        .join(F.broadcast(tot_b), "b")
+        .join(F.broadcast(tot_g), "grp")
+        .crossJoin(F.broadcast(scal))
+    )
+    pa = (F.col("ca") + 1).cast("double") / (
+        F.col("na") + F.col("bb")
+    ).cast("double")
+    pr = (F.col("tb") - F.col("ca") + 1).cast("double") / (
+        F.col("nn") - F.col("na") + F.col("bb")
+    ).cast("double")
+    term = (pa - pr) * F.log(pa / pr)
+    return (
+        grid.select("grp", "b", "na", "nn", "bb", term.alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.first("na").alias("n"),
+            (F.first("nn") - F.first("na")).cast("long").alias("n_rest"),
+            F.first("bb").alias("n_buckets"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("b", "t"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x["t"],
+                ),
+                round_digits,
+            ).alias("psi"),
+        )
+        .select(F.col("grp").alias(group_col), "n", "n_rest", "n_buckets", "psi")
+        .orderBy(group_col)
+    )

@@ -407,3 +407,81 @@ class TestHistogramQuantiles:
             for r in histogram_quantiles(df, "grp", "v").collect()
         }
         assert rows[50] == 0.0
+
+
+class TestAssociationRules:
+    def test_known_counts(self, spark):
+        from streamkit_spark.functions.analytics import association_rules
+
+        # baskets: {a,b}, {a,b}, {a,c}, {b}  -> N=4, ca=3, cb=3, cc=1
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "c"),
+            (4, "b"),
+        ]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(df, ["basket"], "item").collect()
+        }
+        ab = out[("a", "b")]
+        assert ab["n_pair"] == 2
+        assert ab["support"] == 0.5          # 2/4
+        assert ab["confidence"] == round(2 / 3, 4)
+        assert ab["lift"] == round(4 * 2 / (3 * 3), 4)
+        # direction matters for confidence, not support/lift
+        ba = out[("b", "a")]
+        assert ba["support"] == ab["support"] and ba["lift"] == ab["lift"]
+        assert ba["confidence"] == round(2 / 3, 4)
+        assert ("c", "a") in out and out[("c", "a")]["confidence"] == 1.0
+
+    def test_duplicate_items_one_per_basket(self, spark):
+        from streamkit_spark.functions.analytics import association_rules
+
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        out = association_rules(df, ["basket"], "item").collect()
+        pair = [r for r in out if r["antecedent"] == "a"][0]
+        assert pair["n_pair"] == 2 and pair["confidence"] == 1.0
+
+    def test_singleton_baskets_no_rules(self, spark):
+        from streamkit_spark.functions.analytics import association_rules
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "basket long, item string"
+        )
+        assert association_rules(df, ["basket"], "item").count() == 0
+
+
+class TestPsiProfile:
+    def test_identical_distributions_near_zero(self, spark):
+        from streamkit_spark.functions.analytics import psi_profile
+
+        # two groups drawing the same values -> PSI ~ 0
+        rows = [(g, float(v)) for g in ("x", "y") for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r["psi"] for r in psi_profile(df, "grp", "v").collect()}
+        assert all(abs(p) < 0.01 for p in out.values())
+
+    def test_shifted_distribution_flags(self, spark):
+        from streamkit_spark.functions.analytics import psi_profile
+
+        rows = [("x", float(v)) for v in range(1, 101)] + [
+            ("y", float(v) + 200.0) for v in range(1, 101)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r["psi"] for r in psi_profile(df, "grp", "v").collect()}
+        # totally disjoint ranges -> major shift on both sides
+        assert all(p > 0.25 for p in out.values())
+
+    def test_counts_and_spine(self, spark):
+        from streamkit_spark.functions.analytics import psi_profile
+
+        rows = [("x", 10.0)] * 7 + [("y", 60.0)] * 3
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r for r in psi_profile(df, "grp", "v").collect()}
+        assert out["x"]["n"] == 7 and out["x"]["n_rest"] == 3
+        assert out["x"]["n_buckets"] == 2
+        # symmetric complement: psi(x vs rest) == psi(y vs rest) here
+        assert out["x"]["psi"] == out["y"]["psi"]
