@@ -47,6 +47,7 @@ __all__ = [
     "quantiles_from_histogram",
     "association_rules",
     "psi_profile",
+    "psi_from_histogram",
 ]
 
 
@@ -1553,9 +1554,25 @@ def psi_profile(
     localCheckpoint'ed — it feeds the spine, the per-bucket totals,
     and the per-group totals.
     """
-    buckets = histogram_buckets(
-        df, group_col, value_col, bucket_cents
-    ).localCheckpoint(eager=False)
+    return psi_from_histogram(
+        histogram_buckets(df, group_col, value_col, bucket_cents),
+        group_col,
+        round_digits,
+    )
+
+
+def psi_from_histogram(
+    buckets: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`psi_profile` over a PREBUILT
+    (grp, b, c) bucket table — the SAME table
+    ``streaming/quantiles.histogram_bucket_stream`` maintains, so one
+    streaming sketch serves both the quantile report and live drift
+    monitoring.  The bucket table is localCheckpoint'ed: it feeds the
+    spine, the per-bucket totals, and the per-group totals."""
+    buckets = buckets.localCheckpoint(eager=False)
     spine = buckets.select("b").distinct()
     groups = buckets.select("grp").distinct()
     tot_b = buckets.groupBy("b").agg(F.sum("c").cast("long").alias("tb"))

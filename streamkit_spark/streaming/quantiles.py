@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["histogram_bucket_stream", "finalize_quantiles"]
+__all__ = ["histogram_bucket_stream", "finalize_quantiles", "finalize_psi"]
 
 
 def histogram_bucket_stream(
@@ -55,3 +55,17 @@ def finalize_quantiles(
     return quantiles_from_histogram(
         buckets, group_col, quantiles, bucket_cents
     )
+
+
+def finalize_psi(
+    buckets: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Live drift monitoring from the SAME streaming bucket table that
+    feeds :func:`finalize_quantiles`: PSI of each group vs its
+    complement (``analytics.psi_from_histogram``, the shared finisher).
+    One sketch, two reports — quantiles and drift."""
+    from streamkit_spark.functions.analytics import psi_from_histogram
+
+    return psi_from_histogram(buckets, group_col, round_digits)

@@ -339,3 +339,36 @@ def test_histogram_quantile_stream_parity(spark, fixture_stream):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_psi_stream_parity(spark, fixture_stream):
+    """The SAME streaming bucket table feeds the PSI finisher: live
+    drift monitoring equals the batch analytics.psi_profile exactly."""
+    from streamkit_spark.functions.analytics import psi_profile
+    from streamkit_spark.streaming.quantiles import (
+        finalize_psi,
+        histogram_bucket_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    expected = {
+        tuple(r)
+        for r in psi_profile(batch, "event_type", "value").collect()
+    }
+    q = (
+        histogram_bucket_stream(fixture_stream, "event_type", "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_psi_buckets")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        buckets = spark.sql("SELECT * FROM parity_psi_buckets")
+        got = {
+            tuple(r)
+            for r in finalize_psi(buckets, "event_type").collect()
+        }
+        assert got == expected
+    finally:
+        q.stop()
