@@ -42,6 +42,8 @@ __all__ = [
     "ols_trend",
     "cusum_changepoint",
     "benford_profile",
+    "ab_test_report",
+    "frequent_sequences",
     "histogram_quantiles",
     "histogram_buckets",
     "quantiles_from_histogram",
@@ -1402,6 +1404,8 @@ def quantiles_from_histogram(
     ``streaming/quantiles.histogram_bucket_stream``.  The bucket table
     is localCheckpoint'ed: it feeds the cumulative window AND the
     per-group totals branch."""
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
     bw = int(bucket_cents)
     buckets = buckets.localCheckpoint(eager=False)
     w = Window.partitionBy("grp").orderBy("b")

@@ -99,10 +99,14 @@ def kmv_sketch_stream(
 
     from streamkit_spark.functions.sketch import kmv_hash
 
-    out_schema = f"{group_col} string, hs array<string>"
+    # Preserve the group column's original type (ADVICE r5): a sketch
+    # maintained from an int key must finalize with the same group type
+    # the batch kmv_sketch path produces.
+    grp_type = events.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {grp_type}, hs array<string>"
     state_schema = "hs array<string>"
     src = events.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).cast("string").alias(group_col),
+        F.col(group_col),
         kmv_hash(F.col(value_col), salt).alias("__h"),
     )
 
