@@ -2763,6 +2763,119 @@ def q_psi_drift(spark, sf_dir):
     return AN.psi_profile(ev, "event_type", "value")
 
 
+def q_ranksum_value(spark, sf_dir):
+    """Per-event-type Mann-Whitney U rank-sum test of value vs the
+    complement (analytics.ranksum_by_group) — the nonparametric sibling
+    of ab_value_ztest: doubled average ranks come from a cumulative
+    window over the DISTINCT-VALUE count table (never raw rows), so
+    every rank, rank sum, and the doubled U statistic are exact
+    integers; the tie sum rides DECIMAL(38,0)/HUGEINT and only the
+    final mean/variance/z arithmetic is float, one expression shape on
+    both engines.  The operator's quantize-unbounded-columns contract
+    is met here by the data: events.value is 2-dp money, so its
+    distinct-value table is bounded by the value range (≤ ~49k cents
+    values), not the row count."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.ranksum_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_ks_value(spark, sf_dir):
+    """Per-event-type two-sample Kolmogorov-Smirnov distance of value
+    vs the complement (analytics.ks_by_group): both empirical CDFs are
+    step functions over observed values, so D is an exact integer max
+    |i·n2 − j·n1| over the groups × distinct-values grid (products in
+    DECIMAL(38,0)/HUGEINT), divided once at the end; the argmax value
+    is pinned by an explicit (d DESC, v ASC) row_number.  The grid is
+    bounded because events.value is 2-dp money (distinct values capped
+    by the value range — the operator's quantize-first contract)."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.ks_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_gini_value(spark, sf_dir):
+    """Per-event-type Gini concentration of value
+    (analytics.gini_by_group): values ride DECIMAL(18,2) cents so Σx
+    and the rank-weighted Σi·x are exact decimals — and Σi·x is
+    tie-stable (equal x factors out of each tie block, so the window's
+    nondeterministic tie order cannot leak) — with one fixed double
+    combination at the end."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.gini_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_winsorized_value(spark, sf_dir):
+    """Per-event-type winsorized mean at [p5, p95]
+    (analytics.winsorized_stats): both bounds are EXACT order
+    statistics picked by row_number (the mad_outliers discipline);
+    clamping and both sums run on DECIMAL(18,2) with one double
+    division at the end."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.winsorized_stats(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_kendall_value_hour(spark, sf_dir):
+    """Per-event-type Kendall tau-b of ($25-bucketed value) vs
+    hour-of-day (analytics.kendall_tau_binned): concordant/discordant
+    pair counts are exact Σc₁·c₂ sums over ordered cell pairs of the
+    quantized joint table, ties come from the marginals, and the pair
+    counts ride DECIMAL(38,0)/HUGEINT — only the final ratio is float.
+    Quantization bounds the O(cells²) join; the bucket uses the
+    sign-guarded floor identity (Spark div truncates, DuckDB //
+    floors) and hour falls out of epoch arithmetic tz-free."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    binned = ev.select(
+        "event_type",
+        F.col("ts"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    ).select(
+        "event_type",
+        AN.floor_bucket("c", 2500).cast("long").alias("vb"),
+        F.expr("(ts div 3600000000000) % 24").cast("long").alias("hr"),
+    )
+    return AN.kendall_tau_binned(binned, "event_type", "vb", "hr")
+
+
+def q_kl_sources(spark, sf_dir):
+    """Per-source KL divergence of the unigram distribution from the
+    whole corpus (text.kl_by_group) — the DSIR/DoReMi-style domain
+    shift readout: p and q stay exact integer ratios until the double
+    division inside each term, and the cross-token float sum runs as
+    an ascending-token left fold the oracle replays term-for-term (the
+    token_entropy precedent).  No smoothing: group support ⊆ corpus
+    support by construction."""
+    from streamkit_spark.functions.text import kl_by_group
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return kl_by_group(docs, "source", "text")
+
+
+def q_psi_daily(spark, sf_dir):
+    """Per-day PSI of the value distribution vs the complement of all
+    other days (analytics.psi_profile with the integer day index as the
+    group) — the drift TREND over time the VERDICT candidate list asked
+    for: which days' traffic distributions diverged?  Same exact
+    histogram-sketch machinery as psi_drift; the tz-free day index is
+    pure epoch arithmetic on both engines."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(F.col("ts").isNotNull())
+    daily = ev.select(
+        F.expr("ts div 86400000000000").cast("long").alias("day"),
+        "value",
+    )
+    return AN.psi_profile(daily, "day", "value")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2970,6 +3083,15 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": q_hist_quantiles,
         "event_assoc": q_event_assoc,
         "psi_drift": q_psi_drift,
+        # --- new in round 6: locally verified, rotate into the driver
+        # window in r7 (see the CLAUDE.md rotation ledger) ---
+        "ranksum_value": q_ranksum_value,
+        "ks_value": q_ks_value,
+        "gini_value": q_gini_value,
+        "winsorized_value": q_winsorized_value,
+        "kendall_value_hour": q_kendall_value_hour,
+        "kl_sources": q_kl_sources,
+        "psi_daily": q_psi_daily,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -5376,12 +5498,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
         ), dfq AS (
-            SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+            SELECT shingle, count(*) AS df FROM sh GROUP BY 1 HAVING count(*) <= 32
+        ), keyed AS (
+            -- each doc blocks on its 8 rarest (df, shingle) shingles:
+            -- candidates are linear in corpus size (engine rarest_k=8)
+            SELECT doc_id, shingle FROM (
+                SELECT sh.doc_id, sh.shingle,
+                       row_number() OVER (PARTITION BY sh.doc_id
+                                          ORDER BY dfq.df, sh.shingle) AS rn
+                FROM sh JOIN dfq ON sh.shingle = dfq.shingle) r
+            WHERE rn <= 8
         ), cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            JOIN dfq ON a.shingle = dfq.shingle
-            WHERE dfq.df <= 32
+            FROM keyed a JOIN keyed b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         ), tx AS (
             SELECT doc_id, substr(lower(text), 1, 512) AS s FROM documents
         ), v AS (
@@ -6754,5 +6884,308 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 4) + 0 AS dup_rate
         FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
         GROUP BY d.source ORDER BY d.source
+    """
+    # Mann-Whitney U: doubled average ranks from the distinct-value
+    # count table (exact integers), tie sum in HUGEINT, one fixed float
+    # expression for the variance/z.
+    sql["ranksum_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1
+        ), ranked AS (
+            SELECT v, t,
+                   CAST(2 * coalesce(sum(t) OVER (
+                            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS dr
+            FROM vals
+        ), ties AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n,
+                   sum(CAST(t AS HUGEINT) * t * t - t) AS tsum
+            FROM ranked
+        ), per AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1,
+                   CAST(sum(c * dr) AS BIGINT) AS r2
+            FROM cells JOIN ranked USING (v) GROUP BY grp
+        ), m AS (
+            SELECT grp, n1, n, r2,
+                   (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                    / CAST(12 AS DOUBLE))
+                 * ((CAST(n AS DOUBLE) + CAST(1 AS DOUBLE))
+                    - CAST(tsum AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))) AS var
+            FROM per CROSS JOIN ties
+        )
+        SELECT grp AS event_type, n1 AS n,
+               CAST(n - n1 AS BIGINT) AS n_rest,
+               round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                     / CAST(2 AS DOUBLE), 4) AS u,
+               round(CASE WHEN n >= 2 AND var > 0 THEN
+                     (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                        / CAST(2 AS DOUBLE))
+                     / sqrt(var) END, 4) + 0 AS z
+        FROM m ORDER BY event_type
+    """
+    # Two-sample KS: exact integer |i·n2 − j·n1| max over the groups ×
+    # distinct-values grid; argmax pinned by (d DESC, v ASC).
+    sql["ks_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1
+        ), pts AS (
+            SELECT v, CAST(sum(g) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_all
+            FROM vals
+        ), grps AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+        ), grid AS (
+            SELECT g.grp, p.v, g.n1, p.cum_all,
+                   coalesce(cells.c, 0) AS c
+            FROM grps g CROSS JOIN pts p
+            LEFT JOIN cells ON cells.grp = g.grp AND cells.v = p.v
+        ), cum AS (
+            SELECT grp, v, n1, cum_all,
+                   CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS i
+            FROM grid
+        ), scored AS (
+            SELECT grp, v, n1, n,
+                   abs(CAST(i AS HUGEINT) * (n - n1)
+                       - CAST(cum_all - i AS HUGEINT) * n1) AS dnum
+            FROM cum CROSS JOIN tot
+        ), best AS (
+            SELECT grp, v, n1, n, dnum,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY dnum DESC, v ASC) AS rn
+            FROM scored
+        )
+        SELECT grp AS event_type, n1 AS n,
+               CAST(n - n1 AS BIGINT) AS n_rest,
+               round(CASE WHEN n > n1 THEN CAST(dnum AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) END, 4)
+                 AS ks_d,
+               v AS at_value
+        FROM best WHERE rn = 1 ORDER BY event_type
+    """
+    # Gini: exact decimal Σx and tie-stable rank-weighted Σi·x; one
+    # fixed double combination.
+    sql["gini_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS x
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND value >= 0
+        ), ranked AS (
+            SELECT grp, x,
+                   CAST(row_number() OVER (PARTITION BY grp ORDER BY x)
+                        AS BIGINT) AS i
+            FROM base
+        ), agg AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx,
+                   sum(CAST(i AS DECIMAL(18,0)) * x) AS six
+            FROM ranked GROUP BY grp
+        )
+        SELECT grp AS event_type, n,
+               round(CAST(sx AS DOUBLE), 2) AS total,
+               round(CASE WHEN sx > 0 THEN
+                     (CAST(2 AS DOUBLE) * CAST(six AS DOUBLE)
+                      - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                     END, 4) + 0 AS gini
+        FROM agg ORDER BY event_type
+    """
+    # Winsorized mean: exact order-statistic bounds, decimal clamp+sums.
+    sql["winsorized_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS x
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), ranked AS (
+            SELECT grp, x,
+                   CAST(row_number() OVER (PARTITION BY grp ORDER BY x)
+                        AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS nn
+            FROM base
+        ), bounds AS (
+            SELECT grp,
+                   min(CASE WHEN rn = greatest(1, (5 * nn + 99) // 100)
+                            THEN x END) AS lo,
+                   min(CASE WHEN rn = (95 * nn + 99) // 100
+                            THEN x END) AS hi
+            FROM ranked GROUP BY grp
+        ), clamped AS (
+            SELECT base.grp, x, lo, hi,
+                   least(greatest(x, lo), hi) AS w
+            FROM base JOIN bounds ON bounds.grp = base.grp
+        )
+        SELECT grp AS event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(lo) AS DOUBLE) AS lo,
+               CAST(min(hi) AS DOUBLE) AS hi,
+               round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                 + 0 AS mean,
+               round(CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                 + 0 AS wins_mean
+        FROM clamped GROUP BY grp ORDER BY event_type
+    """
+    # Kendall tau-b on the quantized (value bucket, hour) cell table:
+    # exact integer concordance counts, HUGEINT pair counts.
+    sql["kendall_value_hour"] = """
+        WITH cents AS (
+            SELECT event_type AS grp,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                   ts
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND ts IS NOT NULL
+        ), base AS (
+            SELECT grp,
+                   CASE WHEN c >= 0 THEN c // 2500
+                        ELSE -((-c + 2499) // 2500) END AS x,
+                   (epoch_ms(ts) // 3600000) % 24 AS y
+            FROM cents
+        ), cells AS (
+            SELECT grp, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2, 3
+        ), cd AS (
+            SELECT a.grp,
+                   sum(CASE WHEN a.y < b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE CAST(0 AS HUGEINT) END) AS cc,
+                   sum(CASE WHEN a.y > b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE CAST(0 AS HUGEINT) END) AS dd
+            FROM cells a JOIN cells b
+              ON a.grp = b.grp AND a.x < b.x
+            GROUP BY a.grp
+        ), xm AS (
+            SELECT grp, x, CAST(sum(c) AS BIGINT) AS tx
+            FROM cells GROUP BY 1, 2
+        ), ym AS (
+            SELECT grp, y, CAST(sum(c) AS BIGINT) AS ty
+            FROM cells GROUP BY 1, 2
+        ), t1 AS (
+            SELECT grp, sum(CAST(tx AS HUGEINT) * (tx - 1)) // 2 AS n1
+            FROM xm GROUP BY grp
+        ), t2 AS (
+            SELECT grp, sum(CAST(ty AS HUGEINT) * (ty - 1)) // 2 AS n2
+            FROM ym GROUP BY grp
+        ), nn AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY grp
+        ), j AS (
+            SELECT nn.grp, n,
+                   coalesce(cc, CAST(0 AS HUGEINT)) AS cc,
+                   coalesce(dd, CAST(0 AS HUGEINT)) AS dd,
+                   (CAST(n AS HUGEINT) * (n - 1)) // 2 AS n0,
+                   n1, n2
+            FROM nn LEFT JOIN cd ON cd.grp = nn.grp
+            JOIN t1 ON t1.grp = nn.grp
+            JOIN t2 ON t2.grp = nn.grp
+        )
+        SELECT grp AS event_type, n,
+               CAST(cc AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               round(CASE WHEN n0 > n1 AND n0 > n2 THEN
+                     CAST(cc - dd AS DOUBLE)
+                     / sqrt(CAST(n0 - n1 AS DOUBLE)
+                            * CAST(n0 - n2 AS DOUBLE)) END, 4) + 0 AS tau
+        FROM j ORDER BY event_type
+    """
+    # KL(source ‖ corpus) over unigrams: exact integer ratios inside
+    # each term; the float sum replays as a token-sorted list fold.
+    sql["kl_sources"] = r"""
+        WITH tk AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2
+        ), gcnt AS (
+            SELECT tk, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells
+        ), g AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   list(struct_pack(c := c, ct := ct, nn := nn)
+                        ORDER BY tk) AS cl
+            FROM cells JOIN gcnt USING (tk) CROSS JOIN tot
+            GROUP BY source
+        )
+        SELECT source, n_tokens, n_distinct,
+               round(list_sum(list_apply(cl,
+                   x -> (CAST(x.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * ln((CAST(x.c AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE))
+                             / (CAST(x.ct AS DOUBLE)
+                                / CAST(x.nn AS DOUBLE))))), 4) + 0 AS kl
+        FROM g ORDER BY source
+    """
+    # Per-day PSI vs the complement of all other days: the psi_drift
+    # machinery with the tz-free integer day index as the group.
+    sql["psi_daily"] = """
+        WITH cents AS (
+            SELECT epoch_ms(ts) // 86400000 AS grp,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), bk AS (
+            SELECT grp, CASE WHEN c >= 0 THEN c // 2500
+                             ELSE -((-c + 2499) // 2500) END AS b
+            FROM cents
+        ), bc AS (
+            SELECT grp, b, CAST(count(*) AS BIGINT) AS cc
+            FROM bk GROUP BY 1, 2
+        ), spine AS (
+            SELECT DISTINCT b FROM bc
+        ), grps AS (
+            SELECT DISTINCT grp FROM bc
+        ), tbt AS (
+            SELECT b, CAST(sum(cc) AS BIGINT) AS tb FROM bc GROUP BY 1
+        ), tgt AS (
+            SELECT grp, CAST(sum(cc) AS BIGINT) AS na FROM bc GROUP BY 1
+        ), sc AS (
+            SELECT CAST(sum(cc) AS BIGINT) AS nn,
+                   CAST(count(DISTINCT b) AS BIGINT) AS bb
+            FROM bc
+        ), grid AS (
+            SELECT g.grp, s.b, coalesce(bc.cc, 0) AS ca,
+                   tbt.tb, tgt.na, sc.nn, sc.bb
+            FROM grps g CROSS JOIN spine s
+            LEFT JOIN bc ON bc.grp = g.grp AND bc.b = s.b
+            JOIN tbt ON tbt.b = s.b
+            JOIN tgt ON tgt.grp = g.grp
+            CROSS JOIN sc
+        ), terms AS (
+            SELECT grp, b, na, nn, bb,
+                   (CAST(ca + 1 AS DOUBLE) / CAST(na + bb AS DOUBLE)
+                    - CAST(tb - ca + 1 AS DOUBLE)
+                      / CAST(nn - na + bb AS DOUBLE))
+                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + bb AS DOUBLE))
+                      / (CAST(tb - ca + 1 AS DOUBLE)
+                         / CAST(nn - na + bb AS DOUBLE))) AS t
+            FROM grid
+        )
+        SELECT CAST(grp AS BIGINT) AS day, min(na) AS n,
+               CAST(min(nn) - min(na) AS BIGINT) AS n_rest,
+               min(bb) AS n_buckets,
+               round(list_sum(list(t ORDER BY b)), 4) + 0 AS psi
+        FROM terms GROUP BY grp ORDER BY day
     """
     return sql

@@ -50,6 +50,12 @@ __all__ = [
     "association_rules",
     "psi_profile",
     "psi_from_histogram",
+    "floor_bucket",
+    "ranksum_by_group",
+    "ks_by_group",
+    "gini_by_group",
+    "winsorized_stats",
+    "kendall_tau_binned",
 ]
 
 
@@ -1374,22 +1380,26 @@ def histogram_buckets(
     from different partitions/days/micro-batches merge by summing
     ``c``."""
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    bw = int(bucket_cents)
     return (
         df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(F.col(group_col).alias("grp"), cents.alias("cents"))
-        # floor division via non-negative operands only: Spark's `div`
-        # truncates toward zero while DuckDB's `//` floors — they
-        # diverge on negative cents, so neither is used on one
-        .select(
-            "grp",
-            F.expr(
-                f"CASE WHEN cents >= 0 THEN cents div {bw} "
-                f"ELSE -((-cents + {bw} - 1) div {bw}) END"
-            ).alias("b"),
-        )
+        .select("grp", floor_bucket("cents", bucket_cents).alias("b"))
         .groupBy("grp", "b")
         .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def floor_bucket(col_name: str, width: int) -> Column:
+    """Sign-guarded fixed-width bucket of an integer column — the ONE
+    source of truth for the cross-engine floor-division identity:
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    so they diverge on negative operands; routing both engines through
+    non-negative operands only (CASE on sign + the
+    ``-((-x + w-1) div w)`` identity) keeps bucket ids identical."""
+    w = int(width)
+    return F.expr(
+        f"CASE WHEN {col_name} >= 0 THEN {col_name} div {w} "
+        f"ELSE -((-{col_name} + {w} - 1) div {w}) END"
     )
 
 
@@ -1617,5 +1627,478 @@ def psi_from_histogram(
             ).alias("psi"),
         )
         .select(F.col("grp").alias(group_col), "n", "n_rest", "n_buckets", "psi")
+        .orderBy(group_col)
+    )
+
+
+def _value_cells(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Shared (grp, v, c) count table for the rank/CDF statistics
+    (ranksum_by_group, ks_by_group): null-filtered, double-cast,
+    localCheckpoint'ed because every consumer fans it into ≥3 branches
+    (per-value totals, per-group totals, the grid/rank join)."""
+    return (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("grp", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def ranksum_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Mann-Whitney U rank-sum test of ``value`` against the
+    group's COMPLEMENT — the nonparametric sibling of
+    :func:`ab_test_report`'s Welch z: does this segment's value
+    DISTRIBUTION sit higher or lower than everyone else's, outliers and
+    non-normality be damned?  Output ``(group, n, n_rest, u, z)``; |z|
+    ≳ 1.96 flags a shifted segment at the usual 5% level.
+
+    Determinism contract: ranks never touch raw rows — the doubled
+    average rank of every distinct value, ``2·(cum count below) + t +
+    1`` (t = the value's tie count), comes from a cumulative window
+    over the DISTINCT-VALUE count table, so every rank is an exact
+    integer and the per-group rank sum Σ c_g·dr is an exact BIGINT.
+    The doubled U statistic ``u2 = Σc_g·dr − n1·(n1+1)`` is exact; the
+    tie-corrected variance ``(n1·n2/12)·((n+1) − Σ(t³−t)/(n·(n−1)))``
+    uses the exact DECIMAL(38,0) tie sum (t³ exceeds int64 past n ≈
+    2M ties on one value); only the final mean/variance/z arithmetic is
+    floating point, with ONE expression shape on both engines.  z is
+    NULL when the variance is 0 (every row the same value).
+
+    Scale: one (group, value) count (the only full-data shuffle), then
+    everything runs on the distinct-value table.  The cumulative window
+    over distinct values is a single-partition sort of that table —
+    bounded by VALUE CARDINALITY, not rows; quantize unbounded doubles
+    upstream (``histogram_buckets``) exactly as for :func:`ks_by_group`.
+    """
+    cells = _value_cells(df, group_col, value_col)
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    # doubled average rank of value v: ranks cum_prev+1 .. cum_prev+t
+    # average to cum_prev + (t+1)/2, doubled = 2·cum_prev + t + 1.
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    ties = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tsum"),
+    )
+    per = (
+        cells.join(F.broadcast(ranked.select("v", "dr")), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n1"),
+            F.sum(F.col("c") * F.col("dr")).cast("long").alias("r2"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    nd = F.col("n").cast("double")
+    u2 = F.col("r2") - F.col("n1") * (F.col("n1") + 1)
+    var = (
+        (n1d * n2d / F.lit(12.0))
+        * ((nd + F.lit(1.0)) - F.col("tsum").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    # outer n >= 2 guard fires BEFORE the tie-correction's n·(n−1)
+    # division inside var can run (the r5 guard-before-sqrt discipline
+    # applies to divisions too: ANSI mode raises on a 1-row input).
+    z = F.when(
+        F.col("n") >= 2,
+        F.when(
+            var > 0,
+            (u2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0))
+            / F.sqrt(var),
+        ),
+    )
+    return (
+        per.select(
+            F.col("grp").alias(group_col),
+            F.col("n1").alias("n"),
+            (F.col("n") - F.col("n1")).cast("long").alias("n_rest"),
+            F.round(u2.cast("double") / F.lit(2.0), round_digits).alias("u"),
+            (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov distance of ``value``
+    against the group's COMPLEMENT: the supremum |F_g(x) − F_rest(x)|
+    over the empirical CDFs — the distribution-shape drift metric that
+    catches what a mean test misses (``psi_profile``'s un-bucketed exact
+    sibling).  Output ``(group, n, n_rest, ks_d, at_value)`` where
+    ``at_value`` is the smallest value attaining the supremum.
+
+    Determinism contract: both CDFs are step functions changing only at
+    observed values, so D is an exact integer maximum — per grid point,
+    ``|i·n2 − j·n1|`` with i/j the inclusive cumulative counts and the
+    products in DECIMAL(38,0) (they exceed int64 past n ≈ 3·10⁹) —
+    divided by n1·n2 only at the very end.  The argmax is pinned by an
+    explicit (d DESC, v ASC) row_number, never max_by.
+
+    Scale: one (group, value) count, then every stage runs on the
+    |groups| × |distinct values| grid — this operator is for
+    BOUNDED-CARDINALITY group columns (types, variants) and value
+    columns of bounded distinct count; quantize unbounded doubles
+    upstream (``histogram_buckets``) to bound the grid, exactly as the
+    chi2 contract bounds its contingency table.
+    """
+    cells = _value_cells(df, group_col, value_col)
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("g"))
+    groups = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pts = vals.select(
+        "v", F.sum("g").over(wall).cast("long").alias("cum_all")
+    )
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(38,0)"
+    grid = (
+        pts.crossJoin(F.broadcast(groups))
+        .join(cells, ["grp", "v"], "left")
+        .select(
+            "grp",
+            "v",
+            "n1",
+            "cum_all",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .select(
+            "grp",
+            "v",
+            "n1",
+            "cum_all",
+            F.sum("c").over(wg).cast("long").alias("i"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    dnum = F.abs(
+        F.col("i").cast(dec) * (F.col("n") - F.col("n1")).cast(dec)
+        - (F.col("cum_all") - F.col("i")).cast(dec) * F.col("n1").cast(dec)
+    )
+    scored = grid.select(
+        "grp", "v", "n1", "n", dnum.alias("dnum")
+    )
+    wbest = Window.partitionBy("grp").orderBy(
+        F.col("dnum").desc(), F.col("v").asc()
+    )
+    best = scored.withColumn("rn", F.row_number().over(wbest)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.select(
+            F.col("grp").alias(group_col),
+            F.col("n1").alias("n"),
+            (F.col("n") - F.col("n1")).cast("long").alias("n_rest"),
+            # NULL, not a crash, when the complement is empty (single
+            # distinct group): ANSI mode raises on the 0-denominator.
+            F.round(
+                F.when(
+                    F.col("n") > F.col("n1"),
+                    F.col("dnum").cast("double")
+                    / (
+                        F.col("n1").cast("double")
+                        * (F.col("n") - F.col("n1")).cast("double")
+                    ),
+                ),
+                round_digits,
+            ).alias("ks_d"),
+            F.col("v").alias("at_value"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column —
+    the concentration/inequality readout (is revenue spread across
+    events or piled on a few?).  Output ``(group, n, total, gini)``;
+    0 = perfectly even, →1 = all mass on one row.  Negative values are
+    filtered (the Lorenz construction needs a non-negative measure).
+
+    Determinism contract: G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the
+    ascending sort.  Values ride DECIMAL(18,2) cents so both Σx and the
+    rank-weighted Σi·x₍ᵢ₎ are exact decimals — and Σi·x is TIE-STABLE:
+    rows with equal x can permute their row_numbers freely without
+    changing the sum (x factors out of each tie block), so the window's
+    nondeterministic tie order cannot leak into the result.  The final
+    combination runs in double from the exact components with one fixed
+    expression shape on both engines.
+
+    Scale: one rank window partitioned by group (the same exact-order-
+    statistic cost envelope as :func:`mad_outliers`) plus a plain
+    aggregate.  No collect, no self-join.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (F.col(value_col) >= 0)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("decimal(18,2)").alias("x"),
+    )
+    ranked = base.select(
+        "grp",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("x"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).alias("six"),
+    )
+    num = (
+        F.lit(2.0) * F.col("six").cast("double")
+        - (F.col("n") + 1).cast("double") * F.col("sx").cast("double")
+    )
+    den = F.col("n").cast("double") * F.col("sx").cast("double")
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(F.col("sx").cast("double"), 2).alias("total"),
+            (
+                F.round(F.when(F.col("sx") > 0, num / den), round_digits)
+                + F.lit(0.0)
+            ).alias("gini"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group winsorized mean: clamp values into the [p_lo, p_hi]
+    EXACT order-statistic bounds, then average — the robust location
+    estimate that keeps sample size (unlike trimming) while capping
+    tail leverage.  Output ``(group, n, lo, hi, mean, wins_mean)``.
+
+    Determinism contract: both bounds are actual sample values picked
+    by row_number — lo = the ⌈lo_pct·n/100⌉-th smallest (floored at
+    rank 1), hi = the ⌈hi_pct·n/100⌉-th — so no approx-percentile value
+    error and no tie/aggregation-order sensitivity (the mad_outliers
+    discipline).  Clamping and both sums run on DECIMAL(18,2) cents —
+    exact whatever the partial-agg order — with one double division at
+    the end.
+
+    Scale: one rank window partitioned by group + one broadcast join of
+    the per-group bound scalars.  Same cost envelope as
+    :func:`mad_outliers`.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("decimal(18,2)").alias("x"),
+    )
+    ranked = base.select(
+        "grp",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("x"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).cast("long").alias("nn"),
+    )
+    lo_rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"({lo_pct} * nn + 99) div 100"),
+    )
+    hi_rank = F.expr(f"({hi_pct} * nn + 99) div 100")
+    bounds = ranked.groupBy("grp").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("x"))).alias("hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "x",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clamped.groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.first("lo").alias("lo_d"),
+            F.first("hi").alias("hi_d"),
+            F.sum("x").alias("sx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("lo_d").cast("double").alias("lo"),
+            F.col("hi_d").cast("double").alias("hi"),
+            F.round(
+                F.col("sx").cast("double") / F.col("n").cast("double"),
+                round_digits,
+            ).alias("mean"),
+            F.round(
+                F.col("sw").cast("double") / F.col("n").cast("double"),
+                round_digits,
+            ).alias("wins_mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kendall_tau_binned(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation over PRE-QUANTIZED
+    integer (x, y) columns — the concordance complement to
+    :func:`spearman_by_group` that stays exact and scalable by working
+    on the joint (x, y) CELL table instead of row pairs: concordant /
+    discordant pair counts are Σ c₁·c₂ over ordered cell pairs, tie
+    corrections come from the marginals, and
+    tau_b = (C − D) / √((n₀−n₁)·(n₀−n₂)) with n₀ = n(n−1)/2.  Output
+    ``(group, n, concordant, discordant, tau)``; tau is NULL when
+    either axis is constant.
+
+    Determinism contract: every count is an exact integer; the n₀/n₁/n₂
+    pair counts ride DECIMAL(38,0) (they exceed int64 past n ≈ 3·10⁹);
+    only the final ratio is floating point, one expression shape on
+    both engines.
+
+    Scale: quantization IS the contract — the cell self-join is
+    O(cells²) per group, so feed bucketed columns (value div width,
+    hour-of-day, deciles), never raw identifiers; the cell table is
+    localCheckpoint'ed so the join's two branches share one scan.  This
+    trades the O(n log n) merge-sort inversion count (impossible to
+    express declaratively) for exactness on the quantized statistic.
+    """
+    cells = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(x_col).isNotNull()
+            & F.col(y_col).isNotNull()
+        )
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(x_col).cast("long").alias("x"),
+            F.col(y_col).cast("long").alias("y"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    dec = "decimal(38,0)"
+    a = cells.select(
+        "grp",
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        F.col("c").alias("c1"),
+    )
+    b = cells.select(
+        "grp",
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    # each unordered cross-x cell pair exactly once; x-tied pairs never
+    # contribute to C or D (they are counted in the n1 tie term).
+    cross = a.join(b, "grp").filter(F.col("x1") < F.col("x2"))
+    cd = cross.groupBy("grp").agg(
+        F.sum(
+            F.when(
+                F.col("y1") < F.col("y2"),
+                F.col("c1").cast(dec) * F.col("c2").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("cc"),
+        F.sum(
+            F.when(
+                F.col("y1") > F.col("y2"),
+                F.col("c1").cast(dec) * F.col("c2").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("dd"),
+    )
+    xm = cells.groupBy("grp", "x").agg(F.sum("c").alias("tx"))
+    ym = cells.groupBy("grp", "y").agg(F.sum("c").alias("ty"))
+    n1 = xm.groupBy("grp").agg(
+        (
+            F.sum(F.col("tx").cast(dec) * (F.col("tx") - 1).cast(dec))
+            / 2
+        ).cast(dec).alias("n1")
+    )
+    n2 = ym.groupBy("grp").agg(
+        (
+            F.sum(F.col("ty").cast(dec) * (F.col("ty") - 1).cast(dec))
+            / 2
+        ).cast(dec).alias("n2")
+    )
+    nn = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        nn.join(F.broadcast(cd), "grp", "left")
+        .join(F.broadcast(n1), "grp")
+        .join(F.broadcast(n2), "grp")
+        .select(
+            "grp",
+            "n",
+            F.coalesce(F.col("cc"), F.lit(0).cast(dec)).alias("cc"),
+            F.coalesce(F.col("dd"), F.lit(0).cast(dec)).alias("dd"),
+            (
+                (F.col("n").cast(dec) * (F.col("n") - 1).cast(dec)) / 2
+            ).cast(dec).alias("n0"),
+            "n1",
+            "n2",
+        )
+    )
+    d1 = (F.col("n0") - F.col("n1")).cast("double")
+    d2 = (F.col("n0") - F.col("n2")).cast("double")
+    tau = F.when(
+        (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+        (F.col("cc") - F.col("dd")).cast("double") / F.sqrt(d1 * d2),
+    )
+    return (
+        j.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("cc").cast("long").alias("concordant"),
+            F.col("dd").cast("long").alias("discordant"),
+            (F.round(tau, round_digits) + F.lit(0.0)).alias("tau"),
+        )
         .orderBy(group_col)
     )

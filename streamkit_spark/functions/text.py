@@ -618,3 +618,85 @@ def heaps_fit(
             round_digits,
         ).alias("r2"),
     )
+
+
+def kl_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution from
+    the WHOLE-CORPUS distribution, KL(P_g ‖ P_corpus) = Σ p·ln(p/q) in
+    nats — the domain-shift readout that pairs with
+    :func:`token_entropy`'s diversity: how far has this source drifted
+    from the corpus mixture it feeds?  (DSIR/DoReMi-style data-mixing
+    diagnostics plot exactly this quantity per domain.)  Output
+    ``(group, n_tokens, n_distinct, kl)``.
+
+    No smoothing is needed: P_g's support is a subset of the corpus
+    support by construction (every group token is a corpus token), so
+    q > 0 wherever p > 0 and the sum is finite.
+
+    Determinism contract: p = c_g/n_g and q = c/N stay exact integer
+    ratios until the double division inside each term, and the
+    cross-token float sum — the only order-sensitive reduction — runs
+    as a left fold over the ASCENDING-token term array (the
+    token_entropy precedent), replayed term-for-term by the oracle.
+
+    Scale: one (group, token) count (the full-data shuffle), a
+    vocabulary-sized global count joined back by token, and a per-group
+    fold whose state is vocabulary-sized.  No collect, no self-join.
+    """
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    cells = (
+        tok.groupBy("g", "tk")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    glob = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("c").cast("long").alias("nn"))
+    joined = cells.join(glob, "tk").crossJoin(F.broadcast(tot))
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.array_sort(
+                F.collect_list(F.struct("tk", "c", "ct", "nn"))
+            ).alias("__tc"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_distinct",
+            (
+                F.round(
+                    F.aggregate(
+                        "__tc",
+                        F.lit(0.0).cast("double"),
+                        lambda acc, x: acc
+                        + (
+                            x.getField("c").cast("double")
+                            / F.col("n_tokens").cast("double")
+                        )
+                        * F.log(
+                            (
+                                x.getField("c").cast("double")
+                                / F.col("n_tokens").cast("double")
+                            )
+                            / (
+                                x.getField("ct").cast("double")
+                                / x.getField("nn").cast("double")
+                            )
+                        ),
+                    ),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

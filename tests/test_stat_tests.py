@@ -1,0 +1,305 @@
+"""Unit tests for the round-6 statistical-test block: ranksum_by_group
+(Mann-Whitney U vs python reference), ks_by_group (exact two-sample KS),
+gini_by_group, winsorized_stats (order-statistic bounds),
+kendall_tau_binned (vs an O(n²) python pair loop), and text.kl_by_group
+(vs python counts)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from streamkit_spark.functions.analytics import (
+    gini_by_group,
+    kendall_tau_binned,
+    ks_by_group,
+    ranksum_by_group,
+    winsorized_stats,
+)
+from streamkit_spark.functions.text import kl_by_group
+
+
+# ---------------------------------------------------------------------------
+# python references
+# ---------------------------------------------------------------------------
+
+def _ranksum_ref(a, b):
+    """Mann-Whitney U + tie-corrected z for sample a vs b, in python."""
+    pooled = sorted(a + b)
+    # fractional ranks
+    first, cnt = {}, Counter(pooled)
+    for i, x in enumerate(pooled):
+        if x not in first:
+            first[x] = i + 1
+    rank = {x: first[x] + (cnt[x] - 1) / 2.0 for x in cnt}
+    n1, n2, n = len(a), len(b), len(a) + len(b)
+    r1 = sum(rank[x] for x in a)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    tsum = sum(t**3 - t for t in cnt.values())
+    var = (n1 * n2 / 12.0) * ((n + 1) - tsum / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else None
+    return u, z
+
+
+def _ks_ref(a, b):
+    """Exact two-sample KS distance in python."""
+    pts = sorted(set(a + b))
+    n1, n2 = len(a), len(b)
+    best = 0.0
+    for v in pts:
+        fa = sum(1 for x in a if x <= v) / n1
+        fb = sum(1 for x in b if x <= v) / n2
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def _gini_ref(xs):
+    s = sorted(xs)
+    n, tot = len(s), sum(s)
+    if tot <= 0:
+        return None
+    return (2 * sum((i + 1) * x for i, x in enumerate(s)) - (n + 1) * tot) / (
+        n * tot
+    )
+
+
+def _kendall_ref(pairs):
+    """tau-b by the O(n²) definition."""
+    n = len(pairs)
+    cc = dd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = pairs[i], pairs[j]
+            if x1 == x2 and y1 == y2:
+                tx += 1
+                ty += 1
+            elif x1 == x2:
+                tx += 1
+            elif y1 == y2:
+                ty += 1
+            elif (x1 < x2) == (y1 < y2):
+                cc += 1
+            else:
+                dd += 1
+    n0 = n * (n - 1) // 2
+    d1, d2 = n0 - tx, n0 - ty
+    if d1 <= 0 or d2 <= 0:
+        return cc, dd, None
+    return cc, dd, (cc - dd) / math.sqrt(d1 * d2)
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+A_VALS = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 13.0, 2.5]
+B_VALS = [2.0, 4.0, 4.0, 6.0, 6.0, 9.0, 1.5, 7.0, 7.0]
+
+
+@pytest.fixture()
+def two_groups(spark):
+    rows = [("a", v) for v in A_VALS] + [("b", v) for v in B_VALS]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+# ---------------------------------------------------------------------------
+# ranksum
+# ---------------------------------------------------------------------------
+
+class TestRanksum:
+    def test_matches_python_reference(self, spark, two_groups):
+        got = {r["grp"]: r for r in ranksum_by_group(two_groups, "grp", "v").collect()}
+        u_a, z_a = _ranksum_ref(A_VALS, B_VALS)
+        assert got["a"]["n"] == len(A_VALS)
+        assert got["a"]["n_rest"] == len(B_VALS)
+        assert got["a"]["u"] == pytest.approx(u_a, abs=1e-4)
+        assert got["a"]["z"] == pytest.approx(z_a, abs=1e-4)
+        # complement symmetry: z_b = -z_a (same pooled variance)
+        assert got["b"]["z"] == pytest.approx(-z_a, abs=1e-4)
+
+    def test_constant_values_null_z(self, spark):
+        rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 3
+        df = spark.createDataFrame(rows, "grp string, v double")
+        for r in ranksum_by_group(df, "grp", "v").collect():
+            assert r["z"] is None
+
+    def test_single_row_input_null_not_crash(self, spark):
+        # ANSI mode would raise DIVIDE_BY_ZERO in the tie-correction's
+        # n·(n−1) divisor without the outer n >= 2 guard
+        df = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+        r = ranksum_by_group(df, "grp", "v").collect()[0]
+        assert r["z"] is None and r["n_rest"] == 0
+
+    def test_shifted_distribution_is_significant(self, spark):
+        rows = [("lo", float(i)) for i in range(50)] + [
+            ("hi", float(i + 40)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        got = {r["grp"]: r["z"] for r in ranksum_by_group(df, "grp", "v").collect()}
+        assert got["hi"] > 5
+        assert got["lo"] < -5
+
+
+# ---------------------------------------------------------------------------
+# ks
+# ---------------------------------------------------------------------------
+
+class TestKS:
+    def test_matches_python_reference(self, spark, two_groups):
+        got = {r["grp"]: r for r in ks_by_group(two_groups, "grp", "v").collect()}
+        d_ref = _ks_ref(A_VALS, B_VALS)
+        assert got["a"]["ks_d"] == pytest.approx(d_ref, abs=1e-4)
+        # symmetric statistic
+        assert got["b"]["ks_d"] == pytest.approx(d_ref, abs=1e-4)
+
+    def test_identical_distributions_zero(self, spark):
+        rows = [("a", float(v)) for v in (1, 2, 3)] * 2 + [
+            ("b", float(v)) for v in (1, 2, 3)
+        ] * 2
+        df = spark.createDataFrame(rows, "grp string, v double")
+        for r in ks_by_group(df, "grp", "v").collect():
+            assert r["ks_d"] == 0.0
+
+    def test_single_group_null_not_crash(self, spark):
+        # empty complement → NULL ks_d, not an ANSI DIVIDE_BY_ZERO
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "grp string, v double"
+        )
+        r = ks_by_group(df, "grp", "v").collect()[0]
+        assert r["ks_d"] is None and r["n_rest"] == 0
+
+    def test_disjoint_supports_one(self, spark):
+        rows = [("a", float(i)) for i in range(5)] + [
+            ("b", float(i + 100)) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        got = {r["grp"]: r for r in ks_by_group(df, "grp", "v").collect()}
+        assert got["a"]["ks_d"] == 1.0
+        # at_value = smallest value attaining the sup = max of group a
+        assert got["a"]["at_value"] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# gini
+# ---------------------------------------------------------------------------
+
+class TestGini:
+    def test_matches_python_reference(self, spark, two_groups):
+        got = {r["grp"]: r for r in gini_by_group(two_groups, "grp", "v").collect()}
+        assert got["a"]["gini"] == pytest.approx(_gini_ref(A_VALS), abs=1e-4)
+        assert got["b"]["gini"] == pytest.approx(_gini_ref(B_VALS), abs=1e-4)
+
+    def test_uniform_is_zero_concentrated_is_high(self, spark):
+        rows = [("even", 10.0)] * 10 + [("spike", 0.0)] * 9 + [("spike", 90.0)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        got = {r["grp"]: r["gini"] for r in gini_by_group(df, "grp", "v").collect()}
+        assert got["even"] == 0.0
+        assert got["spike"] == pytest.approx(0.9, abs=1e-4)
+
+    def test_negative_rows_filtered(self, spark):
+        rows = [("a", -5.0), ("a", 1.0), ("a", 1.0)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        r = gini_by_group(df, "grp", "v").collect()[0]
+        assert r["n"] == 2 and r["gini"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# winsorized
+# ---------------------------------------------------------------------------
+
+class TestWinsorized:
+    def test_bounds_are_order_statistics(self, spark):
+        vals = [float(i) for i in range(1, 101)]  # 1..100
+        df = spark.createDataFrame([("a", v) for v in vals], "grp string, v double")
+        r = winsorized_stats(df, "grp", "v").collect()[0]
+        # ceil(5*100/100)=5th smallest = 5; ceil(95*100/100)=95th = 95
+        assert r["lo"] == 5.0 and r["hi"] == 95.0
+        ref = sum(min(max(v, 5.0), 95.0) for v in vals) / len(vals)
+        assert r["wins_mean"] == pytest.approx(ref, abs=1e-4)
+        assert r["mean"] == pytest.approx(sum(vals) / len(vals), abs=1e-4)
+
+    def test_outlier_resistance(self, spark):
+        vals = [10.0] * 99 + [1e6]
+        df = spark.createDataFrame([("a", v) for v in vals], "grp string, v double")
+        r = winsorized_stats(df, "grp", "v").collect()[0]
+        assert r["wins_mean"] == 10.0
+        assert r["mean"] > 1000
+
+    def test_tiny_group_clamps_to_sample(self, spark):
+        df = spark.createDataFrame([("a", 7.0)], "grp string, v double")
+        r = winsorized_stats(df, "grp", "v").collect()[0]
+        assert r["lo"] == 7.0 and r["hi"] == 7.0 and r["wins_mean"] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# kendall
+# ---------------------------------------------------------------------------
+
+class TestKendall:
+    def test_matches_python_pair_loop(self, spark):
+        pts = [
+            (1, 3), (1, 1), (2, 2), (2, 2), (3, 1), (3, 5), (4, 4),
+            (5, 2), (5, 5), (6, 6), (0, 0), (2, 6), (4, 1), (6, 3),
+        ]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in pts], "grp string, x long, y long"
+        )
+        r = kendall_tau_binned(df, "grp", "x", "y").collect()[0]
+        cc, dd, tau = _kendall_ref(pts)
+        assert (r["concordant"], r["discordant"]) == (cc, dd)
+        assert r["tau"] == pytest.approx(tau, abs=1e-4)
+
+    def test_perfect_concordance(self, spark):
+        pts = [(i, i * 2) for i in range(10)]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in pts], "grp string, x long, y long"
+        )
+        r = kendall_tau_binned(df, "grp", "x", "y").collect()[0]
+        assert r["tau"] == 1.0 and r["discordant"] == 0
+
+    def test_constant_axis_null(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, y) for y in range(5)], "grp string, x long, y long"
+        )
+        assert kendall_tau_binned(df, "grp", "x", "y").collect()[0]["tau"] is None
+
+
+# ---------------------------------------------------------------------------
+# kl
+# ---------------------------------------------------------------------------
+
+class TestKL:
+    def test_matches_python_reference(self, spark):
+        rows = [
+            ("s1", "apple banana apple cherry"),
+            ("s1", "apple banana"),
+            ("s2", "cherry cherry durian banana"),
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {r["source"]: r for r in kl_by_group(df, "source", "text").collect()}
+
+        counts = defaultdict(Counter)
+        for src, txt in rows:
+            counts[src].update(txt.split())
+        glob = Counter()
+        for c in counts.values():
+            glob.update(c)
+        nn = sum(glob.values())
+        for src, c in counts.items():
+            ng = sum(c.values())
+            ref = sum(
+                (cv / ng) * math.log((cv / ng) / (glob[t] / nn))
+                for t, cv in c.items()
+            )
+            assert got[src]["kl"] == pytest.approx(ref, abs=1e-4)
+            assert got[src]["n_tokens"] == ng
+            assert got[src]["n_distinct"] == len(c)
+
+    def test_single_source_kl_zero(self, spark):
+        df = spark.createDataFrame(
+            [("only", "a b c a")], "source string, text string"
+        )
+        r = kl_by_group(df, "source", "text").collect()[0]
+        assert r["kl"] == 0.0
