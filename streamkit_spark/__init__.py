@@ -23,6 +23,7 @@ from streamkit_spark.engine import StreamkitEngine
 from streamkit_spark.operators.produce import Store
 from streamkit_spark.pipeline import CurationConfig, curate, curation_report
 from streamkit_spark.session import get_spark
+from streamkit_spark.telemetry import StreamProgressListener, Telemetry
 
 __all__ = [
     "get_spark",
@@ -31,5 +32,7 @@ __all__ = [
     "curate",
     "curation_report",
     "CurationConfig",
+    "Telemetry",
+    "StreamProgressListener",
 ]
 __version__ = "0.1.0"
