@@ -2876,6 +2876,113 @@ def q_psi_daily(spark, sf_dir):
     return AN.psi_profile(daily, "day", "value")
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Per-event-type weekly seasonal strength of daily value totals
+    (analytics.seasonal_strength): the ANOVA eta² of the weekday
+    grouping — 1 − SSW/SST over the gap-free observed daily series.
+    Daily totals ride DECIMAL(18,2) (loud overflow guard), every
+    per-weekday moment is exact, each remainder term is one fixed
+    double expression, and SSW folds those 7 terms in phase order
+    (array_sort+aggregate ≡ list_sum ORDER BY — the
+    embedding_covariance fold-parity family).  Phase is day % 7 —
+    the statistic is invariant to any calendar relabeling, so no
+    anchor shift is exposed; tz-free epoch arithmetic."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    return AN.seasonal_strength(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+        period=7,
+    )
+
+
+def q_acf_daily(spark, sf_dir):
+    """Per-event-type lag-1..7 autocorrelation of the GAP-FILLED daily
+    value series (analytics.acf_by_group): missing days materialize as
+    0.00 rows on the global day span (skipping gaps would misalign
+    every lag), the five paired moments are exact DECIMAL(18,2) sums,
+    and the lag-Pearson combination is one fixed double expression with
+    both variance guards firing BEFORE the sqrt.  The spine is
+    localCheckpoint'ed — the lag join references it twice (the
+    derived-table self-join rule)."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    return AN.acf_by_group(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+        max_lag=7,
+    )
+
+
+def q_wilson_high_value(spark, sf_dir):
+    """Per-event-type share of high-value rows (value > 50) with its
+    Wilson score interval (analytics.wilson_by_group): the interval is
+    one fixed double expression from the exact (n, successes) counts,
+    so both engines agree bit-for-bit; the sqrt argument is nonnegative
+    by construction (p = s/n ∈ [0,1] exactly in IEEE)."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    return AN.wilson_by_group(
+        ev.select("event_type", (F.col("value") > F.lit(50)).alias("hi")),
+        "event_type",
+        "hi",
+        z=1.96,
+    )
+
+
+def q_jsd_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions (text.jsd_by_group_pairs) — the symmetric, ≤ ln 2
+    bounded domain-difference matrix.  Only shared tokens reach the
+    pair stage (the one-sided remainder collapses to ln 2 mass);
+    co-occurring pairs enumerate in-row per token — no self-join; all
+    three per-pair float reductions are ascending-token left folds the
+    oracle replays term-for-term."""
+    from streamkit_spark.functions.text import jsd_by_group_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return jsd_by_group_pairs(docs, "source", "text")
+
+
+def q_xcorr_daily(spark, sf_dir):
+    """Pairwise Pearson correlation between event types' gap-filled
+    daily value series (analytics.xcorr_daily): both series share the
+    global-span 0.00-filled spine so every pair aligns over the same
+    n_days; per-day group pairs enumerate in-row
+    (pairs_from_sorted_groups); exact decimal moments, one fixed double
+    Pearson with guards before the sqrt."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.xcorr_daily(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3092,6 +3199,11 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_value_hour": q_kendall_value_hour,
         "kl_sources": q_kl_sources,
         "psi_daily": q_psi_daily,
+        "seasonal_strength": q_seasonal_strength,
+        "acf_daily": q_acf_daily,
+        "wilson_high_value": q_wilson_high_value,
+        "jsd_sources": q_jsd_sources,
+        "xcorr_daily": q_xcorr_daily,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7187,5 +7299,223 @@ def oracle_sql() -> dict[str, str]:
                min(bb) AS n_buckets,
                round(list_sum(list(t ORDER BY b)), 4) + 0 AS psi
         FROM terms GROUP BY grp ORDER BY day
+    """
+    # Seasonal strength: every moment exact DECIMAL; the per-phase
+    # remainder terms fold in phase order (list_sum ORDER BY ≡ the
+    # engine's array_sort+aggregate left fold).
+    sql["seasonal_strength"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), cells AS (
+            SELECT grp, day % 7 AS phase,
+                   CAST(count(*) AS BIGINT) AS nw,
+                   sum(y) AS sw, sum(y * y) AS ssq
+            FROM daily GROUP BY 1, 2
+        ), terms AS (
+            SELECT grp, phase, nw, sw, ssq,
+                   CAST(ssq AS DOUBLE)
+                   - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                     / CAST(nw AS DOUBLE) AS t
+            FROM cells
+        ), g AS (
+            SELECT grp, CAST(sum(nw) AS BIGINT) AS n_days,
+                   sum(sw) AS s, sum(ssq) AS q,
+                   list_sum(list(t ORDER BY phase)) AS ssw
+            FROM terms GROUP BY 1
+        ), fin AS (
+            SELECT grp, n_days, ssw,
+                   CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n_days AS DOUBLE) AS sst
+            FROM g
+        )
+        SELECT grp AS event_type, n_days,
+               round(sst, 4) + 0 AS sst,
+               round(ssw, 4) + 0 AS ssw,
+               round(CASE WHEN sst > 0 THEN
+                     greatest(CAST(0 AS DOUBLE),
+                              CAST(1 AS DOUBLE) - ssw / sst) END, 4)
+                 AS strength
+        FROM fin ORDER BY event_type
+    """
+    # ACF over the gap-filled daily series: exact decimal paired
+    # moments; one fixed double Pearson expression, guards before sqrt.
+    sql["acf_daily"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(day) AS d0, max(day) AS d1 FROM daily
+        ), grid AS (
+            SELECT g.grp, t.day
+            FROM (SELECT DISTINCT grp FROM daily) g
+            CROSS JOIN bounds,
+                 unnest(generate_series(bounds.d0, bounds.d1)) AS t(day)
+        ), spine AS (
+            SELECT grid.grp, grid.day,
+                   COALESCE(d.y, CAST('0.00' AS DECIMAL(18,2))) AS y
+            FROM grid
+            LEFT JOIN daily d ON d.grp = grid.grp AND d.day = grid.day
+        ), lags AS (
+            SELECT CAST(l AS BIGINT) AS lag
+            FROM unnest(generate_series(1, 7)) AS s(l)
+        ), m AS (
+            SELECT a.grp, lag, CAST(count(*) AS BIGINT) AS n,
+                   sum(a.y) AS sa, sum(bb.y) AS sb,
+                   sum(a.y * a.y) AS saa, sum(bb.y * bb.y) AS sbb,
+                   sum(a.y * bb.y) AS sab
+            FROM spine a CROSS JOIN lags
+            JOIN spine bb ON bb.grp = a.grp AND bb.day = a.day + lag
+            GROUP BY 1, 2
+        ), fin AS (
+            SELECT grp, lag, n,
+                   CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS dena,
+                   CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS denb
+            FROM m
+        )
+        SELECT grp AS event_type, lag, n AS n_pairs,
+               round(CASE WHEN dena > 0 AND denb > 0
+                     THEN num / sqrt(dena * denb) END, 4) + 0 AS acf
+        FROM fin ORDER BY event_type, lag
+    """
+    # Wilson interval: exact counts in, one fixed double expression out.
+    sql["wilson_high_value"] = """
+        WITH agg AS (
+            SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1
+        ), parts AS (
+            SELECT grp, n, s,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) AS z2,
+                   CAST(n AS DOUBLE) AS nd
+            FROM agg
+        ), iv AS (
+            SELECT grp, n, s, p,
+                   (p + z2 / (CAST(2 AS DOUBLE) * nd))
+                   / (CAST(1 AS DOUBLE) + z2 / nd) AS center,
+                   CAST('1.96' AS DOUBLE)
+                   * sqrt(p * (CAST(1 AS DOUBLE) - p) / nd
+                          + z2 / (CAST(4 AS DOUBLE) * nd * nd))
+                   / (CAST(1 AS DOUBLE) + z2 / nd) AS half
+            FROM parts
+        )
+        SELECT grp AS event_type, n, s AS successes,
+               round(p, 4) AS rate,
+               round(center - half, 4) + 0 AS lo,
+               round(center + half, 4) AS hi
+        FROM iv ORDER BY event_type
+    """
+    # Pairwise JSD: shared-token pair terms + closed-form ln2 remainder;
+    # all three per-pair float reductions replay as token-ordered folds.
+    sql["jsd_sources"] = r"""
+        WITH tk AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2
+        ), totals AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM cells GROUP BY 1
+        ), pr AS (
+            SELECT x.tk AS tk, x.source AS a, x.c AS ca,
+                   y.source AS b, y.c AS cb
+            FROM cells x JOIN cells y
+              ON x.tk = y.tk AND x.source < y.source
+        ), terms AS (
+            SELECT a, b, tk,
+                   CAST(ca AS DOUBLE) / CAST(na.n AS DOUBLE) AS p,
+                   CAST(cb AS DOUBLE) / CAST(nb.n AS DOUBLE) AS q
+            FROM pr
+            JOIN totals na ON na.source = pr.a
+            JOIN totals nb ON nb.source = pr.b
+        ), t2 AS (
+            SELECT a, b, tk, p, q,
+                   p * ln(CAST(2 AS DOUBLE) * p / (p + q))
+                   + q * ln(CAST(2 AS DOUBLE) * q / (p + q)) AS t
+            FROM terms
+        ), g AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_shared,
+                   list_sum(list(t ORDER BY tk)) AS ts,
+                   list_sum(list(p ORDER BY tk)) AS sp,
+                   list_sum(list(q ORDER BY tk)) AS sq
+            FROM t2 GROUP BY 1, 2
+        )
+        SELECT a AS group_a, b AS group_b, n_shared,
+               round(CAST('0.5' AS DOUBLE) * ts
+                     + CAST('0.5' AS DOUBLE) * ln(CAST(2 AS DOUBLE))
+                       * ((CAST(1 AS DOUBLE) - sp)
+                          + (CAST(1 AS DOUBLE) - sq)), 4) + 0 AS jsd
+        FROM g ORDER BY group_a, group_b
+    """
+    # Cross-group daily correlation on the shared gap-filled spine:
+    # exact decimal moments, the acf_daily Pearson shape per pair.
+    sql["xcorr_daily"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(day) AS d0, max(day) AS d1 FROM daily
+        ), grid AS (
+            SELECT g.grp, t.day
+            FROM (SELECT DISTINCT grp FROM daily) g
+            CROSS JOIN bounds,
+                 unnest(generate_series(bounds.d0, bounds.d1)) AS t(day)
+        ), spine AS (
+            SELECT grid.grp, grid.day,
+                   COALESCE(d.y, CAST('0.00' AS DECIMAL(18,2))) AS y
+            FROM grid
+            LEFT JOIN daily d ON d.grp = grid.grp AND d.day = grid.day
+        ), pg AS (
+            SELECT grp, sum(y) AS s, sum(y * y) AS ss
+            FROM spine GROUP BY 1
+        ), pairs AS (
+            SELECT x.grp AS a, y.grp AS b, CAST(count(*) AS BIGINT) AS n,
+                   sum(x.y * y.y) AS sab
+            FROM spine x JOIN spine y
+              ON x.day = y.day AND x.grp < y.grp
+            GROUP BY 1, 2
+        ), fin AS (
+            SELECT a, b, n,
+                   CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                   - CAST(pa.s AS DOUBLE) * CAST(pb.s AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(pa.ss AS DOUBLE)
+                   - CAST(pa.s AS DOUBLE) * CAST(pa.s AS DOUBLE) AS dena,
+                   CAST(n AS DOUBLE) * CAST(pb.ss AS DOUBLE)
+                   - CAST(pb.s AS DOUBLE) * CAST(pb.s AS DOUBLE) AS denb
+            FROM pairs
+            JOIN pg pa ON pa.grp = pairs.a
+            JOIN pg pb ON pb.grp = pairs.b
+        )
+        SELECT a AS group_a, b AS group_b, n AS n_days,
+               round(CASE WHEN dena > 0 AND denb > 0
+                     THEN num / sqrt(dena * denb) END, 4) + 0 AS corr
+        FROM fin ORDER BY group_a, group_b
     """
     return sql

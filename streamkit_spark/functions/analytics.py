@@ -51,11 +51,18 @@ __all__ = [
     "psi_profile",
     "psi_from_histogram",
     "floor_bucket",
+    "value_cells",
     "ranksum_by_group",
+    "ranksum_from_cells",
     "ks_by_group",
+    "ks_from_cells",
     "gini_by_group",
     "winsorized_stats",
     "kendall_tau_binned",
+    "seasonal_strength",
+    "acf_by_group",
+    "wilson_by_group",
+    "xcorr_daily",
 ]
 
 
@@ -448,32 +455,15 @@ def gap_filled_daily(
         raise ValueError(f"unknown fill: {fill!r}")
     ts_ms = F.col(ts_ms) if isinstance(ts_ms, str) else ts_ms
     base = df.select(
-        F.col(group_col).alias("g"), ts_ms.cast("long").alias("__ms")
-    ).select("g", F.expr("__ms div 86400000").alias("day"))
-    counts = base.groupBy("g", "day").agg(F.count("*").alias("n"))
-    wg = Window.partitionBy()  # global window over the tiny aggregate only
-    per_g = (
-        counts.withColumn("d0", F.min("day").over(wg))
-        .withColumn("d1", F.max("day").over(wg))
-        .groupBy("g", "d0", "d1")
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("day"), F.collect_list("n")
-            ).alias("m")
-        )
-    )
-    lookup = F.element_at(F.col("m"), F.col("day"))
-    out = per_g.select(
-        "g", F.explode(F.sequence("d0", "d1")).alias("day"), "m"
-    ).select(
-        "g",
-        "day",
-        F.coalesce(lookup, F.lit(0)).cast("long").alias("n_raw"),
-        lookup.isNotNull().alias("observed"),
+        F.col(group_col).alias("grp"), ts_ms.cast("long").alias("__ms")
+    ).select("grp", F.expr("__ms div 86400000").alias("day"))
+    counts = base.groupBy("grp", "day").agg(F.count("*").alias("val"))
+    out = _global_span_spine(counts, F.lit(0)).select(
+        "grp", "day", F.col("val").cast("long").alias("n_raw"), "observed"
     )
     if fill == "ffill":
         w = (
-            Window.partitionBy("g")
+            Window.partitionBy("grp")
             .orderBy("day")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -481,11 +471,44 @@ def gap_filled_daily(
     else:
         n = F.col("n_raw")
     return out.select(
-        F.col("g").alias(group_col),
+        F.col("grp").alias(group_col),
         "day",
         n.cast("long").alias("n"),
         "observed",
     ).orderBy(group_col, "day")
+
+
+def _global_span_spine(per_day: DataFrame, fill_zero: Column) -> DataFrame:
+    """One row per (grp, day) over the GLOBAL [min, max] day span of a
+    tiny ``(grp, day, val)`` aggregate, missing days coalesced to
+    ``fill_zero`` and flagged ``observed = False`` — the gap-fill
+    machinery shared by :func:`gap_filled_daily` and
+    :func:`acf_by_group`.  Global bounds come from a partition-less
+    window OVER THE AGGREGATE ONLY, each group folds its days into a
+    map, and the spine is one ``explode(sequence)`` with a map lookup —
+    a single linear pipeline, no joins, no second scan (a branched
+    aggregate would be re-planned per branch; see the build notes on
+    derived-pipeline self-joins)."""
+    wg = Window.partitionBy()
+    per_g = (
+        per_day.withColumn("d0", F.min("day").over(wg))
+        .withColumn("d1", F.max("day").over(wg))
+        .groupBy("grp", "d0", "d1")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("day"), F.collect_list("val")
+            ).alias("m")
+        )
+    )
+    lookup = F.element_at(F.col("m"), F.col("day"))
+    return per_g.select(
+        "grp", F.explode(F.sequence("d0", "d1")).alias("day"), "m"
+    ).select(
+        "grp",
+        "day",
+        F.coalesce(lookup, fill_zero).alias("val"),
+        lookup.isNotNull().alias("observed"),
+    )
 
 
 def transition_matrix(
@@ -1631,11 +1654,13 @@ def psi_from_histogram(
     )
 
 
-def _value_cells(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def value_cells(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Shared (grp, v, c) count table for the rank/CDF statistics
-    (ranksum_by_group, ks_by_group): null-filtered, double-cast,
-    localCheckpoint'ed because every consumer fans it into ≥3 branches
-    (per-value totals, per-group totals, the grid/rank join)."""
+    (ranksum_by_group, ks_by_group): null-filtered, double-cast.  Counts
+    are MONOTONE and merge by ADDITION, so this aggregate is also the
+    streaming sketch for those statistics (streaming/rankstats.py) —
+    the histogram_buckets discipline.  The finishers localCheckpoint it
+    (they fan it into ≥3 branches)."""
     return (
         df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .select(
@@ -1644,7 +1669,6 @@ def _value_cells(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         )
         .groupBy("grp", "v")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
     )
 
 
@@ -1679,7 +1703,21 @@ def ranksum_by_group(
     bounded by VALUE CARDINALITY, not rows; quantize unbounded doubles
     upstream (``histogram_buckets``) exactly as for :func:`ks_by_group`.
     """
-    cells = _value_cells(df, group_col, value_col)
+    return ranksum_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def ranksum_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`ranksum_by_group` over a PREBUILT
+    (grp, v, c) cell table — e.g. one maintained incrementally by
+    ``streaming/rankstats.value_cells_stream`` (the
+    quantiles_from_histogram split)."""
+    cells = cells.localCheckpoint(eager=False)
     vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
     # doubled average rank of value v: ranks cum_prev+1 .. cum_prev+t
     # average to cum_prev + (t+1)/2, doubled = 2·cum_prev + t + 1.
@@ -1766,7 +1804,21 @@ def ks_by_group(
     upstream (``histogram_buckets``) to bound the grid, exactly as the
     chi2 contract bounds its contingency table.
     """
-    cells = _value_cells(df, group_col, value_col)
+    return ks_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def ks_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`ks_by_group` over a PREBUILT
+    (grp, v, c) cell table — the SAME table
+    ``streaming/rankstats.value_cells_stream`` maintains, so one
+    streaming sketch serves both rank statistics."""
+    cells = cells.localCheckpoint(eager=False)
     vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("g"))
     groups = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
     tot = cells.agg(F.sum("c").cast("long").alias("n"))
@@ -2101,4 +2153,391 @@ def kendall_tau_binned(
             (F.round(tau, round_digits) + F.lit(0.0)).alias("tau"),
         )
         .orderBy(group_col)
+    )
+
+
+def _checked_daily_total(col: Column) -> Column:
+    """Re-narrow a summed DECIMAL to (18,2) with a LOUD overflow guard —
+    the ols_trend discipline: under non-ANSI Spark an overflowing cast
+    silently NULLs, and downstream sums would then drop only the wide
+    rows (a wrong statistic, not a NULL one).  The bound is 1e12, NOT
+    the 1e16 the (18,2) type could hold: the consumers sum y² in
+    DECIMAL(38,4) (34 integer digits), and 1e12² = 1e24 keeps Σy² in
+    range for ≤ 10^9 days — a loud guard that only protects y while y²
+    overflows silently would break its own promise."""
+    return F.when(
+        F.abs(col) < F.lit("1000000000000").cast("decimal(28,2)"),
+        col.cast("decimal(18,2)"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "daily total exceeds the 1e12 exactness bound (its square"
+                " must fit DECIMAL(38,4)) — pre-scale the value column"
+            )
+        ).cast("decimal(18,2)")
+    )
+
+
+def _daily_totals(
+    df: DataFrame, group_col: str, day_col: str, value_col: str
+) -> DataFrame:
+    """Shared (grp, day, y DECIMAL(18,2)) daily-total table for the
+    time-series diagnostics (seasonal_strength, acf_by_group): the ONE
+    corpus-sized shuffle; everything downstream runs on groups × days.
+    NULL groups are filtered like every sibling grouped diagnostic (the
+    NULLS FIRST/LAST cross-engine sort divergence)."""
+    return (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(day_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(day_col).cast("long").alias("day"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("grp", "day")
+        .agg(_checked_daily_total(F.sum("v")).alias("y"))
+    )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group seasonal-strength decomposition of the daily value
+    series: how much of the day-to-day variance is explained by the
+    day's PHASE in a ``period``-day cycle (weekday effects at period=7)?
+    Output ``(group, n_days, sst, ssw, strength)`` with
+
+        strength = max(0, 1 − SSW/SST)   (Hyndman's F_s with the phase
+                                          means as the seasonal component)
+
+    — the one-way ANOVA eta² of the phase grouping: 0 = no seasonality,
+    →1 = the cycle explains everything.  SST is the total sum of squares
+    of the daily totals, SSW the within-phase remainder.
+
+    Determinism contract: daily totals ride DECIMAL(18,2) (loud overflow
+    guard), so every per-phase moment (n_w, Σy, Σy²) is exact under any
+    partial-aggregation order.  Each phase's remainder term
+    ``Σy² − (Σy)²/n_w`` is ONE fixed double expression from exact
+    components, and SSW folds those terms in phase order
+    (array_sort + aggregate ≡ DuckDB ``list_sum(list(t ORDER BY
+    phase))`` — the embedding_covariance fold-parity family), so the
+    sum is bit-identical on both engines.  strength is NULL when SST ≤ 0
+    (constant series; the guard fires before the division).
+
+    Scale: one map-side-combined (group, day) aggregate over the corpus,
+    then group × period cells — dashboard-sized.  Phase is ``day %
+    period`` (days must be non-negative; epoch days are).  No calendar
+    anchor is exposed: a constant shift only RELABELS the residue
+    classes without changing the partition, so the statistic is
+    shift-invariant — an operator exposing per-phase means would need
+    one (epoch day 0 is a Thursday), this one does not.
+    """
+    daily = _daily_totals(df, group_col, day_col, value_col).select(
+        "grp",
+        (F.col("day") % F.lit(int(period))).alias("phase"),
+        "y",
+    )
+    cells = daily.groupBy("grp", "phase").agg(
+        F.count("*").cast("long").alias("nw"),
+        F.sum("y").alias("sw"),
+        F.sum(F.col("y") * F.col("y")).alias("ssq"),
+    )
+    term = (
+        F.col("ssq").cast("double")
+        - F.col("sw").cast("double")
+        * F.col("sw").cast("double")
+        / F.col("nw").cast("double")
+    )
+    g = cells.select("grp", "phase", "nw", "sw", "ssq", term.alias("t")).groupBy(
+        "grp"
+    ).agg(
+        F.sum("nw").cast("long").alias("n_days"),
+        F.sum("sw").alias("s"),
+        F.sum("ssq").alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("phase", "t"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["t"],
+        ).alias("ssw"),
+    )
+    sst = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n_days").cast("double")
+    )
+    strength = F.when(
+        sst > 0,
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.col("ssw") / sst),
+    )
+    return (
+        g.select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            (F.round(sst, round_digits) + F.lit(0.0)).alias("sst"),
+            (F.round(F.col("ssw"), round_digits) + F.lit(0.0)).alias("ssw"),
+            F.round(strength, round_digits).alias("strength"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def acf_by_group(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group autocorrelation of the GAP-FILLED daily value series at
+    lags 1..max_lag: ``(group, lag, n_pairs, acf)`` where acf is the
+    Pearson correlation between the series and its lag-k shift (the
+    lag-Pearson ACF variant — each lag standardizes over its own paired
+    subseries, so every moment is exact).  |acf| spikes at lag 7 = weekly
+    rhythm; slow decay = trending series (pair with ``ols_trend``).
+
+    Missing days are materialized as 0.00 rows first (a day with no
+    events is a real zero in the series, not an absent observation —
+    skipping gaps would silently misalign every lag), on the global
+    [min, max] day span so all groups share one spine
+    (:func:`_global_span_spine`, the gap_filled_daily machinery).
+    Lags ≥ the span length have no pairs and emit NO row (not
+    n_pairs=0) — guard lookups by lag on short series.
+
+    Determinism contract: daily totals ride DECIMAL(18,2) (loud
+    overflow guard), the five paired moments (Σa, Σb, Σab, Σa², Σb²)
+    are exact decimals, and the Pearson combination runs in double from
+    those exact components with ONE expression shape on both engines;
+    both variance guards fire BEFORE the sqrt (exact moments can still
+    cancel to a tiny negative double on a constant subseries).
+
+    Scale: one corpus-sized (group, day) aggregate; the spine is groups
+    × days (dashboard-sized) and is localCheckpoint'ed because the
+    lag join references it twice (the derived-table self-join rule).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = _daily_totals(df, group_col, day_col, value_col)
+    spine = (
+        _global_span_spine(
+            daily.withColumnRenamed("y", "val"),
+            F.lit("0.00").cast("decimal(18,2)"),
+        )
+        .select("grp", "day", F.col("val").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    lags = F.broadcast(
+        df.sparkSession.range(1, int(max_lag) + 1).select(
+            F.col("id").cast("long").alias("lag")
+        )
+    )
+    a = spine.crossJoin(lags).select(
+        "grp",
+        "lag",
+        (F.col("day") + F.col("lag")).alias("db"),
+        F.col("y").alias("ya"),
+    )
+    b = spine.select(
+        F.col("grp"), F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    m = (
+        a.join(b, ["grp", "db"])
+        .groupBy("grp", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ya").alias("sa"),
+            F.sum("yb").alias("sb"),
+            F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+            F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+            F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    num = n_d * F.col("sab").cast("double") - sa_d * sb_d
+    dena = n_d * F.col("saa").cast("double") - sa_d * sa_d
+    denb = n_d * F.col("sbb").cast("double") - sb_d * sb_d
+    acf = F.when((dena > 0) & (denb > 0), num / F.sqrt(dena * denb))
+    return (
+        m.select(
+            F.col("grp").alias(group_col),
+            "lag",
+            F.col("n").alias("n_pairs"),
+            (F.round(acf, round_digits) + F.lit(0.0)).alias("acf"),
+        )
+        .orderBy(group_col, "lag")
+    )
+
+
+def wilson_by_group(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.96,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group binomial proportion with its Wilson score interval:
+    ``(group, n, successes, rate, lo, hi)`` — the proportion sibling of
+    :func:`ab_test_report`'s mean test.  Wilson (1927) beats the normal
+    ("Wald") interval at small n and extreme rates: it never leaves
+    [0, 1] and stays calibrated at p near 0 or 1, which is exactly where
+    conversion/defect monitoring lives.
+
+    Determinism contract: the only inputs are the exact counts (n, s);
+    the interval arithmetic is ONE fixed double expression from those
+    counts — center ``(p + z²/2n) / (1 + z²/n)``, half-width
+    ``z·√(p(1−p)/n + z²/4n²) / (1 + z²/n)`` — so both engines agree
+    bit-for-bit.  The sqrt argument is nonnegative by construction
+    (p = s/n ∈ [0, 1] exactly in IEEE since s ≤ n).
+
+    Scale: one map-side-combined count aggregate; group-count-sized
+    output.
+    """
+    zd = F.lit(float(z))
+    agg = (
+        df.filter(
+            F.col(group_col).isNotNull() & F.col(success_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col(success_col), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("s"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n_d
+    z2 = zd * zd
+    denom = F.lit(1.0) + z2 / n_d
+    center = (p + z2 / (F.lit(2.0) * n_d)) / denom
+    half = (
+        zd
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n_d
+            + z2 / (F.lit(4.0) * n_d * n_d)
+        )
+        / denom
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("s").alias("successes"),
+            F.round(p, round_digits).alias("rate"),
+            (F.round(center - half, round_digits) + F.lit(0.0)).alias("lo"),
+            F.round(center + half, round_digits).alias("hi"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def xcorr_daily(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two groups' GAP-FILLED
+    daily value series, ``(group_a, group_b, n_days, corr)`` — which
+    metrics co-move day to day?  The cross-series sibling of
+    :func:`acf_by_group` (which correlates a series with its own past):
+    near +1 = the two groups rise and fall together, near −1 = they
+    trade off.
+
+    Both series live on the shared global-span spine with missing days
+    as real 0.00 rows (:func:`_global_span_spine`), so every pair is
+    aligned over the SAME n_days and no pair is silently dropped.
+
+    Determinism contract: daily totals ride DECIMAL(18,2) (loud
+    overflow guard), the per-pair Σa·b and per-group Σy/Σy² are exact
+    decimals, and the Pearson combination is ONE fixed double
+    expression with both variance guards firing BEFORE the sqrt
+    (constant series → NULL corr).
+
+    Scale: one corpus-sized (group, day) aggregate; the pair stage
+    enumerates group pairs IN-ROW per day (``pairs_from_sorted_groups``
+    — no derived-table self-join), so state is days × group-pairs,
+    bounded by group cardinality², never rows.  For open-ended group
+    columns, pre-bucket upstream (the ks/chi2 contract).
+    """
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    daily = _daily_totals(df, group_col, day_col, value_col)
+    spine = (
+        _global_span_spine(
+            daily.withColumnRenamed("y", "val"),
+            F.lit("0.00").cast("decimal(18,2)"),
+        )
+        .select("grp", "day", F.col("val").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    pg = spine.groupBy("grp").agg(
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    per_day = spine.groupBy("day").agg(
+        F.array_sort(F.collect_list(F.struct("grp", "y"))).alias("ds")
+    )
+    pr = pairs_from_sorted_groups(
+        per_day, "ds", carry=("day",), distinct=False
+    ).select(
+        F.col("id_a.grp").alias("a"),
+        F.col("id_a.y").alias("ya"),
+        F.col("id_b.grp").alias("b"),
+        F.col("id_b.y").alias("yb"),
+    )
+    m = (
+        pr.groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        )
+        .join(
+            F.broadcast(
+                pg.select(
+                    F.col("grp").alias("a"),
+                    F.col("s").alias("sa"),
+                    F.col("ss").alias("saa"),
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                pg.select(
+                    F.col("grp").alias("b"),
+                    F.col("s").alias("sb"),
+                    F.col("ss").alias("sbb"),
+                )
+            ),
+            "b",
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sa_d = F.col("sa").cast("double")
+    sb_d = F.col("sb").cast("double")
+    num = n_d * F.col("sab").cast("double") - sa_d * sb_d
+    dena = n_d * F.col("saa").cast("double") - sa_d * sa_d
+    denb = n_d * F.col("sbb").cast("double") - sb_d * sb_d
+    corr = F.when((dena > 0) & (denb > 0), num / F.sqrt(dena * denb))
+    return (
+        m.select(
+            F.col("a").alias("group_a"),
+            F.col("b").alias("group_b"),
+            F.col("n").alias("n_days"),
+            (F.round(corr, round_digits) + F.lit(0.0)).alias("corr"),
+        )
+        .orderBy("group_a", "group_b")
     )

@@ -700,3 +700,107 @@ def kl_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def jsd_by_group_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two groups'
+    unigram distributions, ``(group_a, group_b, n_shared, jsd)`` in nats
+    — the SYMMETRIC, bounded (≤ ln 2) sibling of :func:`kl_by_group`:
+    the train/test and domain-vs-domain difference matrix (source pairs
+    that read alike score near 0; disjoint vocabularies score ln 2).
+
+    Only SHARED tokens ever reach the pair stage: for a token one side
+    lacks, the mixture m = p/2 makes its term collapse to p·ln 2, so
+
+        JSD = ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+              + ½·ln 2·[(1 − P_shared) + (1 − Q_shared)]
+
+    with P_shared the side-a probability mass on the shared support.
+    Pairs sharing NO tokens are omitted from the output (their JSD is
+    exactly ln 2) — the same sparsity contract as the dedup pair ops.
+
+    Determinism contract: p = c_a/n_a and q = c_b/n_b are doubles from
+    exact counts; every per-pair reduction (the term sum and both
+    shared-mass sums) runs as a left fold over the ASCENDING-token
+    array (the token_entropy/kl_by_group precedent), replayed
+    term-for-term by the oracle; ln parity per the same precedent.
+
+    Scale: one (group, token) count (the full-data shuffle), then the
+    pair stage enumerates co-occurring group pairs IN-ROW per token
+    (``pairs_from_sorted_groups`` — no derived-table self-join); state
+    is vocabulary × co-occurring-pairs, bounded by group cardinality²,
+    never by rows.  For open-ended group columns, pre-bucket upstream.
+    """
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    cells = (
+        tok.groupBy("g", "tk")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    per_tk = cells.groupBy("tk").agg(
+        F.array_sort(F.collect_list(F.struct("g", "c"))).alias("ds")
+    )
+    pr = pairs_from_sorted_groups(
+        per_tk, "ds", carry=("tk",), distinct=False
+    ).select(
+        "tk",
+        F.col("id_a.g").alias("a"),
+        F.col("id_a.c").alias("ca"),
+        F.col("id_b.g").alias("b"),
+        F.col("id_b.c").alias("cb"),
+    )
+    j = pr.join(
+        F.broadcast(
+            totals.select(F.col("g").alias("a"), F.col("n").alias("na"))
+        ),
+        "a",
+    ).join(
+        F.broadcast(
+            totals.select(F.col("g").alias("b"), F.col("n").alias("nb"))
+        ),
+        "b",
+    )
+    p = F.col("ca").cast("double") / F.col("na").cast("double")
+    q = F.col("cb").cast("double") / F.col("nb").cast("double")
+    term = p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(
+        F.lit(2.0) * q / (p + q)
+    )
+    agg = (
+        j.select(
+            "a", "b", "tk", term.alias("t"), p.alias("p"), q.alias("q")
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.array_sort(
+                F.collect_list(F.struct("tk", "t", "p", "q"))
+            ).alias("__arr"),
+        )
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731 — three same-shape folds
+        "__arr",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.getField(field),
+    )
+    jsd = F.lit(0.5) * fold("t") + F.lit(0.5) * F.log(F.lit(2.0)) * (
+        (F.lit(1.0) - fold("p")) + (F.lit(1.0) - fold("q"))
+    )
+    return (
+        agg.select(
+            F.col("a").alias("group_a"),
+            F.col("b").alias("group_b"),
+            "n_shared",
+            (F.round(jsd, round_digits) + F.lit(0.0)).alias("jsd"),
+        )
+        .orderBy("group_a", "group_b")
+    )

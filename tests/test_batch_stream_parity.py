@@ -372,3 +372,56 @@ def test_psi_stream_parity(spark, fixture_stream):
         assert got == expected
     finally:
         q.stop()
+
+
+def test_rankstats_stream_parity(spark, fixture_stream):
+    """The SAME streaming (grp, v, c) cell table feeds BOTH rank-stat
+    finishers: live Mann-Whitney and KS reports equal the batch
+    analytics.ranksum_by_group / ks_by_group exactly
+    (streaming/rankstats.py), and state is cell-bounded."""
+    from streamkit_spark.functions.analytics import (
+        ks_by_group,
+        ranksum_by_group,
+    )
+    from streamkit_spark.streaming.rankstats import (
+        finalize_ks,
+        finalize_ranksum,
+        value_cells_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    want_u = {
+        tuple(r) for r in ranksum_by_group(batch, "event_type", "value").collect()
+    }
+    want_ks = {
+        tuple(r) for r in ks_by_group(batch, "event_type", "value").collect()
+    }
+    q = (
+        value_cells_stream(fixture_stream, "event_type", "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_value_cells")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cells = spark.sql("SELECT * FROM parity_value_cells")
+        # state bound: EXACTLY the distinct (grp, value) cell count of
+        # the batch input, never the row count
+        want_cells = (
+            batch.filter(
+                F.col("event_type").isNotNull() & F.col("value").isNotNull()
+            )
+            .select("event_type", F.col("value").cast("double"))
+            .distinct()
+            .count()
+        )
+        assert cells.count() == want_cells < batch.count()
+        got_u = {
+            tuple(r) for r in finalize_ranksum(cells, "event_type").collect()
+        }
+        got_ks = {tuple(r) for r in finalize_ks(cells, "event_type").collect()}
+        assert got_u == want_u and len(got_u) > 0
+        assert got_ks == want_ks and len(got_ks) > 0
+    finally:
+        q.stop()
