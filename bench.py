@@ -87,6 +87,18 @@ HEADLINE = [
     "value_trend",
     "attribution_linear",
     "chi2_weekday",
+    # round 6: rank/CDF statistics, token-distribution divergences,
+    # daily-series diagnostics.  One per machinery family — ks_value /
+    # gini / winsorized / wilson share ranksum's cell/count machinery
+    # and stay out.
+    "ranksum_value",
+    "kendall_value_hour",
+    "kl_sources",
+    "psi_daily",
+    "seasonal_strength",
+    "acf_daily",
+    "xcorr_daily",
+    "jsd_sources",
 ]
 
 

@@ -60,9 +60,13 @@ __all__ = [
     "winsorized_stats",
     "kendall_tau_binned",
     "seasonal_strength",
+    "seasonal_from_daily",
     "acf_by_group",
+    "acf_from_daily",
     "wilson_by_group",
     "xcorr_daily",
+    "xcorr_from_daily",
+    "daily_totals",
 ]
 
 
@@ -2178,14 +2182,20 @@ def _checked_daily_total(col: Column) -> Column:
     )
 
 
-def _daily_totals(
+def daily_totals(
     df: DataFrame, group_col: str, day_col: str, value_col: str
 ) -> DataFrame:
     """Shared (grp, day, y DECIMAL(18,2)) daily-total table for the
-    time-series diagnostics (seasonal_strength, acf_by_group): the ONE
-    corpus-sized shuffle; everything downstream runs on groups × days.
-    NULL groups are filtered like every sibling grouped diagnostic (the
-    NULLS FIRST/LAST cross-engine sort divergence)."""
+    time-series diagnostics (seasonal_strength, acf_by_group,
+    xcorr_daily): the ONE corpus-sized shuffle; everything downstream
+    runs on groups × days.  NULL groups are filtered like every sibling
+    grouped diagnostic (the NULLS FIRST/LAST cross-engine sort
+    divergence).
+
+    Decimal sums are MONOTONE and merge by ADDITION, so this aggregate
+    is also the streaming sketch for the whole daily-series family
+    (``streaming/daily.py``) — the histogram_buckets discipline: one
+    live (grp, day, y) table feeds every ``*_from_daily`` finisher."""
     return (
         df.filter(
             F.col(group_col).isNotNull()
@@ -2240,7 +2250,25 @@ def seasonal_strength(
     shift-invariant — an operator exposing per-phase means would need
     one (epoch day 0 is a Thursday), this one does not.
     """
-    daily = _daily_totals(df, group_col, day_col, value_col).select(
+    return seasonal_from_daily(
+        daily_totals(df, group_col, day_col, value_col),
+        group_col,
+        period,
+        round_digits,
+    )
+
+
+def seasonal_from_daily(
+    daily: DataFrame,
+    group_col: str,
+    period: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`seasonal_strength` over a PREBUILT
+    (grp, day, y) daily-total table — e.g. one maintained incrementally
+    by ``streaming/daily.daily_totals_stream`` (the
+    quantiles_from_histogram split)."""
+    daily = daily.select(
         "grp",
         (F.col("day") % F.lit(int(period))).alias("phase"),
         "y",
@@ -2324,9 +2352,26 @@ def acf_by_group(
     × days (dashboard-sized) and is localCheckpoint'ed because the
     lag join references it twice (the derived-table self-join rule).
     """
+    return acf_from_daily(
+        daily_totals(df, group_col, day_col, value_col),
+        group_col,
+        max_lag,
+        round_digits,
+    )
+
+
+def acf_from_daily(
+    daily: DataFrame,
+    group_col: str,
+    max_lag: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`acf_by_group` over a PREBUILT
+    (grp, day, y) daily-total table — the SAME table
+    ``streaming/daily.daily_totals_stream`` maintains, so one streaming
+    sketch serves the whole daily-series diagnostic family."""
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
-    daily = _daily_totals(df, group_col, day_col, value_col)
     spine = (
         _global_span_spine(
             daily.withColumnRenamed("y", "val"),
@@ -2336,7 +2381,7 @@ def acf_by_group(
         .localCheckpoint(eager=False)
     )
     lags = F.broadcast(
-        df.sparkSession.range(1, int(max_lag) + 1).select(
+        daily.sparkSession.range(1, int(max_lag) + 1).select(
             F.col("id").cast("long").alias("lag")
         )
     )
@@ -2472,9 +2517,21 @@ def xcorr_daily(
     bounded by group cardinality², never rows.  For open-ended group
     columns, pre-bucket upstream (the ks/chi2 contract).
     """
+    return xcorr_from_daily(
+        daily_totals(df, group_col, day_col, value_col), round_digits
+    )
+
+
+def xcorr_from_daily(
+    daily: DataFrame,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`xcorr_daily` over a PREBUILT
+    (grp, day, y) daily-total table — the SAME table
+    ``streaming/daily.daily_totals_stream`` maintains (output columns
+    are fixed ``group_a``/``group_b``, so no group name is needed)."""
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
-    daily = _daily_totals(df, group_col, day_col, value_col)
     spine = (
         _global_span_spine(
             daily.withColumnRenamed("y", "val"),

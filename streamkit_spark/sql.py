@@ -249,3 +249,55 @@ def register_diagnostics_views(
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)
+
+
+def register_timeseries_views(
+    spark: SparkSession,
+    events: DataFrame,
+    documents: DataFrame | None = None,
+    prefix: str = "tsr_",
+) -> list[str]:
+    """Time-series / distribution-pair diagnostics views — the SQL twin
+    of the round-6 daily-series family for spark.sql users:
+
+    * ``{p}seasonal`` — per-type weekly seasonal strength (phase-ANOVA
+      eta² over daily value totals)
+    * ``{p}acf``      — per-type lag-1..7 autocorrelation of the
+      gap-filled daily series
+    * ``{p}xcorr``    — pairwise cross-type daily correlation on the
+      shared spine
+    * ``{p}wilson``   — per-type high-value (value > 50) share with its
+      Wilson score interval
+    * with ``documents``: ``{p}jsd`` — pairwise Jensen-Shannon
+      divergence between source unigram distributions
+
+    Views are logical plans; each inherits the underlying scan's
+    pushdown.  The events frame must be normalized (``tables.load``)."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions import analytics as A
+    from streamkit_spark.functions import text as T
+
+    p = prefix
+    daily_in = events.select(
+        "event_type", F.expr("ts div 86400000000000").alias("day"), "value"
+    )
+    views = {
+        f"{p}seasonal": A.seasonal_strength(
+            daily_in, "event_type", "day", "value"
+        ),
+        f"{p}acf": A.acf_by_group(daily_in, "event_type", "day", "value"),
+        f"{p}xcorr": A.xcorr_daily(daily_in, "event_type", "day", "value"),
+        f"{p}wilson": A.wilson_by_group(
+            events.filter(F.col("value").isNotNull()).select(
+                "event_type", (F.col("value") > F.lit(50)).alias("hi")
+            ),
+            "event_type",
+            "hi",
+        ),
+    }
+    if documents is not None:
+        views[f"{p}jsd"] = T.jsd_by_group_pairs(documents, "source", "text")
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

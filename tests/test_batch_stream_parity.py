@@ -425,3 +425,79 @@ def test_rankstats_stream_parity(spark, fixture_stream):
         assert got_ks == want_ks and len(got_ks) > 0
     finally:
         q.stop()
+
+
+def test_daily_series_stream_parity(spark, fixture_stream):
+    """The SAME streaming (grp, day, y) daily-total table feeds all
+    three daily-series finishers: live seasonal-strength, ACF, and
+    cross-group correlation reports equal the batch
+    analytics.seasonal_strength / acf_by_group / xcorr_daily exactly
+    (streaming/daily.py), and state is (group, day)-bounded."""
+    from streamkit_spark.functions.analytics import (
+        acf_by_group,
+        seasonal_strength,
+        xcorr_daily,
+    )
+    from streamkit_spark.streaming.daily import (
+        daily_totals_stream,
+        finalize_acf,
+        finalize_seasonal,
+        finalize_xcorr,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    sel = lambda df: df.select(  # noqa: E731
+        "event_type", F.expr("ts div 86400000000000").alias("day"), "value"
+    )
+    want_seasonal = {
+        tuple(r)
+        for r in seasonal_strength(
+            sel(batch), "event_type", "day", "value"
+        ).collect()
+    }
+    want_acf = {
+        tuple(r)
+        for r in acf_by_group(
+            sel(batch), "event_type", "day", "value", max_lag=3
+        ).collect()
+    }
+    want_xcorr = {
+        tuple(r)
+        for r in xcorr_daily(sel(batch), "event_type", "day", "value").collect()
+    }
+    q = (
+        daily_totals_stream(sel(fixture_stream), "event_type", "day", "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_daily_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        daily = spark.sql("SELECT * FROM parity_daily_totals")
+        # state bound: EXACTLY the batch (group, day) cell count
+        want_cells = (
+            sel(batch)
+            .filter(
+                F.col("event_type").isNotNull()
+                & F.col("day").isNotNull()
+                & F.col("value").isNotNull()
+            )
+            .select("event_type", "day")
+            .distinct()
+            .count()
+        )
+        assert daily.count() == want_cells < batch.count()
+        got_seasonal = {
+            tuple(r) for r in finalize_seasonal(daily, "event_type").collect()
+        }
+        got_acf = {
+            tuple(r)
+            for r in finalize_acf(daily, "event_type", max_lag=3).collect()
+        }
+        got_xcorr = {tuple(r) for r in finalize_xcorr(daily).collect()}
+        assert got_seasonal == want_seasonal and len(got_seasonal) > 0
+        assert got_acf == want_acf and len(got_acf) > 0
+        assert got_xcorr == want_xcorr and len(got_xcorr) > 0
+    finally:
+        q.stop()

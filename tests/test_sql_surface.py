@@ -181,3 +181,36 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["q_rows"] == 3 * n_types
     assert row["dof"] >= 1
     assert row["heaps_docs"] > 0
+
+
+def test_timeseries_views_queryable_from_sql(spark):
+    from streamkit_spark import tables
+    from streamkit_spark.sql import register_timeseries_views
+    from tests.conftest import SF_DIR
+
+    ev = tables.load(spark, SF_DIR, "events")
+    docs = tables.load(spark, SF_DIR, "documents")
+    names = register_timeseries_views(spark, ev, docs)
+    assert names == [
+        "tsr_acf", "tsr_jsd", "tsr_seasonal", "tsr_wilson", "tsr_xcorr",
+    ]
+    row = spark.sql(
+        """
+        SELECT (SELECT count(*) FROM tsr_seasonal
+                WHERE strength BETWEEN 0 AND 1) AS seasonal_groups,
+               (SELECT count(*) FROM tsr_acf
+                WHERE acf BETWEEN -1 AND 1) AS acf_rows,
+               (SELECT count(*) FROM tsr_xcorr
+                WHERE corr BETWEEN -1 AND 1) AS xcorr_pairs,
+               (SELECT count(*) FROM tsr_wilson
+                WHERE lo <= rate AND rate <= hi) AS wilson_ok,
+               (SELECT max(jsd) FROM tsr_jsd) AS max_jsd
+        """
+    ).first()
+    n_types = ev.select("event_type").distinct().count()
+    n_sources = docs.select("source").distinct().count()
+    assert row["seasonal_groups"] == n_types
+    assert row["acf_rows"] == 7 * n_types
+    assert row["xcorr_pairs"] == n_types * (n_types - 1) // 2
+    assert row["wilson_ok"] == n_types
+    assert 0.0 <= row["max_jsd"] <= 0.6931471805599453 + 1e-9
