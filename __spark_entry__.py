@@ -2983,6 +2983,44 @@ def q_xcorr_daily(spark, sf_dir):
     )
 
 
+def q_token_burstiness(spark, sf_dir):
+    """Per-token burstiness profile (text.burstiness_by_token, Church &
+    Gale 1995): variance-to-mean ratio over ALL docs — the zero docs
+    absorbed in closed form by the exact BIGINT moments (D·Σc² − T²)/
+    (D·T) — plus mean occurrences per containing doc.  Vocabulary-sized
+    output after one (doc, token) shuffle; df ≥ 16 cuts the hapax
+    tail."""
+    from streamkit_spark.functions.text import burstiness_by_token
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return burstiness_by_token(docs, "doc_id", "text", min_df=16)
+
+
+def q_interarrival(spark, sf_dir):
+    """Per-event-type inter-arrival profile (analytics.interarrival
+    _stats): gaps between consecutive events inside each (type, user)
+    stream ordered by (ts, event_id); median and p90 are EXACT order
+    statistics via row_number rank selection (ties rank arbitrarily but
+    the selected VALUE is tie-invariant); integer rank arithmetic uses
+    `div` on positive operands so Spark's truncation and DuckDB's
+    flooring agree."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.interarrival_stats(
+        ev.select(
+            "event_type",
+            "user_id",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "event_id",
+        ),
+        "event_type",
+        "user_id",
+        "ts_ms",
+        order_cols=("event_id",),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3204,6 +3242,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilson_high_value": q_wilson_high_value,
         "jsd_sources": q_jsd_sources,
         "xcorr_daily": q_xcorr_daily,
+        "token_burstiness": q_token_burstiness,
+        "interarrival": q_interarrival,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7517,5 +7557,81 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN dena > 0 AND denb > 0
                      THEN num / sqrt(dena * denb) END, 4) + 0 AS corr
         FROM fin ORDER BY group_a, group_b
+    """
+    # Church-Gale burstiness: exact BIGINT moments absorb the zero docs
+    # in closed form; two fixed double ratios.
+    sql["token_burstiness"] = r"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), nd AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM base
+        ), tk AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM base
+        ), cells AS (
+            SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2
+        ), agg AS (
+            SELECT tk, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(c) AS BIGINT) AS total,
+                   CAST(sum(c * c) AS BIGINT) AS sq
+            FROM cells GROUP BY 1 HAVING count(*) >= 16
+        )
+        SELECT tk AS token, df, total,
+               round((CAST(d AS DOUBLE) * CAST(sq AS DOUBLE)
+                      - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                     / (CAST(d AS DOUBLE) * CAST(total AS DOUBLE)), 4)
+                 + 0 AS vmr,
+               round(CAST(total AS DOUBLE) / CAST(df AS DOUBLE), 4)
+                 AS burst
+        FROM agg CROSS JOIN nd ORDER BY token
+    """
+    # Inter-arrival gaps: exact integer differences; median/p90 via
+    # row_number rank selection (tie-invariant selected values);
+    # integer ranks via flooring division on positive operands.
+    sql["interarrival"] = """
+        WITH base AS (
+            SELECT event_type AS grp, user_id AS k, epoch_ms(ts) AS ts,
+                   event_id
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+              AND ts IS NOT NULL
+        ), gaps AS (
+            SELECT grp,
+                   ts - lag(ts) OVER (PARTITION BY grp, k
+                                      ORDER BY ts, event_id) AS gap
+            FROM base
+        ), g2 AS (
+            SELECT grp, gap FROM gaps WHERE gap IS NOT NULL
+        ), ranked AS (
+            SELECT grp, gap,
+                   row_number() OVER (PARTITION BY grp ORDER BY gap) AS rn
+            FROM g2
+        ), counts AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap) AS BIGINT) AS s
+            FROM g2 GROUP BY 1
+        ), med AS (
+            SELECT r.grp,
+                   CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+            FROM ranked r JOIN counts c ON r.grp = c.grp
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+            GROUP BY 1
+        ), p90 AS (
+            SELECT r.grp, gap AS p
+            FROM ranked r JOIN counts c ON r.grp = c.grp
+            WHERE rn = (9 * n + 9) // 10
+        )
+        SELECT counts.grp AS event_type, n AS n_gaps,
+               round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_gap,
+               round(m, 4) AS median_gap,
+               CAST(p AS BIGINT) AS p90_gap
+        FROM counts
+        JOIN med ON med.grp = counts.grp
+        JOIN p90 ON p90.grp = counts.grp
+        ORDER BY event_type
     """
     return sql

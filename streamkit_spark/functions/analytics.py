@@ -67,6 +67,7 @@ __all__ = [
     "xcorr_daily",
     "xcorr_from_daily",
     "daily_totals",
+    "interarrival_stats",
 ]
 
 
@@ -1130,6 +1131,19 @@ def ols_trend(
     )
 
 
+def _median_rank_filter(rn_col: str, n_col: str) -> Column:
+    """The exact-median two-rank selection ``rn ∈ {(n+1) div 2,
+    (n+2) div 2}`` (odd n picks the middle row once, even n the two
+    middle rows; averaging the selected values IS the median) — shared
+    by :func:`mad_outliers` and :func:`interarrival_stats` so the
+    subtle rank arithmetic (``div``, NEVER ``/`` — Spark's ``/`` on two
+    longs is double division and the filter would silently never match)
+    lives in one place."""
+    return (F.col(rn_col) == F.expr(f"({n_col} + 1) div 2")) | (
+        F.col(rn_col) == F.expr(f"({n_col} + 2) div 2")
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
@@ -1168,10 +1182,7 @@ def mad_outliers(
             F.count("*").over(Window.partitionBy("grp")).alias("__n"),
         )
         return (
-            ranked.filter(
-                (F.col("__rn") == F.expr("(__n + 1) div 2"))
-                | (F.col("__rn") == F.expr("(__n + 2) div 2"))
-            )
+            ranked.filter(_median_rank_filter("__rn", "__n"))
             .groupBy("grp")
             .agg(F.avg(col).alias(out))
         )
@@ -2597,4 +2608,98 @@ def xcorr_from_daily(
             (F.round(corr, round_digits) + F.lit(0.0)).alias("corr"),
         )
         .orderBy("group_a", "group_b")
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group inter-arrival time profile: gaps between CONSECUTIVE
+    events inside each (group, key) stream, reported as
+    ``(group, n_gaps, mean_gap, median_gap, p90_gap)`` — the cadence
+    readout behind rate-limit tuning, bot detection ("sub-second gaps"),
+    and session-timeout choices (pair with ``sessionize``: pick the
+    timeout where p90 sits).
+
+    Determinism contract: each stream orders by ``(ts, *order_cols)`` —
+    pass a tiebreaker (event id) if timestamps can collide, exactly as
+    :func:`event_transitions` does.  Gaps are exact integer differences;
+    median and p90 are EXACT order statistics picked by row_number over
+    the gap sort (the mad_outliers discipline — value error cannot creep
+    in the way approx_percentile's rank bound allows): median = the
+    middle gap (odd n) or the two middle gaps' sum / 2.0 (even n), p90 =
+    the gap at rank ceil(0.9·n).  Ties among equal gaps rank
+    arbitrarily but the SELECTED VALUE is the same either way.  mean is
+    one double division of exact BIGINTs.  Groups with no consecutive
+    pair in any stream have no gaps and are OMITTED from the output.
+
+    Scale: the lag window partitions by (group, key) — each stream
+    sorts inside its own partition.  The rank window partitions by
+    group over the GAP table; like mad_outliers this assumes per-group
+    gap counts fit a partition's sort — sample or pre-bucket upstream
+    past ~10⁸ gaps/group.
+    """
+    w = Window.partitionBy("grp", "k").orderBy("ts", *order_cols)
+    gaps = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).alias("k"),
+            F.col(ts_col).cast("long").alias("ts"),
+            *order_cols,
+        )
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("grp", (F.col("ts") - F.col("prev")).alias("gap"))
+    )
+    wr = Window.partitionBy("grp").orderBy("gap")
+    ranked = gaps.select(
+        "grp", "gap", F.row_number().over(wr).alias("rn")
+    ).localCheckpoint(eager=False)
+    counts = ranked.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("s"),
+    )
+    j = ranked.join(F.broadcast(counts), "grp")
+    # integer rank arithmetic: Spark `/` on longs is DOUBLE division
+    # (rn == 9.9 never matches) — `div` truncates, and operands are
+    # positive so it agrees with DuckDB's flooring `//`.  One rank
+    # window serves BOTH the median and the p90 selections (using
+    # mad_outliers' _exact_median helper here would add a second
+    # window over the same gap table).
+    med = (
+        j.filter(_median_rank_filter("rn", "n"))
+        .groupBy("grp")
+        .agg(
+            (F.sum("gap").cast("double") / F.count("*").cast("double")).alias(
+                "median_gap_raw"
+            )
+        )
+    )
+    p90 = j.filter(F.col("rn") == F.expr("(9 * n + 9) div 10")).select(
+        "grp", F.col("gap").alias("p90_gap_raw")
+    )
+    return (
+        counts.join(F.broadcast(med), "grp")
+        .join(F.broadcast(p90), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_gaps"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"),
+                round_digits,
+            ).alias("mean_gap"),
+            F.round(F.col("median_gap_raw"), round_digits).alias("median_gap"),
+            F.col("p90_gap_raw").cast("long").alias("p90_gap"),
+        )
+        .orderBy(group_col)
     )

@@ -804,3 +804,80 @@ def jsd_by_group_pairs(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def burstiness_by_token(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-token burstiness profile over the document collection,
+    ``(token, df, total, vmr, burst)`` — which tokens CLUMP instead of
+    spreading evenly (Church & Gale 1995: content words are bursty,
+    function words are Poisson-ish)?  The stopword-vs-topic separator a
+    quality pipeline wants before df-cuts: ``vmr`` near 1 = Poisson
+    (function word), ≫ 1 = topical; ``burst`` = mean occurrences per
+    CONTAINING doc (Church-Gale's Ec/df readout).
+
+    * ``vmr``  = variance-to-mean ratio over ALL docs including zeros:
+      (D·Σc² − (Σc)²) / (D·Σc) with D the collection size — the zero
+      docs need no rows, the moments absorb them in closed form.
+    * ``burst`` = Σc / df.
+
+    Determinism contract: D, df, Σc, Σc² are exact BIGINTs (Σc² is
+    bounded by (max per-doc count)²·df — raise ``min_df`` pre-scaling
+    if per-doc counts approach 3·10⁹); both ratios are ONE fixed double
+    expression from those integers.  NULL vmr when Σc = 0 cannot happen
+    (a token row exists only if it occurred); no guards needed beyond
+    df ≥ min_df.
+
+    Scale: one (doc, token) count (the full-data shuffle), then a
+    vocabulary-sized aggregate.  ``min_df`` cuts the hapax tail that
+    dominates vocabulary size (Zipf) but carries no burstiness signal
+    (a df=1 token's vmr ≈ its single count — one doc is not evidence of
+    clumping).  ``base`` feeds BOTH the collection-size aggregate and
+    the cells pipeline: on a plain table scan that second read is free,
+    but a caller passing an expensive DERIVED frame (a dedup or
+    boilerplate-removal output) should localCheckpoint it first — the
+    derived-table re-planning hazard.
+    """
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    n_docs = base.select(
+        F.countDistinct(id_col).cast("long").alias("d")
+    )
+    cells = (
+        base.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(text_col)).alias("tk"),
+        )
+        .groupBy("doc", "tk")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = (
+        cells.groupBy("tk")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("c").cast("long").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+        )
+        .filter(F.col("df") >= F.lit(int(min_df)))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    d_d = F.col("d").cast("double")
+    tot_d = F.col("total").cast("double")
+    vmr = (d_d * F.col("sq").cast("double") - tot_d * tot_d) / (d_d * tot_d)
+    burst = tot_d / F.col("df").cast("double")
+    return (
+        agg.select(
+            F.col("tk").alias("token"),
+            "df",
+            "total",
+            F.round(vmr, round_digits).alias("vmr"),
+            F.round(burst, round_digits).alias("burst"),
+        )
+        .orderBy("token")
+    )
