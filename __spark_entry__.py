@@ -3021,6 +3021,29 @@ def q_interarrival(spark, sf_dir):
     )
 
 
+def q_robust_trend(spark, sf_dir):
+    """Per-event-type Mann-Kendall trend test + Theil-Sen slope over
+    daily value totals (analytics.robust_trend): S and the tie counts
+    are exact integers (variance products in DECIMAL(38,0)/HUGEINT),
+    each pairwise slope is one double division of exact decimal/BIGINT
+    components, the median slope is an exact order statistic via the
+    shared rank selection, and day pairs enumerate IN-ROW from each
+    group's sorted array — never a daily-table self-join."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.robust_trend(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3244,6 +3267,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_daily": q_xcorr_daily,
         "token_burstiness": q_token_burstiness,
         "interarrival": q_interarrival,
+        "robust_trend": q_robust_trend,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7633,5 +7657,71 @@ def oracle_sql() -> dict[str, str]:
         JOIN med ON med.grp = counts.grp
         JOIN p90 ON p90.grp = counts.grp
         ORDER BY event_type
+    """
+    # Mann-Kendall + Theil-Sen: exact integer S and tie sums (HUGEINT
+    # variance products), exact decimal pair diffs, order-statistic
+    # median slope (tie-invariant selected values).
+    sql["robust_trend"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), pr AS (
+            SELECT a.grp AS grp, a.day AS da, a.y AS ya, b.day AS db,
+                   b.y AS yb
+            FROM daily a JOIN daily b
+              ON a.grp = b.grp AND a.day < b.day
+        ), pairs AS (
+            SELECT grp,
+                   CASE WHEN yb > ya THEN 1
+                        WHEN yb < ya THEN -1 ELSE 0 END AS sg,
+                   CAST(yb - ya AS DOUBLE) / CAST(db - da AS DOUBLE) AS sl
+            FROM pr
+        ), stat AS (
+            SELECT grp, CAST(sum(sg) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS np
+            FROM pairs GROUP BY 1
+        ), ties AS (
+            SELECT grp, CAST(sum(t) AS BIGINT) AS n,
+                   sum(CAST(t AS HUGEINT) * CAST(t - 1 AS HUGEINT)
+                       * CAST(2 * t + 5 AS HUGEINT)) AS tsum
+            FROM (SELECT grp, y, CAST(count(*) AS BIGINT) AS t
+                  FROM daily GROUP BY 1, 2)
+            GROUP BY 1
+        ), ranked AS (
+            SELECT p.grp AS grp, sl,
+                   row_number() OVER (PARTITION BY p.grp ORDER BY sl)
+                     AS rn,
+                   np
+            FROM pairs p JOIN stat ON stat.grp = p.grp
+        ), sen AS (
+            SELECT grp, sum(sl) / CAST(count(*) AS DOUBLE) AS sen_raw
+            FROM ranked
+            WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+            GROUP BY 1
+        ), fin AS (
+            SELECT stat.grp AS grp, n, s, sen_raw,
+                   CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+                        * CAST(2 * n + 5 AS HUGEINT) - tsum AS DOUBLE)
+                   / CAST(18 AS DOUBLE) AS var
+            FROM stat
+            JOIN ties ON ties.grp = stat.grp
+            JOIN sen ON sen.grp = stat.grp
+        )
+        SELECT grp AS event_type, n AS n_days, s,
+               round(CASE WHEN var > 0 THEN
+                     CASE WHEN s > 0
+                          THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))
+                               / sqrt(var)
+                          WHEN s < 0
+                          THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))
+                               / sqrt(var)
+                          ELSE CAST(0 AS DOUBLE) END END, 4) + 0 AS z,
+               round(sen_raw, 4) + 0 AS sen_slope
+        FROM fin ORDER BY event_type
     """
     return sql

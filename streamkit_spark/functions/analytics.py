@@ -68,6 +68,7 @@ __all__ = [
     "xcorr_from_daily",
     "daily_totals",
     "interarrival_stats",
+    "robust_trend",
 ]
 
 
@@ -2700,6 +2701,122 @@ def interarrival_stats(
             ).alias("mean_gap"),
             F.round(F.col("median_gap_raw"), round_digits).alias("median_gap"),
             F.col("p90_gap_raw").cast("long").alias("p90_gap"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def robust_trend(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Mann-Kendall trend test + Theil-Sen slope over the
+    daily value series: ``(group, n_days, s, z, sen_slope)`` — the
+    robust sibling of :func:`ols_trend` (which a single spike day can
+    drag): S counts concordant-minus-discordant day pairs, z is the
+    tie-corrected normal statistic (|z| ≳ 1.96 = monotone trend at 5%),
+    and sen_slope is the MEDIAN of all pairwise slopes — outlier days
+    change a few pairs, not the answer.
+
+    Determinism contract: daily totals ride DECIMAL(18,2) (loud
+    overflow guard) so every pairwise difference is exact; S and the
+    tie counts are exact BIGINTs (the variance's n(n−1)(2n+5) products
+    ride DECIMAL(38,0) — they pass int64 near n ≈ 2M days); each pair
+    slope is ONE double division of exact components, and the median
+    slope is an EXACT order statistic via the shared
+    ``_median_rank_filter`` rank selection (tie-invariant).  z applies
+    the standard continuity correction ((S−1)/σ, (S+1)/σ, 0) and is
+    NULL when the variance is ≤ 0 (constant series, n < 2).
+
+    Scale: one corpus-sized (group, day) aggregate, then day pairs
+    enumerated IN-ROW from each group's sorted (day, y) array (the
+    group-and-enumerate pattern — no daily-table self-join).  Pair
+    count is days²-bounded per group: dashboard-sized for daily series
+    (a decade ≈ 6.7M pairs); pre-aggregate to weeks/months upstream for
+    century-scale spans.
+    """
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    daily = daily_totals(df, group_col, day_col, value_col)
+    grouped = daily.groupBy("grp").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("ds")
+    )
+    pr = pairs_from_sorted_groups(
+        grouped, "ds", carry=("grp",), distinct=False
+    ).select(
+        "grp",
+        F.col("id_a.day").alias("da"),
+        F.col("id_a.y").alias("ya"),
+        F.col("id_b.day").alias("db"),
+        F.col("id_b.y").alias("yb"),
+    )
+    # ascending-day pairs: sign(yb - ya) over an exact decimal diff
+    sgn = F.when(F.col("yb") > F.col("ya"), F.lit(1)).when(
+        F.col("yb") < F.col("ya"), F.lit(-1)
+    ).otherwise(F.lit(0))
+    slope = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("db") - F.col("da")
+    ).cast("double")
+    pairs = pr.select("grp", sgn.alias("sg"), slope.alias("sl")).localCheckpoint(
+        eager=False
+    )
+    stat = pairs.groupBy("grp").agg(
+        F.sum("sg").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    # tie correction needs per-VALUE tie counts from the daily table
+    dec = "decimal(38,0)"
+    ties = (
+        daily.groupBy("grp", "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.sum(
+                F.col("t").cast(dec)
+                * (F.col("t") - 1).cast(dec)
+                * (2 * F.col("t") + 5).cast(dec)
+            ).alias("tsum"),
+        )
+    )
+    wr = Window.partitionBy("grp").orderBy("sl")
+    ranked = pairs.select(
+        "grp", "sl", F.row_number().over(wr).alias("rn")
+    ).join(F.broadcast(stat.select("grp", F.col("n_pairs").alias("np"))), "grp")
+    sen = (
+        ranked.filter(_median_rank_filter("rn", "np"))
+        .groupBy("grp")
+        .agg(
+            (F.sum("sl") / F.count("*").cast("double")).alias("sen_raw")
+        )
+    )
+    j = stat.join(F.broadcast(ties), "grp").join(F.broadcast(sen), "grp")
+    nd = F.col("n").cast(dec)
+    var = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("tsum")
+    ).cast("double") / F.lit(18.0)
+    z = F.when(
+        var > 0,
+        F.when(
+            F.col("s") > 0, (F.col("s").cast("double") - F.lit(1.0)) / F.sqrt(var)
+        )
+        .when(
+            F.col("s") < 0, (F.col("s").cast("double") + F.lit(1.0)) / F.sqrt(var)
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        j.select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_days"),
+            "s",
+            (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+            (F.round(F.col("sen_raw"), round_digits) + F.lit(0.0)).alias(
+                "sen_slope"
+            ),
         )
         .orderBy(group_col)
     )

@@ -485,3 +485,81 @@ class TestPsiProfile:
         assert out["x"]["n_buckets"] == 2
         # symmetric complement: psi(x vs rest) == psi(y vs rest) here
         assert out["x"]["psi"] == out["y"]["psi"]
+
+
+# --------------------------------------------------- Mann-Kendall/Theil-Sen
+
+def _mk_daily(spark, rows):
+    return spark.createDataFrame(rows, "g string, day long, value double")
+
+
+def _py_mann_kendall_sen(ys):
+    import math
+
+    n = len(ys)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = ys[j] - ys[i]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (j - i))
+    from collections import Counter
+
+    ties = Counter(ys)
+    tsum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18
+    if var <= 0:
+        z = None
+    elif s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    slopes.sort()
+    m = len(slopes)
+    med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2
+    return s, z, med
+
+
+def test_robust_trend_monotone_series(spark):
+    from streamkit_spark.functions.analytics import robust_trend
+
+    rows = [("a", d, float(2 * d + 1)) for d in range(10)]
+    r = robust_trend(_mk_daily(spark, rows), "g", "day", "value").collect()[0]
+    assert r["s"] == 45  # all 45 pairs concordant
+    assert r["sen_slope"] == 2.0
+    assert r["z"] > 3.0
+
+
+def test_robust_trend_matches_python_reference(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.analytics import robust_trend
+
+    ys = [3.0, 7.0, 3.0, 9.5, 1.25, 8.0, 8.0, 2.5, 6.0, 4.75]
+    rows = [("a", d, v) for d, v in enumerate(ys)]
+    r = robust_trend(_mk_daily(spark, rows), "g", "day", "value").collect()[0]
+    s, z, sen = _py_mann_kendall_sen(ys)
+    assert r["s"] == s
+    assert r["z"] == _pt.approx(z, abs=1e-3)
+    assert r["sen_slope"] == _pt.approx(sen, abs=1e-3)
+
+
+def test_robust_trend_constant_series_null_z(spark):
+    from streamkit_spark.functions.analytics import robust_trend
+
+    rows = [("a", d, 5.0) for d in range(6)]
+    r = robust_trend(_mk_daily(spark, rows), "g", "day", "value").collect()[0]
+    assert r["s"] == 0 and r["z"] is None and r["sen_slope"] == 0.0
+
+
+def test_robust_trend_outlier_resistance(spark):
+    from streamkit_spark.functions.analytics import robust_trend
+
+    base = [("a", d, float(d)) for d in range(9)]
+    spiked = base + [("a", 9, 1000.0)]  # one wild day
+    r = robust_trend(_mk_daily(spark, spiked), "g", "day", "value").collect()[0]
+    # OLS slope would exceed 60; Theil-Sen stays at the true 1.0
+    assert r["sen_slope"] == 1.0
