@@ -68,6 +68,7 @@ __all__ = [
     "xcorr_from_daily",
     "daily_totals",
     "interarrival_stats",
+    "interarrival_from_gaps",
     "robust_trend",
 ]
 
@@ -2662,6 +2663,19 @@ def interarrival_stats(
         .filter(F.col("prev").isNotNull())
         .select("grp", (F.col("ts") - F.col("prev")).alias("gap"))
     )
+    return interarrival_from_gaps(gaps, group_col, round_digits)
+
+
+def interarrival_from_gaps(
+    gaps: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`interarrival_stats` over a PREBUILT
+    (grp, gap) table — e.g. the append stream of gaps
+    ``streaming/interarrival.gap_stream`` extracts with per-stream
+    last-ts state (gap rows are immutable facts, so the streaming twin
+    is append-mode, not a re-aggregated sketch)."""
     wr = Window.partitionBy("grp").orderBy("gap")
     ranked = gaps.select(
         "grp", "gap", F.row_number().over(wr).alias("rn")

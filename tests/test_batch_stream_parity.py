@@ -501,3 +501,128 @@ def test_daily_series_stream_parity(spark, fixture_stream):
         assert got_xcorr == want_xcorr and len(got_xcorr) > 0
     finally:
         q.stop()
+
+
+def test_interarrival_stream_parity(spark, fixture_stream):
+    """Stateful gap extraction (streaming/interarrival.gap_stream,
+    last-ts state per stream) + shared finisher equals the batch
+    analytics.interarrival_stats exactly, and the emitted gap multiset
+    equals the batch lag-window gaps."""
+    from streamkit_spark.functions.analytics import interarrival_stats
+    from streamkit_spark.streaming.interarrival import (
+        finalize_interarrival,
+        gap_stream,
+    )
+
+    sel = lambda df: df.select(  # noqa: E731
+        "event_type",
+        "user_id",
+        F.expr("ts div 1000000").alias("ts_ms"),
+        "event_id",
+    )
+    batch = sel(tables.load(spark, SF_DIR, "events"))
+    expected = {
+        tuple(r)
+        for r in interarrival_stats(
+            batch, "event_type", "user_id", "ts_ms", order_cols=("event_id",)
+        ).collect()
+    }
+    q = (
+        gap_stream(
+            sel(fixture_stream),
+            "event_type",
+            "user_id",
+            "ts_ms",
+            order_cols=("event_id",),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_gaps")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        gaps = spark.sql("SELECT * FROM parity_gaps")
+        # the gap stream emits exactly rows - streams gaps (one per
+        # consecutive pair; no retraction rows in append mode)
+        n_streams = (
+            batch.filter(
+                F.col("event_type").isNotNull()
+                & F.col("user_id").isNotNull()
+                & F.col("ts_ms").isNotNull()
+            )
+            .select("event_type", "user_id")
+            .distinct()
+            .count()
+        )
+        n_rows = batch.filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts_ms").isNotNull()
+        ).count()
+        assert gaps.count() == n_rows - n_streams
+        got = {
+            tuple(r)
+            for r in finalize_interarrival(gaps, "event_type").collect()
+        }
+        assert got == expected and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_interarrival_stream_boundary_state_across_batches(
+    spark, tmp_path
+):
+    """Gaps that SPAN micro-batches come from the stored last-ts state:
+    two files processed one per trigger must yield the same gap
+    multiset as one batch pass — including the boundary gap."""
+    from streamkit_spark.streaming.interarrival import gap_stream
+
+    rows_a = [("a", 1, 0, 1), ("a", 1, 10, 2), ("b", 2, 5, 3)]
+    rows_b = [("a", 1, 25, 4), ("b", 2, 11, 5), ("b", 2, 14, 6)]
+    schema = "event_type string, user_id long, ts_ms long, event_id long"
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    # file names order the triggers; one file per micro-batch
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for i, src in enumerate(("a", "b")):
+        part = next((tmp_path / src).glob("part-*.parquet"))
+        dst = d / f"{i}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders triggers by modification time — pin
+        # distinct mtimes or both files race into one arbitrary order
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        gap_stream(stream, "event_type", "user_id", "ts_ms",
+                   order_cols=("event_id",))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_gaps_boundary")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_type"], r["gap"])
+            for r in spark.sql("SELECT * FROM parity_gaps_boundary").collect()
+        )
+        # a: 0->10->25 gaps 10, 15 (15 spans the batch boundary);
+        # b: 5->11->14 gaps 6, 3 (6 spans the boundary)
+        assert got == [("a", 10), ("a", 15), ("b", 3), ("b", 6)]
+    finally:
+        q.stop()
