@@ -2743,7 +2743,9 @@ def robust_trend(
     slope is an EXACT order statistic via the shared
     ``_median_rank_filter`` rank selection (tie-invariant).  z applies
     the standard continuity correction ((S−1)/σ, (S+1)/σ, 0) and is
-    NULL when the variance is ≤ 0 (constant series, n < 2).
+    NULL when the variance is ≤ 0 (a constant series).  Groups with a
+    single observed day have no pairs and are OMITTED from the output
+    (the interarrival_stats omission contract).
 
     Scale: one corpus-sized (group, day) aggregate, then day pairs
     enumerated IN-ROW from each group's sorted (day, y) array (the
@@ -2754,7 +2756,11 @@ def robust_trend(
     """
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
-    daily = daily_totals(df, group_col, day_col, value_col)
+    # the corpus-sized aggregate feeds TWO branches (pair enumeration +
+    # tie counts) — checkpoint or the scan/shuffle plans once per branch
+    daily = daily_totals(df, group_col, day_col, value_col).localCheckpoint(
+        eager=False
+    )
     grouped = daily.groupBy("grp").agg(
         F.array_sort(F.collect_list(F.struct("day", "y"))).alias("ds")
     )

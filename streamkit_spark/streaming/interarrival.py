@@ -44,9 +44,14 @@ def gap_stream(
     pair inside each (group, key) stream, boundary pairs across
     micro-batches included via the last-ts state."""
     import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
-    out_schema = f"{group_col} string, gap long"
+    # preserve the group column's original type (the kmv_sketch_stream
+    # discipline — a hardcoded string would stringify numeric groups
+    # and break type parity with the batch twin)
+    grp_type = events.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {grp_type}, gap long"
     state_schema = "last_ts long"
     sort_cols = [ts_col, *order_cols]
 
@@ -78,6 +83,12 @@ def gap_stream(
             & events[key_col].isNotNull()
             & events[ts_col].isNotNull()
         )
+        # cast ts to long SPARK-side, exactly as the batch twin does —
+        # a timestamp-typed column decoded into pandas would otherwise
+        # become datetime64[ns] and astype('int64') would emit
+        # NANOSECOND gaps while the batch path emits the cast('long')
+        # unit
+        .withColumn(ts_col, F.col(ts_col).cast("long"))
         .groupBy(group_col, key_col)
         .applyInPandasWithState(
             update,

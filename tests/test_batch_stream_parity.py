@@ -626,3 +626,37 @@ def test_interarrival_stream_boundary_state_across_batches(
         assert got == [("a", 10), ("a", 15), ("b", 3), ("b", 6)]
     finally:
         q.stop()
+
+
+def test_gap_stream_preserves_numeric_group_type(spark, tmp_path):
+    """Grouping streams by a LONG column must keep the long type in the
+    gap output (the kmv_sketch_stream type-fidelity discipline)."""
+    from streamkit_spark.streaming.interarrival import gap_stream
+
+    schema = "user_id long, k string, ts_ms long"
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(7, "s", 0), (7, "s", 4)], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "f"))
+    import shutil
+
+    shutil.copy(
+        next((tmp_path / "f").glob("part-*.parquet")), d / "0.parquet"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(d))
+    q = (
+        gap_stream(stream, "user_id", "k", "ts_ms")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_gaps_longgrp")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM parity_gaps_longgrp")
+        assert dict(out.dtypes)["user_id"] == "bigint"
+        rows = out.collect()
+        assert [(r["user_id"], r["gap"]) for r in rows] == [(7, 4)]
+    finally:
+        q.stop()
