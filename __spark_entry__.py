@@ -3044,6 +3044,31 @@ def q_robust_trend(spark, sf_dir):
     )
 
 
+def q_holt_daily(spark, sf_dir):
+    """Per-event-type Holt double-exponential level/trend/forecast over
+    the gap-filled daily value series (analytics.holt_smooth): the
+    two-state recursion runs as a left fold with a STRUCT accumulator,
+    replayed bit-for-bit by DuckDB's no-init list_reduce over struct
+    elements (first element = init {l: y0, b: 0}); l_t is inlined
+    twice identically inside b_t on both engines; α/β are exact
+    repr literals."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.holt_smooth(
+        ev.select(
+            "event_type",
+            F.expr("ts div 86400000000000").alias("day"),
+            "value",
+        ),
+        "event_type",
+        "day",
+        "value",
+        alpha=0.5,
+        beta=0.3,
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3268,6 +3293,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_burstiness": q_token_burstiness,
         "interarrival": q_interarrival,
         "robust_trend": q_robust_trend,
+        "holt_daily": q_holt_daily,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7723,5 +7749,58 @@ def oracle_sql() -> dict[str, str]:
                           ELSE CAST(0 AS DOUBLE) END END, 4) + 0 AS z,
                round(sen_raw, 4) + 0 AS sen_slope
         FROM fin ORDER BY event_type
+    """
+    # Holt double-exponential smoothing.  NOT list_reduce: DuckDB 1.0
+    # struct-literal lambdas alias acc.field references to the UPDATED
+    # value across fields (probed: {'w': acc.u, 'u': acc.u + x.u} gives
+    # w = the new u), so two-state folds corrupt silently.  The
+    # recursive CTE carries (l, b) as plain columns — the pagerank
+    # replay machinery — and steps one day per iteration.
+    sql["holt_daily"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type AS grp, epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), bounds AS (
+            SELECT min(day) AS d0, max(day) AS d1 FROM daily
+        ), grid AS (
+            SELECT g.grp, t.day
+            FROM (SELECT DISTINCT grp FROM daily) g
+            CROSS JOIN bounds,
+                 unnest(generate_series(bounds.d0, bounds.d1)) AS t(day)
+        ), spine AS (
+            SELECT grid.grp, grid.day,
+                   COALESCE(d.y, CAST('0.00' AS DECIMAL(18,2))) AS y
+            FROM grid
+            LEFT JOIN daily d ON d.grp = grid.grp AND d.day = grid.day
+        ), g AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+                   list(CAST(y AS DOUBLE) ORDER BY day) AS ys
+            FROM spine GROUP BY 1
+        ), r AS (
+            SELECT grp, n_days, ys, CAST(1 AS BIGINT) AS i,
+                   ys[1] AS l, CAST(0 AS DOUBLE) AS b
+            FROM g
+            UNION ALL
+            SELECT grp, n_days, ys, i + 1,
+                   CAST('0.5' AS DOUBLE) * ys[i + 1]
+                   + (CAST(1 AS DOUBLE) - CAST('0.5' AS DOUBLE))
+                     * (l + b),
+                   CAST('0.3' AS DOUBLE)
+                   * ((CAST('0.5' AS DOUBLE) * ys[i + 1]
+                       + (CAST(1 AS DOUBLE) - CAST('0.5' AS DOUBLE))
+                         * (l + b)) - l)
+                   + (CAST(1 AS DOUBLE) - CAST('0.3' AS DOUBLE)) * b
+            FROM r WHERE i < n_days
+        )
+        SELECT grp AS event_type, n_days,
+               round(l, 4) + 0 AS level,
+               round(b, 4) + 0 AS trend,
+               round(l + b, 4) + 0 AS forecast
+        FROM r WHERE i = n_days ORDER BY event_type
     """
     return sql

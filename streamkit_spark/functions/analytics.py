@@ -70,6 +70,8 @@ __all__ = [
     "interarrival_stats",
     "interarrival_from_gaps",
     "robust_trend",
+    "holt_smooth",
+    "holt_from_daily",
 ]
 
 
@@ -2837,6 +2839,115 @@ def robust_trend(
             (F.round(F.col("sen_raw"), round_digits) + F.lit(0.0)).alias(
                 "sen_slope"
             ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def holt_smooth(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Holt double-exponential smoothing of the GAP-FILLED
+    daily value series: ``(group, n_days, level, trend, forecast)`` —
+    the trend-aware sibling of :func:`ewma_smooth` (which tracks level
+    only and lags a drifting series).  ``forecast`` is the one-step-
+    ahead ``level + trend``; a sustained positive ``trend`` is the
+    "this metric is climbing" readout with the day-over-day slope
+    already denoised.
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        (l_0 = y_0, b_0 = 0)
+
+    Missing days are real 0.00 rows on the global span (Holt assumes
+    regular spacing — skipping gaps would stretch time), exactly as
+    :func:`acf_by_group`.
+
+    Determinism contract: the recursion is a LEFT FOLD over the
+    day-sorted series with a TWO-FIELD STRUCT accumulator, replayed
+    bit-for-bit by a DuckDB recursive CTE carrying (l, b) as plain
+    columns (the event_pagerank machinery — NOT list_reduce: DuckDB
+    1.0 struct-literal lambdas alias ``acc.field`` references to the
+    UPDATED value across fields, silently corrupting any two-state
+    fold).  l_t appears inside b_t's update; both engines inline the
+    identical l_t expression twice, so the doubles agree.  α/β enter
+    as exact repr literals (the CAST('…' AS DOUBLE) discipline).
+
+    Scale: one corpus-sized (group, day) aggregate, then one in-row
+    fold per group over its day array — state is the series length,
+    bounded by the day span (the ewma_daily contract).
+    """
+    return holt_from_daily(
+        daily_totals(df, group_col, day_col, value_col),
+        group_col,
+        alpha,
+        beta,
+        round_digits,
+    )
+
+
+def holt_from_daily(
+    daily: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`holt_smooth` over a PREBUILT
+    (grp, day, y) daily-total table — the SAME table
+    ``streaming/daily.daily_totals_stream`` maintains."""
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    one = F.lit(1.0)
+    spine = _global_span_spine(
+        daily.withColumnRenamed("y", "val"),
+        F.lit("0.00").cast("decimal(18,2)"),
+    ).select("grp", "day", F.col("val").cast("double").alias("y"))
+    grouped = spine.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda x: F.struct(
+                x["y"].alias("l"), F.lit(0.0).cast("double").alias("b")
+            ),
+        ).alias("__a"),
+    )
+
+    def step(acc, x):
+        l_new = a * x["l"] + (one - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (
+                b * ((a * x["l"] + (one - a) * (acc["l"] + acc["b"])) - acc["l"])
+                + (one - b) * acc["b"]
+            ).alias("b"),
+        )
+
+    folded = grouped.select(
+        "grp",
+        "n_days",
+        F.aggregate(
+            F.slice(F.col("__a"), 2, F.greatest(F.size("__a") - 1, F.lit(0))),
+            F.element_at(F.col("__a"), 1),
+            step,
+        ).alias("hw"),
+    )
+    return (
+        folded.select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            (F.round(F.col("hw.l"), round_digits) + F.lit(0.0)).alias("level"),
+            (F.round(F.col("hw.b"), round_digits) + F.lit(0.0)).alias("trend"),
+            (
+                F.round(F.col("hw.l") + F.col("hw.b"), round_digits)
+                + F.lit(0.0)
+            ).alias("forecast"),
         )
         .orderBy(group_col)
     )

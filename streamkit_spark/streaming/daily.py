@@ -32,6 +32,7 @@ __all__ = [
     "finalize_seasonal",
     "finalize_acf",
     "finalize_xcorr",
+    "finalize_holt",
 ]
 
 
@@ -85,3 +86,18 @@ def finalize_xcorr(
     from streamkit_spark.functions.analytics import xcorr_from_daily
 
     return xcorr_from_daily(daily, round_digits)
+
+
+def finalize_holt(
+    daily: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Holt level/trend/forecast report from the SAME streaming daily
+    table — the shared batch finisher (``analytics.holt_from_daily``):
+    the fourth report off one sketch."""
+    from streamkit_spark.functions.analytics import holt_from_daily
+
+    return holt_from_daily(daily, group_col, alpha, beta, round_digits)

@@ -204,3 +204,73 @@ def test_wilson_null_rows_filtered(spark):
     rows = [("a", True), ("a", False), ("a", None), (None, True)]
     out = wilson_by_group(_flag_frame(spark, rows), "g", "hi").collect()
     assert len(out) == 1 and out[0]["n"] == 2 and out[0]["successes"] == 1
+
+
+# ------------------------------------------------------------------- Holt
+
+def _py_holt(ys, a=0.5, b=0.3):
+    l, t = ys[0], 0.0
+    for y in ys[1:]:
+        ln = a * y + (1 - a) * (l + t)
+        t = b * (ln - l) + (1 - b) * t
+        l = ln
+    return l, t
+
+
+def test_holt_matches_python_reference(spark):
+    from streamkit_spark.functions.analytics import holt_smooth
+
+    ys = [10.0, 20.0, 15.0, 30.0, 12.5, 40.0]
+    rows = [("a", d, v) for d, v in enumerate(ys)]
+    r = holt_smooth(
+        _daily_frame(spark, rows), "g", "day", "value"
+    ).collect()[0]
+    l, t = _py_holt(ys)
+    assert r["n_days"] == 6
+    assert r["level"] == pytest.approx(l, abs=1e-4)
+    assert r["trend"] == pytest.approx(t, abs=1e-4)
+    assert r["forecast"] == pytest.approx(l + t, abs=1e-4)
+
+
+def test_holt_linear_series_tracks_slope(spark):
+    from streamkit_spark.functions.analytics import holt_smooth
+
+    rows = [("a", d, float(5 * d)) for d in range(40)]
+    r = holt_smooth(
+        _daily_frame(spark, rows), "g", "day", "value"
+    ).collect()[0]
+    # on a long linear ramp the trend converges to the true slope
+    assert r["trend"] == pytest.approx(5.0, abs=0.2)
+    assert r["forecast"] == pytest.approx(5.0 * 40, abs=2.0)
+
+
+def test_holt_single_day_and_gap_fill(spark):
+    from streamkit_spark.functions.analytics import holt_smooth
+
+    # group "b" observed on day 0 and 2 only; global span 0..2 makes
+    # its series [7, 0, 7]; group "a" has a single day -> fold = init
+    rows = [("a", 1, 3.0), ("b", 0, 7.0), ("b", 2, 7.0)]
+    out = {r["g"]: r for r in holt_smooth(
+        _daily_frame(spark, rows), "g", "day", "value"
+    ).collect()}
+    la, ta = _py_holt([0.0, 3.0, 0.0])  # a gap-fills on the global span
+    assert out["a"]["level"] == pytest.approx(la, abs=1e-4)
+    lb, tb = _py_holt([7.0, 0.0, 7.0])
+    assert out["b"]["level"] == pytest.approx(lb, abs=1e-4)
+    assert out["b"]["trend"] == pytest.approx(tb, abs=1e-4)
+
+
+def test_holt_streaming_finisher_delegates(spark):
+    from streamkit_spark.functions.analytics import daily_totals, holt_smooth
+    from streamkit_spark.streaming.daily import finalize_holt
+
+    rows = [("a", d, float(d * d)) for d in range(8)]
+    df = _daily_frame(spark, rows)
+    want = {tuple(r) for r in holt_smooth(df, "g", "day", "value").collect()}
+    got = {
+        tuple(r)
+        for r in finalize_holt(
+            daily_totals(df, "g", "day", "value"), "g"
+        ).collect()
+    }
+    assert got == want
