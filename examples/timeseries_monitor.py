@@ -33,7 +33,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from streamkit_spark import tables  # noqa: E402
 from streamkit_spark.functions.analytics import (  # noqa: E402
     acf_by_group,
+    holt_smooth,
     interarrival_stats,
+    robust_trend,
     seasonal_strength,
     wilson_by_group,
     xcorr_daily,
@@ -70,6 +72,12 @@ def main(sf_dir: str) -> None:
         "ts_ms",
         order_cols=("event_id",),
     ).show(20, False)
+
+    print("== robust trend (Mann-Kendall z + Theil-Sen slope/day) ==")
+    robust_trend(daily_in, "event_type", "day", "value").show(20, False)
+
+    print("== Holt level/trend/one-step forecast ==")
+    holt_smooth(daily_in, "event_type", "day", "value").show(20, False)
 
     print("== high-value share with Wilson interval ==")
     wilson_by_group(

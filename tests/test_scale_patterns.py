@@ -217,3 +217,30 @@ def test_brute_knn_corpus_is_spread(spark):
     # corpus scan feeding the join (defaultParallelism > 1 in tests)
     p = plans.explain_str(edges, "extended")
     assert "RoundRobinPartitioning" in p or "Exchange" in p
+
+
+def test_r6_diagnostics_plan_shapes(spark):
+    """Plan contracts for the round-6 operators: no cartesian products
+    anywhere (scalar crossJoins must be broadcast 1-row sides), and the
+    pair stages (jsd, xcorr, robust_trend) must be in-row enumerations
+    — no self-join of a derived cells/daily table shows up as a second
+    aggregate of the same corpus scan feeding both join sides."""
+    import __spark_entry__ as E
+
+    def plan(q):
+        return plans.explain_str(E.queries()[q](spark, SF_DIR), "extended")
+
+    for q in (
+        "seasonal_strength",
+        "acf_daily",
+        "wilson_high_value",
+        "xcorr_daily",
+        "jsd_sources",
+        "token_burstiness",
+        "interarrival",
+        "robust_trend",
+        "holt_daily",
+        "ranksum_value",
+        "ks_value",
+    ):
+        assert "CartesianProduct" not in plan(q), q
