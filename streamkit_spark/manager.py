@@ -1,0 +1,267 @@
+"""Per-store engine lifecycle manager — the analog of the reference's
+node manager (``pkg/server/manager.go:139-291``): one lazily-created
+handle per store, a CIRCUIT BREAKER on handle creation, and IDLE
+EVICTION of handles nobody has touched.
+
+On Spark the "node" is whatever per-store object is expensive to build
+and worth caching — a :class:`~streamkit_spark.engine.StreamkitEngine`
+over a store path, a Store with warmed status views, a cached
+DataFrame bundle.  The manager is factory-generic; anything with an
+optional ``close()`` works.
+
+Semantics mirrored from the reference (same defaults):
+
+* **Circuit breaker** (manager.go:149-173): after ``max_failures``
+  consecutive creation failures for a store id the circuit OPENS —
+  further attempts inside ``failure_window`` fail fast with the
+  remaining retry-after, without calling the factory.  Once the window
+  passes, the expired failure record is PRUNED on access
+  (manager.go:128-137 runs before the circuit check), so expiry is a
+  FULL RESET: the next attempt probes the factory and subsequent
+  failures must reach ``max_failures`` again to re-open.  The
+  half-open count-reduction branch below mirrors the reference's
+  (manager.go:166-172) — in both codebases it is defense-in-depth
+  behind the prune, not the normal path.
+* **Failure-table bounds** (manager.go:128-137, 291+): entries whose
+  last failure is older than the window are pruned on access, and the
+  table is capped at ``max_failure_entries`` distinct ids — the OLDEST
+  entry is evicted to admit a new one.
+* **Idle eviction** (manager.go:249-271): ``reap_idle()`` closes and
+  removes handles with no in-flight use and no access for
+  ``idle_ttl``; ``start_reaper()`` runs it on a background thread
+  every ``idle_check_every`` seconds (optional — a driver can also
+  call ``reap_idle()`` from its own housekeeping loop).
+* **use() refcounting** (manager.go:77-86): the context manager bumps
+  an in-flight counter so the reaper never closes a handle mid-call,
+  and stamps last-access on entry.
+
+``time_fn`` is injectable so tests drive the clock deterministically.
+Thread-safe: one lock guards the tables, handles close OUTSIDE the
+lock (the reference's toClose pattern).
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+__all__ = ["CircuitOpenError", "EngineManager"]
+
+_DEFAULT_MAX_FAILURE_ENTRIES = 1024
+
+
+class CircuitOpenError(RuntimeError):
+    """Creation circuit is open for this store id; retry later.
+
+    ``retry_after`` is the remaining seconds of the failure window —
+    the reference reports the same quantity in its error string."""
+
+    def __init__(self, store_id: Any, failures: int, retry_after: float):
+        super().__init__(
+            f"store creation circuit open for {store_id!r}: too many "
+            f"recent failures ({failures}), retry after {retry_after:.3f}s"
+        )
+        self.store_id = store_id
+        self.failures = failures
+        self.retry_after = retry_after
+
+
+@dataclass
+class _Failure:
+    count: int
+    last_failed: float
+
+
+@dataclass
+class _Entry:
+    handle: Any
+    last_accessed: float
+    inflight: int = 0
+
+
+@dataclass
+class EngineManager:
+    """See module docstring.  ``factory(store_id) -> handle`` builds a
+    handle; handles with a ``close()`` method are closed on eviction,
+    removal, and shutdown."""
+
+    factory: Callable[[Any], Any]
+    max_failures: int = 3
+    failure_window: float = 30.0
+    max_failure_entries: int = _DEFAULT_MAX_FAILURE_ENTRIES
+    idle_ttl: float = 0.0
+    idle_check_every: float = 0.0
+    time_fn: Callable[[], float] = _time.monotonic
+
+    _entries: dict = field(default_factory=dict, init=False)
+    _failures: dict = field(default_factory=dict, init=False)
+    _lock: threading.Lock = field(default_factory=threading.Lock, init=False)
+    _reaper: threading.Thread | None = field(default=None, init=False)
+    _stop: threading.Event = field(default_factory=threading.Event, init=False)
+    _closed: bool = field(default=False, init=False)
+
+    # ------------------------------------------------------------ access
+
+    def get_or_create(self, store_id: Any) -> Any:
+        """Return the cached handle for ``store_id``, creating it via
+        the factory — subject to the circuit breaker."""
+        with self._lock:
+            self._prune_expired_failures_locked()
+            ent = self._entries.get(store_id)
+            if ent is not None:
+                ent.last_accessed = self.time_fn()
+                return ent.handle
+            f = self._failures.get(store_id)
+            if f is not None and f.count >= self.max_failures:
+                elapsed = self.time_fn() - f.last_failed
+                if elapsed < self.failure_window:
+                    raise CircuitOpenError(
+                        store_id, f.count, self.failure_window - elapsed
+                    )
+                # half-open: allow exactly one probe
+                f.count = self.max_failures - 1
+        try:
+            handle = self.factory(store_id)
+        except Exception:
+            with self._lock:
+                f = self._failures.get(store_id)
+                if f is not None:
+                    f.count += 1
+                    f.last_failed = self.time_fn()
+                else:
+                    if len(self._failures) >= self.max_failure_entries:
+                        self._evict_oldest_failure_locked()
+                    self._failures[store_id] = _Failure(1, self.time_fn())
+            raise
+        with self._lock:
+            self._failures.pop(store_id, None)
+            self._entries[store_id] = _Entry(handle, self.time_fn())
+        return handle
+
+    @contextmanager
+    def use(self, store_id: Any):
+        """``with manager.use(sid) as h:`` — refcounted access; the
+        idle reaper never evicts a handle while in flight."""
+        handle = self.get_or_create(store_id)
+        with self._lock:
+            ent = self._entries.get(store_id)
+            if ent is not None and ent.handle is handle:
+                ent.inflight += 1
+                ent.last_accessed = self.time_fn()
+        try:
+            yield handle
+        finally:
+            with self._lock:
+                ent = self._entries.get(store_id)
+                if ent is not None and ent.handle is handle:
+                    ent.inflight -= 1
+
+    # -------------------------------------------------------- lifecycle
+
+    def remove(self, store_id: Any) -> None:
+        """Close and forget the handle AND its failure history."""
+        with self._lock:
+            self._failures.pop(store_id, None)
+            ent = self._entries.pop(store_id, None)
+        if ent is not None:
+            self._close_handle(ent.handle)
+
+    def reap_idle(self) -> int:
+        """Evict handles idle past ``idle_ttl`` with nothing in flight;
+        returns the number evicted.  No-op when idle_ttl <= 0."""
+        if self.idle_ttl <= 0:
+            return 0
+        now = self.time_fn()
+        to_close = []
+        with self._lock:
+            for sid, ent in list(self._entries.items()):
+                if ent.inflight != 0:
+                    continue
+                if now - ent.last_accessed < self.idle_ttl:
+                    continue
+                to_close.append(ent.handle)
+                del self._entries[sid]
+        for h in to_close:
+            self._close_handle(h)
+        return len(to_close)
+
+    def start_reaper(self) -> None:
+        """Run ``reap_idle`` every ``idle_check_every`` seconds on a
+        daemon thread (both TTL and interval must be positive)."""
+        if self.idle_ttl <= 0 or self.idle_check_every <= 0:
+            return
+        if self._reaper is not None:
+            return
+
+        def loop():
+            while not self._stop.wait(self.idle_check_every):
+                self.reap_idle()
+
+        self._reaper = threading.Thread(
+            target=loop, name="engine-manager-reaper", daemon=True
+        )
+        self._reaper.start()
+
+    def close(self) -> None:
+        """Stop the reaper and close every handle (idempotent)."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        self._stop.set()
+        if self._reaper is not None:
+            self._reaper.join(timeout=5)
+        with self._lock:
+            to_close = [e.handle for e in self._entries.values()]
+            self._entries.clear()
+            self._failures.clear()
+        for h in to_close:
+            self._close_handle(h)
+
+    # ---------------------------------------------------------- helpers
+
+    def stats(self) -> dict:
+        """Counts for telemetry: live handles, tracked failures, open
+        circuits (count >= max_failures and still inside the window)."""
+        with self._lock:
+            now = self.time_fn()
+            open_circuits = sum(
+                1
+                for f in self._failures.values()
+                if f.count >= self.max_failures
+                and now - f.last_failed < self.failure_window
+            )
+            return {
+                "handles": len(self._entries),
+                "failures_tracked": len(self._failures),
+                "open_circuits": open_circuits,
+            }
+
+    def _prune_expired_failures_locked(self) -> None:
+        if not self._failures or self.failure_window <= 0:
+            return
+        now = self.time_fn()
+        for sid in [
+            s
+            for s, f in self._failures.items()
+            if now - f.last_failed >= self.failure_window
+        ]:
+            del self._failures[sid]
+
+    def _evict_oldest_failure_locked(self) -> None:
+        if not self._failures:
+            return
+        victim = min(self._failures, key=lambda s: self._failures[s].last_failed)
+        del self._failures[victim]
+
+    @staticmethod
+    def _close_handle(handle: Any) -> None:
+        close = getattr(handle, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:
+                pass  # closing is best-effort, as in the reference's reaper
