@@ -3069,6 +3069,27 @@ def q_holt_daily(spark, sf_dir):
     )
 
 
+def q_score_calibration(spark, sf_dir):
+    """Reliability diagram of the hashed-feature quality classifier
+    against the Gopher/C4 rule gate (analytics.calibration_report =
+    rank_buckets ∘ wilson_by_group): per score-rank decile, the actual
+    rule-pass rate with its Wilson interval and the bucket's score
+    range.  Exact integer bucketing over the distinct-score table (the
+    doc_length_deciles machinery), exact counts, one fixed double
+    Wilson expression — pure composition, every guarantee inherited."""
+    from streamkit_spark.functions import analytics as AN
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = C.quality_classifier_score(docs, bias=0.1).select(
+        "doc_id", "score"
+    )
+    labels = C.quality_rules(docs).select("doc_id", "passes")
+    return AN.calibration_report(
+        scored.join(labels, "doc_id"), "score", "passes", n_buckets=10
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3294,6 +3315,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival": q_interarrival,
         "robust_trend": q_robust_trend,
         "holt_daily": q_holt_daily,
+        "score_calibration": q_score_calibration,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7802,5 +7824,91 @@ def oracle_sql() -> dict[str, str]:
                round(b, 4) + 0 AS trend,
                round(l + b, 4) + 0 AS forecast
         FROM r WHERE i = n_days ORDER BY event_type
+    """
+    # Classifier calibration: the quality_classifier score CTE joined
+    # to the quality_rules passes CTE, exact decile bucketing (the
+    # doc_length_deciles formula over distinct scores), Wilson per
+    # bucket (the wilson_high_value expression shape).
+    sql["score_calibration"] = f"""
+        WITH {_tok_cte}, sc0 AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(t) = 0 THEN 0.1
+                         ELSE 0.1 + list_sum(list_apply(t, x -> {_qcw})) / len(t)
+                         END, 4) + 0 AS score
+            FROM tok
+        ), qbase AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_apply(t, x -> length(x))) AS DOUBLE) / len(t)
+                         END, 4) AS mean_word_len,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                         END, 4) AS frac_unique_words,
+                   CAST(len(list_filter(t, x -> list_contains({_sw_list}, lower(x)))) AS BIGINT)
+                       AS stopword_hits
+            FROM tok
+        ), bi AS (
+            SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS bigram
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), topbg AS (
+            SELECT doc_id,
+                   round(CAST(2 * max(c) AS DOUBLE) / n, 4) AS top_bigram_frac
+            FROM (SELECT doc_id, bigram, n, count(*) AS c FROM bi GROUP BY 1, 2, 3)
+            GROUP BY doc_id, n
+        ), lab AS (
+            SELECT b.doc_id,
+                   (n_words >= 30 AND n_words <= 100000
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND frac_unique_words >= 0.30 AND stopword_hits >= 1
+                    AND COALESCE(top_bigram_frac, 0.0) <= 0.10) AS passes
+            FROM qbase b LEFT JOIN topbg USING (doc_id)
+        ), joined AS (
+            SELECT sc0.score, lab.passes
+            FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
+            WHERE sc0.score IS NOT NULL AND lab.passes IS NOT NULL
+        ), dsc AS (
+            SELECT score AS s, CAST(count(*) AS BIGINT) AS c
+            FROM joined GROUP BY 1
+        ), bmap AS (
+            SELECT s,
+                   CAST(least(
+                       (10 * coalesce(CAST(sum(c) OVER (
+                            ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) AS BIGINT), 0))
+                       // CAST(sum(c) OVER () AS BIGINT),
+                       9) AS BIGINT) AS bucket
+            FROM dsc
+        ), agg AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s,
+                   min(score) AS min_score, max(score) AS max_score
+            FROM joined JOIN bmap ON joined.score = bmap.s
+            GROUP BY 1
+        ), parts AS (
+            SELECT bucket, n, s, min_score, max_score,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                   CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) AS z2,
+                   CAST(n AS DOUBLE) AS nd
+            FROM agg
+        ), iv AS (
+            SELECT bucket, n, s, min_score, max_score, p,
+                   (p + z2 / (CAST(2 AS DOUBLE) * nd))
+                   / (CAST(1 AS DOUBLE) + z2 / nd) AS center,
+                   CAST('1.96' AS DOUBLE)
+                   * sqrt(p * (CAST(1 AS DOUBLE) - p) / nd
+                          + z2 / (CAST(4 AS DOUBLE) * nd * nd))
+                   / (CAST(1 AS DOUBLE) + z2 / nd) AS half
+            FROM parts
+        )
+        SELECT bucket, n, s AS successes,
+               round(p, 4) AS rate,
+               round(center - half, 4) + 0 AS lo,
+               round(center + half, 4) AS hi,
+               min_score, max_score
+        FROM iv ORDER BY bucket
     """
     return sql

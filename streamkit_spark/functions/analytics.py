@@ -41,6 +41,7 @@ __all__ = [
     "mad_outliers",
     "ols_trend",
     "cusum_changepoint",
+    "cusum_from_daily",
     "benford_profile",
     "ab_test_report",
     "frequent_sequences",
@@ -72,6 +73,7 @@ __all__ = [
     "robust_trend",
     "holt_smooth",
     "holt_from_daily",
+    "calibration_report",
 ]
 
 
@@ -1265,8 +1267,22 @@ def cusum_changepoint(
             F.col(group_col).alias("grp"), F.col(day_col).alias("day")
         )
         .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sv"))
-        .localCheckpoint(eager=False)
     )
+    return cusum_from_daily(daily, group_col, round_digits)
+
+
+def cusum_from_daily(
+    daily: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The finisher half of :func:`cusum_changepoint` over a PREBUILT
+    (grp, day, sv) daily-total table — decimal-width agnostic, so both
+    the batch aggregate and the ``streaming/daily.daily_totals_stream``
+    sketch (via ``finalize_cusum``) feed it; the table is
+    localCheckpoint'ed here because it fans into the cumsum and totals
+    branches."""
+    daily = daily.localCheckpoint(eager=False)
     w = Window.partitionBy("grp").orderBy("day")
     cum = daily.select(
         "grp",
@@ -2950,4 +2966,49 @@ def holt_from_daily(
             ).alias("forecast"),
         )
         .orderBy(group_col)
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    z: float = 1.96,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Classifier reliability diagram: bucket rows into score-rank
+    deciles (:func:`rank_buckets` — exact integer bucketing, no global
+    sort) and report each bucket's actual positive rate with its Wilson
+    interval (:func:`wilson_by_group`) plus the bucket's score range:
+    ``(bucket, n, successes, rate, lo, hi, min_score, max_score)``.
+    A calibrated ranker shows rate climbing with bucket; a flat curve
+    means the score carries no signal for this label — run it on the
+    quality classifier vs the rule gate before trusting a cutoff.
+
+    Determinism contract: buckets are exact integer rank arithmetic
+    over the distinct-score table; counts are exact; the Wilson
+    interval is one fixed double expression; min/max score are order
+    statistics.  Pure composition — every guarantee inherits from the
+    two building blocks.
+
+    Scale: one distinct-score aggregate + one broadcast bucket-map
+    join + one group-count-sized aggregate; nothing sorts the corpus.
+    """
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(score_col, label_col)
+    b = rank_buckets(base, score_col, n_buckets)
+    w = wilson_by_group(b, "bucket", label_col, z, round_digits)
+    rng = b.groupBy("bucket").agg(
+        F.min(score_col).alias("min_score"),
+        F.max(score_col).alias("max_score"),
+    )
+    return (
+        w.join(F.broadcast(rng), "bucket")
+        .select(
+            "bucket", "n", "successes", "rate", "lo", "hi",
+            "min_score", "max_score",
+        )
+        .orderBy("bucket")
     )

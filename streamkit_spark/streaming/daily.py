@@ -33,6 +33,7 @@ __all__ = [
     "finalize_acf",
     "finalize_xcorr",
     "finalize_holt",
+    "finalize_cusum",
 ]
 
 
@@ -101,3 +102,22 @@ def finalize_holt(
     from streamkit_spark.functions.analytics import holt_from_daily
 
     return holt_from_daily(daily, group_col, alpha, beta, round_digits)
+
+
+def finalize_cusum(
+    daily: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """CUSUM changepoint report from the SAME streaming daily table —
+    the shared batch finisher (``analytics.cusum_from_daily``): the
+    fifth report off one sketch."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions.analytics import cusum_from_daily
+
+    return cusum_from_daily(
+        daily.select("grp", "day", F.col("y").alias("sv")),
+        group_col,
+        round_digits,
+    )

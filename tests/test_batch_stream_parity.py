@@ -660,3 +660,42 @@ def test_gap_stream_preserves_numeric_group_type(spark, tmp_path):
         assert [(r["user_id"], r["gap"]) for r in rows] == [(7, 4)]
     finally:
         q.stop()
+
+
+def test_cusum_finisher_on_streaming_daily_table(spark, fixture_stream):
+    """The streaming daily-total table's FIFTH report: finalize_cusum
+    equals the batch analytics.cusum_changepoint exactly (the finisher
+    is decimal-width agnostic — (18,2) sketch sums vs the batch path's
+    un-narrowed (28,2) sums carry identical values)."""
+    from streamkit_spark.functions.analytics import cusum_changepoint
+    from streamkit_spark.streaming.daily import (
+        daily_totals_stream,
+        finalize_cusum,
+    )
+
+    batch = tables.load(spark, SF_DIR, "events")
+    sel = lambda df: df.select(  # noqa: E731
+        "event_type", F.expr("ts div 86400000000000").alias("day"), "value"
+    )
+    expected = {
+        tuple(r)
+        for r in cusum_changepoint(
+            sel(batch), "event_type", "day", "value"
+        ).collect()
+    }
+    q = (
+        daily_totals_stream(sel(fixture_stream), "event_type", "day", "value")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_daily_cusum")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        daily = spark.sql("SELECT * FROM parity_daily_cusum")
+        got = {
+            tuple(r) for r in finalize_cusum(daily, "event_type").collect()
+        }
+        assert got == expected and len(got) > 0
+    finally:
+        q.stop()

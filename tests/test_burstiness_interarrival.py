@@ -109,3 +109,60 @@ def test_interarrival_groups_without_pairs_omitted(spark):
         order_cols=("event_id",),
     ).collect()
     assert [r["event_type"] for r in out] == ["a"]
+
+
+# ------------------------------------------------------------ calibration
+
+def test_calibration_perfect_ranker_monotone(spark):
+    from streamkit_spark.functions.analytics import calibration_report
+
+    # 100 rows, score = i, label = score >= 70: top 3 deciles pure 1.0,
+    # the rest pure 0.0
+    rows = [(float(i), i >= 70) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = calibration_report(df, "score", "label", n_buckets=10).collect()
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert all(r["n"] == 10 for r in out)
+    rates = [r["rate"] for r in out]
+    assert rates == [0.0] * 7 + [1.0] * 3
+    for r in out:
+        assert r["lo"] <= r["rate"] <= r["hi"]
+        assert r["min_score"] <= r["max_score"]
+    # score ranges tile in bucket order
+    for a, b in zip(out, out[1:]):
+        assert a["max_score"] < b["min_score"]
+
+
+def test_calibration_matches_manual_wilson_per_bucket(spark):
+    import math
+
+    from streamkit_spark.functions.analytics import calibration_report
+
+    rows = [(float(i % 7), (i * 13) % 3 == 0) for i in range(84)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bucket"]: r for r in calibration_report(
+        df, "score", "label", n_buckets=4
+    ).collect()}
+    total = sum(r["n"] for r in out.values())
+    assert total == 84
+    for r in out.values():
+        n, s = r["n"], r["successes"]
+        p = s / n
+        z = 1.96
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert r["rate"] == round(p, 4)
+        assert abs(r["lo"] - (center - half)) < 1e-3
+        assert abs(r["hi"] - (center + half)) < 1e-3
+
+
+def test_calibration_null_rows_filtered(spark):
+    from streamkit_spark.functions.analytics import calibration_report
+
+    rows = [(1.0, True), (2.0, False), (None, True), (3.0, None)]
+    out = calibration_report(
+        spark.createDataFrame(rows, "score double, label boolean"),
+        "score", "label", n_buckets=2,
+    ).collect()
+    assert sum(r["n"] for r in out) == 2
