@@ -3090,6 +3090,21 @@ def q_score_calibration(spark, sf_dir):
     )
 
 
+def q_dedup_sweep(spark, sf_dir):
+    """Jaccard threshold sweep (dedup.jaccard_threshold_sweep): the
+    dedup tuning curve — pair count, affected-doc count, and dup rate
+    at 0.5..0.9 from ONE PPJoin candidate computation; the unrounded
+    exact-ratio jaccard compares against each threshold literal exactly
+    as an independent run would.  Thresholds are exact repr literals on
+    both engines."""
+    from streamkit_spark.functions import dedup as D
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.jaccard_threshold_sweep(
+        docs, thresholds=(0.5, 0.6, 0.7, 0.8, 0.9), n=3
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3316,6 +3331,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_trend": q_robust_trend,
         "holt_daily": q_holt_daily,
         "score_calibration": q_score_calibration,
+        "dedup_sweep": q_dedup_sweep,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7910,5 +7926,59 @@ def oracle_sql() -> dict[str, str]:
                round(center + half, 4) AS hi,
                min_score, max_score
         FROM iv ORDER BY bucket
+    """
+    # Jaccard threshold sweep: the dedup_ngram_jaccard pair CTE at the
+    # lowest threshold, swept over exact threshold literals; unrounded
+    # ratio compares exactly as each independent run would.
+    sql["dedup_sweep"] = r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b,
+                   inter::DOUBLE / (s1.n + s2.n - inter) AS j
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter)
+                  >= CAST('0.5' AS DOUBLE)
+        ), ths AS (
+            SELECT unnest([CAST('0.5' AS DOUBLE), CAST('0.6' AS DOUBLE),
+                           CAST('0.7' AS DOUBLE), CAST('0.8' AS DOUBLE),
+                           CAST('0.9' AS DOUBLE)]) AS threshold
+        ), q AS (
+            SELECT threshold, id_a, id_b
+            FROM jp CROSS JOIN ths WHERE j >= threshold
+        ), stats AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM q GROUP BY 1
+        ), docs_t AS (
+            SELECT threshold,
+                   CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+            FROM (SELECT threshold, id_a AS d FROM q
+                  UNION ALL SELECT threshold, id_b FROM q)
+            GROUP BY 1
+        ), total AS (
+            SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
+            FROM documents WHERE doc_id IS NOT NULL
+        )
+        SELECT ths.threshold,
+               CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+               round(CAST(coalesce(n_docs, 0) AS DOUBLE)
+                     / CAST(n_total AS DOUBLE), 4) AS dup_rate
+        FROM ths
+        LEFT JOIN stats ON stats.threshold = ths.threshold
+        LEFT JOIN docs_t ON docs_t.threshold = ths.threshold
+        CROSS JOIN total
+        ORDER BY ths.threshold
     """
     return sql

@@ -1050,3 +1050,77 @@ def editdist_pairs(
         .select("id_a", "id_b", F.round("__sim", 4).alias("editsim"))
         .orderBy("id_a", "id_b")
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.6, 0.7, 0.8, 0.9),
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Dedup tuning curve: pair counts and corpus impact at several
+    Jaccard thresholds from ONE candidate computation —
+    ``(threshold, n_pairs, n_docs, dup_rate)`` per threshold, where
+    ``n_docs`` is how many distinct documents sit in at least one
+    qualifying pair and ``dup_rate`` = n_docs / corpus size.  This is
+    the plot a dedup engineer reads before picking a production
+    threshold: where the pair count explodes is where near-dup turns
+    into topical-similarity.
+
+    The expensive pipeline (PPJoin-filtered pair generation +
+    verification at the LOWEST threshold) runs ONCE and is
+    localCheckpoint'ed; each threshold then filters the tiny verified
+    pair table — the UNROUNDED exact-ratio jaccard compares against the
+    threshold literal exactly as :func:`ngram_jaccard_pairs` does, so
+    the sweep at t equals an independent run at t.  Thresholds with no
+    qualifying pairs still emit (t, 0, 0, 0.0) rows.
+
+    Scale: inherits the PPJoin bounds; the sweep adds one
+    thresholds × pairs pass over a table that near-dup semantics keeps
+    small.
+    """
+    ths = sorted({float(t) for t in thresholds})
+    if not ths:
+        raise ValueError("thresholds must be non-empty")
+    pairs = ngram_jaccard_pairs(
+        df, n=n, threshold=ths[0], text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(t,) for t in ths], "threshold double"
+    )
+    q = pairs.crossJoin(F.broadcast(tdf)).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    stats = q.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    docs_t = (
+        q.select(
+            "threshold",
+            F.explode(F.array("id_a", "id_b")).alias("d"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").cast("long").alias("n_docs"))
+    )
+    total = df.filter(F.col(id_col).isNotNull()).agg(
+        F.countDistinct(id_col).cast("long").alias("n_total")
+    )
+    return (
+        tdf.join(F.broadcast(stats), "threshold", "left")
+        .join(F.broadcast(docs_t), "threshold", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.round(
+                F.coalesce("n_docs", F.lit(0)).cast("double")
+                / F.col("n_total").cast("double"),
+                round_digits,
+            ).alias("dup_rate"),
+        )
+        .orderBy("threshold")
+    )

@@ -405,3 +405,51 @@ def test_tfidf_cosine_shingle_mode_on_fixture(spark):
         assert r["doc_a"] < r["doc_b"]
         assert 0.3 <= r["cosine"] <= 1.0
         assert r["n_shared"] >= 1
+
+
+def test_jaccard_threshold_sweep_matches_independent_runs(spark):
+    from streamkit_spark.functions.dedup import (
+        jaccard_threshold_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1 (j = 1.0)
+            (3, base + " w10 w11"),         # high-overlap of 1/2
+            (4, "a b c d e f g h i j"),     # disjoint
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["threshold"]: r for r in jaccard_threshold_sweep(
+        docs, thresholds=(0.5, 0.9), n=3
+    ).collect()}
+    assert set(out) == {0.5, 0.9}
+    # sweep row at t == an independent run at t
+    for t, r in out.items():
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        assert r["n_pairs"] == len(pairs)
+        assert r["n_docs"] == len(
+            {p["id_a"] for p in pairs} | {p["id_b"] for p in pairs}
+        )
+    # monotone: raising the threshold never adds pairs
+    assert out[0.9]["n_pairs"] <= out[0.5]["n_pairs"]
+    # dup_rate denominator counts ALL docs (incl. the NULL-text one)
+    assert out[0.5]["dup_rate"] == round(out[0.5]["n_docs"] / 5, 4)
+
+
+def test_jaccard_threshold_sweep_empty_thresholds_and_no_pairs(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.dedup import jaccard_threshold_sweep
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    with _pt.raises(ValueError, match="thresholds"):
+        jaccard_threshold_sweep(docs, thresholds=())
+    out = jaccard_threshold_sweep(docs, thresholds=(0.5,), n=3).collect()
+    assert [tuple(r) for r in out] == [(0.5, 0, 0, 0.0)]
