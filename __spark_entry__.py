@@ -3585,7 +3585,7 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["dedup_ngram_jaccard"] = """
         WITH toks AS (
-            SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -4714,7 +4714,7 @@ def oracle_sql() -> dict[str, str]:
     # ---- round 3 ----
     sql["dedup_overlap"] = r"""
         WITH toks AS (
-            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
@@ -7932,7 +7932,7 @@ def oracle_sql() -> dict[str, str]:
     # ratio compares exactly as each independent run would.
     sql["dedup_sweep"] = r"""
         WITH toks AS (
-            SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents
         ), sh AS (
             SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
             FROM toks, unnest(range(1, len(w) - 1)) AS t(i)

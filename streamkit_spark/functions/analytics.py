@@ -2998,7 +2998,10 @@ def calibration_report(
     base = df.filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(score_col, label_col)
-    b = rank_buckets(base, score_col, n_buckets)
+    # the bucketed table fans into the Wilson and range branches — the
+    # upstream pipeline (often a classifier scan ⋈ rule gate) must not
+    # re-plan per branch
+    b = rank_buckets(base, score_col, n_buckets).localCheckpoint(eager=False)
     w = wilson_by_group(b, "bucket", label_col, z, round_digits)
     rng = b.groupBy("bucket").agg(
         F.min(score_col).alias("min_score"),

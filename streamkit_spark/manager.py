@@ -107,57 +107,63 @@ class EngineManager:
 
     def get_or_create(self, store_id: Any) -> Any:
         """Return the cached handle for ``store_id``, creating it via
-        the factory — subject to the circuit breaker."""
+        the factory — subject to the circuit breaker.  The lock is held
+        ACROSS the factory call, exactly as the reference holds its
+        mutex across NewStore (manager.go:139-141): creation serializes,
+        and two racing callers can never build two handles and leak the
+        loser."""
         with self._lock:
-            self._prune_expired_failures_locked()
-            ent = self._entries.get(store_id)
-            if ent is not None:
-                ent.last_accessed = self.time_fn()
-                return ent.handle
-            f = self._failures.get(store_id)
-            if f is not None and f.count >= self.max_failures:
-                elapsed = self.time_fn() - f.last_failed
-                if elapsed < self.failure_window:
-                    raise CircuitOpenError(
-                        store_id, f.count, self.failure_window - elapsed
-                    )
-                # half-open: allow exactly one probe
-                f.count = self.max_failures - 1
+            return self._get_or_create_locked(store_id).handle
+
+    def _get_or_create_locked(self, store_id: Any) -> "_Entry":
+        if self._closed:
+            raise RuntimeError("EngineManager is closed")
+        self._prune_expired_failures_locked()
+        ent = self._entries.get(store_id)
+        if ent is not None:
+            ent.last_accessed = self.time_fn()
+            return ent
+        f = self._failures.get(store_id)
+        if f is not None and f.count >= self.max_failures:
+            elapsed = self.time_fn() - f.last_failed
+            if elapsed < self.failure_window:
+                raise CircuitOpenError(
+                    store_id, f.count, self.failure_window - elapsed
+                )
+            # half-open: allow exactly one probe
+            f.count = self.max_failures - 1
         try:
             handle = self.factory(store_id)
         except Exception:
-            with self._lock:
-                f = self._failures.get(store_id)
-                if f is not None:
-                    f.count += 1
-                    f.last_failed = self.time_fn()
-                else:
-                    if len(self._failures) >= self.max_failure_entries:
-                        self._evict_oldest_failure_locked()
-                    self._failures[store_id] = _Failure(1, self.time_fn())
+            f = self._failures.get(store_id)
+            if f is not None:
+                f.count += 1
+                f.last_failed = self.time_fn()
+            else:
+                if len(self._failures) >= self.max_failure_entries:
+                    self._evict_oldest_failure_locked()
+                self._failures[store_id] = _Failure(1, self.time_fn())
             raise
-        with self._lock:
-            self._failures.pop(store_id, None)
-            self._entries[store_id] = _Entry(handle, self.time_fn())
-        return handle
+        self._failures.pop(store_id, None)
+        ent = _Entry(handle, self.time_fn())
+        self._entries[store_id] = ent
+        return ent
 
     @contextmanager
     def use(self, store_id: Any):
         """``with manager.use(sid) as h:`` — refcounted access; the
-        idle reaper never evicts a handle while in flight."""
-        handle = self.get_or_create(store_id)
+        inflight bump happens in the SAME critical section that
+        resolves the handle, so the idle reaper / remove / close can
+        never close it between resolution and the bump."""
         with self._lock:
-            ent = self._entries.get(store_id)
-            if ent is not None and ent.handle is handle:
-                ent.inflight += 1
-                ent.last_accessed = self.time_fn()
+            ent = self._get_or_create_locked(store_id)
+            ent.inflight += 1
+            ent.last_accessed = self.time_fn()
         try:
-            yield handle
+            yield ent.handle
         finally:
             with self._lock:
-                ent = self._entries.get(store_id)
-                if ent is not None and ent.handle is handle:
-                    ent.inflight -= 1
+                ent.inflight -= 1
 
     # -------------------------------------------------------- lifecycle
 

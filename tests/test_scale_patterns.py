@@ -242,5 +242,7 @@ def test_r6_diagnostics_plan_shapes(spark):
         "holt_daily",
         "ranksum_value",
         "ks_value",
+        "score_calibration",
+        "dedup_sweep",
     ):
         assert "CartesianProduct" not in plan(q), q
