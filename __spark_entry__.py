@@ -3105,6 +3105,24 @@ def q_dedup_sweep(spark, sf_dir):
     )
 
 
+def q_classifier_auc(spark, sf_dir):
+    """Ranking AUC of the quality classifier against the rule gate
+    (analytics.auc_report): AUC = U⁺/(n⁺·n⁻) via the exact Mann-Whitney
+    rank machinery — doubled average ranks over the distinct-score
+    table make U an exact half-integer, ties get the standard 0.5
+    credit, and the only float step is one division of exact
+    components.  The threshold-free companion of score_calibration."""
+    from streamkit_spark.functions import analytics as AN
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = C.quality_classifier_score(docs, bias=0.1).select(
+        "doc_id", "score"
+    )
+    labels = C.quality_rules(docs).select("doc_id", "passes")
+    return AN.auc_report(scored.join(labels, "doc_id"), "score", "passes")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3332,6 +3350,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_daily": q_holt_daily,
         "score_calibration": q_score_calibration,
         "dedup_sweep": q_dedup_sweep,
+        "classifier_auc": q_classifier_auc,
         # --- verified green in rounds 1-2 (CORRECTNESS_r01/r02) ---
         "s1_consume_segment": q_s1_consume_segment,
         "s1_tail_window": q_s1_tail_window,
@@ -7980,5 +7999,76 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN docs_t ON docs_t.threshold = ths.threshold
         CROSS JOIN total
         ORDER BY ths.threshold
+    """
+    # Classifier AUC: the ranksum_value rank machinery with
+    # label-as-group over the classifier score; AUC = U+/(n+ * n-),
+    # the rounded exact half-integer U divided once (engine shape).
+    sql["classifier_auc"] = f"""
+        WITH {_tok_cte}, sc0 AS (
+            SELECT doc_id,
+                   round(CASE WHEN len(t) = 0 THEN 0.1
+                         ELSE 0.1 + list_sum(list_apply(t, x -> {_qcw})) / len(t)
+                         END, 4) + 0 AS score
+            FROM tok
+        ), qbase AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_apply(t, x -> length(x))) AS DOUBLE) / len(t)
+                         END, 4) AS mean_word_len,
+                   round(CASE WHEN len(t) = 0 THEN 0.0
+                         ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                         END, 4) AS frac_unique_words,
+                   CAST(len(list_filter(t, x -> list_contains({_sw_list}, lower(x)))) AS BIGINT)
+                       AS stopword_hits
+            FROM tok
+        ), bi AS (
+            SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS bigram
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), topbg AS (
+            SELECT doc_id,
+                   round(CAST(2 * max(c) AS DOUBLE) / n, 4) AS top_bigram_frac
+            FROM (SELECT doc_id, bigram, n, count(*) AS c FROM bi GROUP BY 1, 2, 3)
+            GROUP BY doc_id, n
+        ), lab AS (
+            SELECT b.doc_id,
+                   (n_words >= 30 AND n_words <= 100000
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                    AND frac_unique_words >= 0.30 AND stopword_hits >= 1
+                    AND COALESCE(top_bigram_frac, 0.0) <= 0.10) AS passes
+            FROM qbase b LEFT JOIN topbg USING (doc_id)
+        ), base AS (
+            SELECT lab.passes AS grp, sc0.score AS v
+            FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
+            WHERE lab.passes IS NOT NULL AND sc0.score IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1
+        ), ranked AS (
+            SELECT v, t,
+                   CAST(2 * coalesce(sum(t) OVER (
+                            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS dr
+            FROM vals
+        ), tot AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n FROM ranked
+        ), per AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1,
+                   CAST(sum(c * dr) AS BIGINT) AS r2
+            FROM cells JOIN ranked USING (v) GROUP BY grp
+        ), fin AS (
+            SELECT n1, CAST(n - n1 AS BIGINT) AS n0,
+                   round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                         / CAST(2 AS DOUBLE), 4) AS u
+            FROM per CROSS JOIN tot WHERE grp = true
+        )
+        SELECT n1 AS n_pos, n0 AS n_neg,
+               round(CASE WHEN n1 > 0 AND n0 > 0 THEN
+                     u / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) END, 4)
+                 AS auc
+        FROM fin
     """
     return sql

@@ -74,6 +74,7 @@ __all__ = [
     "holt_smooth",
     "holt_from_daily",
     "calibration_report",
+    "auc_report",
 ]
 
 
@@ -3014,4 +3015,46 @@ def calibration_report(
             "min_score", "max_score",
         )
         .orderBy("bucket")
+    )
+
+
+def auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Binary ranking AUC of ``score`` for ``label`` via the EXACT
+    Mann-Whitney identity AUC = U⁺/(n⁺·n⁻): one row
+    ``(n_pos, n_neg, auc)`` — the threshold-free companion of
+    :func:`calibration_report` (calibration asks "are the rates right
+    per bucket?", AUC asks "does the score rank positives above
+    negatives at all?").  Ties get the standard 0.5 credit (that is
+    what the rank-based U does).
+
+    Determinism contract: inherited wholesale from
+    :func:`ranksum_from_cells` — doubled average ranks from the
+    distinct-score count table make U an exact half-integer, and the
+    final AUC is ONE double division of exact components.  NULL auc
+    when either class is empty.
+
+    Scale: one (label, score) count, then everything runs on the
+    distinct-score table (the value_cells contract — quantize unbounded
+    scores upstream if their cardinality is unbounded).
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    )
+    r = ranksum_from_cells(
+        value_cells(base, label_col, score_col), label_col, round_digits
+    ).filter(F.col(label_col) == F.lit(True))
+    auc = F.when(
+        (F.col("n") > 0) & (F.col("n_rest") > 0),
+        F.col("u")
+        / (F.col("n").cast("double") * F.col("n_rest").cast("double")),
+    )
+    return r.select(
+        F.col("n").alias("n_pos"),
+        F.col("n_rest").alias("n_neg"),
+        F.round(auc, round_digits).alias("auc"),
     )

@@ -166,3 +166,55 @@ def test_calibration_null_rows_filtered(spark):
         "score", "label", n_buckets=2,
     ).collect()
     assert sum(r["n"] for r in out) == 2
+
+
+def _py_auc(pairs):
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    u = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return u / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_reference_with_ties(spark):
+    from streamkit_spark.functions.analytics import auc_report
+
+    pairs = [(0.1, False), (0.4, False), (0.4, True), (0.35, False),
+             (0.8, True), (0.8, True), (0.2, False), (0.9, True),
+             (0.5, False), (0.45, True)]
+    df = spark.createDataFrame(pairs, "score double, label boolean")
+    r = auc_report(df, "score", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (5, 5)
+    assert r["auc"] == pytest.approx(_py_auc(pairs), abs=1e-4)
+
+
+def test_auc_perfect_and_inverted_separators(spark):
+    from streamkit_spark.functions.analytics import auc_report
+
+    good = [(float(i), i >= 5) for i in range(10)]
+    bad = [(float(-i), i >= 5) for i in range(10)]
+    assert auc_report(
+        spark.createDataFrame(good, "score double, label boolean"),
+        "score", "label",
+    ).collect()[0]["auc"] == 1.0
+    assert auc_report(
+        spark.createDataFrame(bad, "score double, label boolean"),
+        "score", "label",
+    ).collect()[0]["auc"] == 0.0
+
+
+def test_auc_degenerate_classes(spark):
+    from streamkit_spark.functions.analytics import auc_report
+
+    all_true = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "score double, label boolean"
+    )
+    r = auc_report(all_true, "score", "label").collect()
+    assert len(r) == 1 and r[0]["auc"] is None  # no negatives
+    all_false = spark.createDataFrame(
+        [(1.0, False)], "score double, label boolean"
+    )
+    assert auc_report(all_false, "score", "label").collect() == []
