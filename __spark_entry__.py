@@ -7864,8 +7864,10 @@ def oracle_sql() -> dict[str, str]:
     # to the quality_rules passes CTE, exact decile bucketing (the
     # doc_length_deciles formula over distinct scores), Wilson per
     # bucket (the wilson_high_value expression shape).
-    sql["score_calibration"] = f"""
-        WITH {_tok_cte}, sc0 AS (
+    # Shared classifier-score + rule-gate label CTE block (used by
+    # score_calibration AND classifier_auc — one copy, so a rule or
+    # scorer change cannot desynchronize their oracles).
+    _qc_lab_ctes = f"""{_tok_cte}, sc0 AS (
             SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
                    round(CASE WHEN len(t) = 0 THEN 0.1
                          ELSE 0.1 + list_sum(list_apply(t, x -> {_qcw})) / len(t)
@@ -7899,7 +7901,9 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_unique_words >= 0.30 AND stopword_hits >= 1
                     AND COALESCE(top_bigram_frac, 0.0) <= 0.10) AS passes
             FROM qbase b LEFT JOIN topbg USING (doc_id)
-        ), joined AS (
+        )"""
+    sql["score_calibration"] = f"""
+        WITH {_qc_lab_ctes}, joined AS (
             SELECT sc0.score, lab.passes
             FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
             WHERE sc0.score IS NOT NULL AND lab.passes IS NOT NULL
@@ -8004,41 +8008,7 @@ def oracle_sql() -> dict[str, str]:
     # label-as-group over the classifier score; AUC = U+/(n+ * n-),
     # the rounded exact half-integer U divided once (engine shape).
     sql["classifier_auc"] = f"""
-        WITH {_tok_cte}, sc0 AS (
-            SELECT doc_id,
-                   round(CASE WHEN len(t) = 0 THEN 0.1
-                         ELSE 0.1 + list_sum(list_apply(t, x -> {_qcw})) / len(t)
-                         END, 4) + 0 AS score
-            FROM tok
-        ), qbase AS (
-            SELECT doc_id,
-                   CAST(len(t) AS BIGINT) AS n_words,
-                   round(CASE WHEN len(t) = 0 THEN 0.0
-                         ELSE CAST(list_sum(list_apply(t, x -> length(x))) AS DOUBLE) / len(t)
-                         END, 4) AS mean_word_len,
-                   round(CASE WHEN len(t) = 0 THEN 0.0
-                         ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
-                         END, 4) AS frac_unique_words,
-                   CAST(len(list_filter(t, x -> list_contains({_sw_list}, lower(x)))) AS BIGINT)
-                       AS stopword_hits
-            FROM tok
-        ), bi AS (
-            SELECT doc_id, len(t) AS n, t[i] || ' ' || t[i + 1] AS bigram
-            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
-            WHERE len(t) >= 2
-        ), topbg AS (
-            SELECT doc_id,
-                   round(CAST(2 * max(c) AS DOUBLE) / n, 4) AS top_bigram_frac
-            FROM (SELECT doc_id, bigram, n, count(*) AS c FROM bi GROUP BY 1, 2, 3)
-            GROUP BY doc_id, n
-        ), lab AS (
-            SELECT b.doc_id,
-                   (n_words >= 30 AND n_words <= 100000
-                    AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
-                    AND frac_unique_words >= 0.30 AND stopword_hits >= 1
-                    AND COALESCE(top_bigram_frac, 0.0) <= 0.10) AS passes
-            FROM qbase b LEFT JOIN topbg USING (doc_id)
-        ), base AS (
+        WITH {_qc_lab_ctes}, base AS (
             SELECT lab.passes AS grp, sc0.score AS v
             FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
             WHERE lab.passes IS NOT NULL AND sc0.score IS NOT NULL

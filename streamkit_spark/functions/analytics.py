@@ -3042,11 +3042,11 @@ def auc_report(
     distinct-score table (the value_cells contract — quantize unbounded
     scores upstream if their cardinality is unbounded).
     """
-    base = df.filter(
-        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
-    )
+    # value_cells applies the NULL filters; U stays at 4dp (an exact
+    # half-integer, so that rounding is the identity) regardless of the
+    # caller's round_digits — only the final auc is caller-rounded
     r = ranksum_from_cells(
-        value_cells(base, label_col, score_col), label_col, round_digits
+        value_cells(df, label_col, score_col), label_col, 4
     ).filter(F.col(label_col) == F.lit(True))
     auc = F.when(
         (F.col("n") > 0) & (F.col("n_rest") > 0),
