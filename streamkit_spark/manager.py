@@ -36,8 +36,12 @@ Semantics mirrored from the reference (same defaults):
   and stamps last-access on entry.
 
 ``time_fn`` is injectable so tests drive the clock deterministically.
-Thread-safe: one lock guards the tables, handles close OUTSIDE the
-lock (the reference's toClose pattern).
+Thread-safe: one lock guards the tables; the factory runs OUTSIDE it
+behind a per-id in-progress marker (slow creation of one store never
+blocks access to others, racing creators of the same id still
+deduplicate); handles close OUTSIDE the lock (the reference's toClose
+pattern).  remove()/close() with live borrowers defer the close to the
+last use() release instead of yanking the handle mid-call.
 """
 
 from __future__ import annotations
@@ -80,6 +84,9 @@ class _Entry:
     handle: Any
     last_accessed: float
     inflight: int = 0
+    # Set by remove()/close() when borrowers are still inside use():
+    # the LAST borrower out closes the handle (deferred force-close).
+    defunct: bool = False
 
 
 @dataclass
@@ -98,6 +105,7 @@ class EngineManager:
 
     _entries: dict = field(default_factory=dict, init=False)
     _failures: dict = field(default_factory=dict, init=False)
+    _creating: dict = field(default_factory=dict, init=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, init=False)
     _reaper: threading.Thread | None = field(default=None, init=False)
     _stop: threading.Event = field(default_factory=threading.Event, init=False)
@@ -107,71 +115,111 @@ class EngineManager:
 
     def get_or_create(self, store_id: Any) -> Any:
         """Return the cached handle for ``store_id``, creating it via
-        the factory — subject to the circuit breaker.  The lock is held
-        ACROSS the factory call, exactly as the reference holds its
-        mutex across NewStore (manager.go:139-141): creation serializes,
-        and two racing callers can never build two handles and leak the
-        loser."""
-        with self._lock:
-            return self._get_or_create_locked(store_id).handle
+        the factory — subject to the circuit breaker.  Racing creators
+        of the SAME id deduplicate (the reference holds its mutex across
+        NewStore, manager.go:139-141, so two callers can never build two
+        handles and leak the loser — preserved here via a per-id
+        in-progress marker), but the factory runs OUTSIDE the global
+        lock: one slow creation (a Spark engine build can take seconds)
+        never blocks get_or_create/use/reap_idle for other store ids."""
+        return self._acquire_entry(store_id, bump_inflight=False).handle
 
-    def _get_or_create_locked(self, store_id: Any) -> "_Entry":
-        if self._closed:
-            raise RuntimeError("EngineManager is closed")
-        self._prune_expired_failures_locked()
-        ent = self._entries.get(store_id)
-        if ent is not None:
-            ent.last_accessed = self.time_fn()
-            return ent
-        f = self._failures.get(store_id)
-        if f is not None and f.count >= self.max_failures:
-            elapsed = self.time_fn() - f.last_failed
-            if elapsed < self.failure_window:
-                raise CircuitOpenError(
-                    store_id, f.count, self.failure_window - elapsed
-                )
-            # half-open: allow exactly one probe
-            f.count = self.max_failures - 1
+    def _acquire_entry(self, store_id: Any, bump_inflight: bool) -> "_Entry":
+        """Resolve-or-create the entry.  When ``bump_inflight``, the
+        inflight bump happens in the SAME critical section that resolves
+        (or publishes) the handle, so the idle reaper / remove / close
+        can never close it between resolution and the bump."""
+        while True:
+            with self._lock:
+                if self._closed:
+                    raise RuntimeError("EngineManager is closed")
+                self._prune_expired_failures_locked()
+                ent = self._entries.get(store_id)
+                if ent is not None:
+                    ent.last_accessed = self.time_fn()
+                    if bump_inflight:
+                        ent.inflight += 1
+                    return ent
+                in_progress = self._creating.get(store_id)
+                if in_progress is None:
+                    f = self._failures.get(store_id)
+                    if f is not None and f.count >= self.max_failures:
+                        elapsed = self.time_fn() - f.last_failed
+                        if elapsed < self.failure_window:
+                            raise CircuitOpenError(
+                                store_id, f.count, self.failure_window - elapsed
+                            )
+                        # half-open: allow exactly one probe
+                        f.count = self.max_failures - 1
+                    in_progress = threading.Event()
+                    self._creating[store_id] = in_progress
+                    break  # we are the creator; build outside the lock
+            # Another thread is creating this id: wait for it to finish,
+            # then loop — on success the entry is there; on failure we
+            # retry as creator (and may fail fast on the circuit).
+            in_progress.wait()
         try:
             handle = self.factory(store_id)
         except Exception:
-            f = self._failures.get(store_id)
-            if f is not None:
-                f.count += 1
-                f.last_failed = self.time_fn()
-            else:
-                if len(self._failures) >= self.max_failure_entries:
-                    self._evict_oldest_failure_locked()
-                self._failures[store_id] = _Failure(1, self.time_fn())
+            with self._lock:
+                self._record_failure_locked(store_id)
+                self._creating.pop(store_id, None)
+            in_progress.set()
             raise
-        self._failures.pop(store_id, None)
-        ent = _Entry(handle, self.time_fn())
-        self._entries[store_id] = ent
+        with self._lock:
+            self._creating.pop(store_id, None)
+            if self._closed:
+                # close() ran while we were building; don't publish.
+                in_progress.set()
+                self._close_handle(handle)
+                raise RuntimeError("EngineManager is closed")
+            self._failures.pop(store_id, None)
+            ent = _Entry(handle, self.time_fn())
+            if bump_inflight:
+                ent.inflight += 1
+            self._entries[store_id] = ent
+        in_progress.set()
         return ent
+
+    def _record_failure_locked(self, store_id: Any) -> None:
+        f = self._failures.get(store_id)
+        if f is not None:
+            f.count += 1
+            f.last_failed = self.time_fn()
+        else:
+            if len(self._failures) >= self.max_failure_entries:
+                self._evict_oldest_failure_locked()
+            self._failures[store_id] = _Failure(1, self.time_fn())
 
     @contextmanager
     def use(self, store_id: Any):
-        """``with manager.use(sid) as h:`` — refcounted access; the
-        inflight bump happens in the SAME critical section that
-        resolves the handle, so the idle reaper / remove / close can
-        never close it between resolution and the bump."""
-        with self._lock:
-            ent = self._get_or_create_locked(store_id)
-            ent.inflight += 1
-            ent.last_accessed = self.time_fn()
+        """``with manager.use(sid) as h:`` — refcounted access.  If a
+        concurrent remove()/close() force-invalidates the entry while
+        borrowed, the handle stays open until the LAST borrower exits;
+        that borrower closes it."""
+        ent = self._acquire_entry(store_id, bump_inflight=True)
         try:
             yield ent.handle
         finally:
             with self._lock:
                 ent.inflight -= 1
+                close_now = ent.defunct and ent.inflight == 0
+            if close_now:
+                self._close_handle(ent.handle)
 
     # -------------------------------------------------------- lifecycle
 
     def remove(self, store_id: Any) -> None:
-        """Close and forget the handle AND its failure history."""
+        """Force-path: forget the handle AND its failure history.  The
+        handle closes immediately when idle; with borrowers inside
+        use() the close defers to the last borrower's release (the
+        entry is unpublished either way — new callers re-create)."""
         with self._lock:
             self._failures.pop(store_id, None)
             ent = self._entries.pop(store_id, None)
+            if ent is not None and ent.inflight > 0:
+                ent.defunct = True
+                ent = None  # last borrower out closes it
         if ent is not None:
             self._close_handle(ent.handle)
 
@@ -212,7 +260,9 @@ class EngineManager:
         self._reaper.start()
 
     def close(self) -> None:
-        """Stop the reaper and close every handle (idempotent)."""
+        """Stop the reaper and close every handle (idempotent).  Handles
+        borrowed inside use() at close time defer their close to the
+        last borrower's release, like remove()."""
         with self._lock:
             if self._closed:
                 return
@@ -221,7 +271,12 @@ class EngineManager:
         if self._reaper is not None:
             self._reaper.join(timeout=5)
         with self._lock:
-            to_close = [e.handle for e in self._entries.values()]
+            to_close = []
+            for e in self._entries.values():
+                if e.inflight > 0:
+                    e.defunct = True
+                else:
+                    to_close.append(e.handle)
             self._entries.clear()
             self._failures.clear()
         for h in to_close:

@@ -49,6 +49,11 @@ def ingest_batch(
     idempotent.  Returns {(space, segment): n_appended} with 0 marking an
     idempotent skip."""
     order_col = "__order" if "__order" in batch.columns else "payload"
+    # Bounded collect: distinct (space, segment) pairs TOUCHED BY THIS
+    # MICRO-BATCH — segments an ingest source feeds per trigger, not the
+    # store's inventory.  Same for the per-group row collect below: one
+    # micro-batch's rows for one segment (produce() itself needs the
+    # records driver-side to assign contiguous sequences).
     groups = [
         (r["space"], r["segment"])
         for r in batch.select("space", "segment").distinct().collect()

@@ -136,23 +136,45 @@ class Telemetry:
     # -- report ------------------------------------------------------------
 
     def report(self, spark: SparkSession) -> DataFrame:
-        """One flat (kind, name, metric, value, error) DataFrame over
-        everything recorded so far — counters, finished observations,
-        spans — the scrape surface a metrics exporter would read."""
-        rows: list[tuple[str, str, str, float, str | None]] = []
+        """One flat (kind, name, metric, value, text_value, error)
+        DataFrame over everything recorded so far — counters, finished
+        observations, spans — the scrape surface a metrics exporter
+        would read.
+
+        Every finished observation metric is emitted, never skipped:
+        numerics land in ``value`` (text_value NULL); booleans are
+        explicit 1.0/0.0 AND carry 'true'/'false' in ``text_value`` so
+        a scrape can tell a gauge from a flag; non-numeric metrics
+        (e.g. min/max over a string column) emit value NULL with the
+        stringified payload in ``text_value``."""
+        rows: list[tuple[str, str, str, float | None, str | None, str | None]] = []
         for name, val in sorted(self._counters.items()):
-            rows.append(("counter", name, "count", float(val), None))
+            rows.append(("counter", name, "count", float(val), None, None))
         for name, obs in sorted(self._observations.items()):
             got = self._try_get(obs)
             if got is None:
                 continue  # observed action has not run yet
             for metric, val in got.items():
-                if isinstance(val, (int, float)) and val is not None:
-                    rows.append(("observation", name, metric, float(val), None))
+                if isinstance(val, bool):
+                    rows.append(("observation", name, metric,
+                                 1.0 if val else 0.0,
+                                 "true" if val else "false", None))
+                    continue
+                try:
+                    num = float(val)  # int, float, Decimal
+                except (TypeError, ValueError):
+                    rows.append(("observation", name, metric, None,
+                                 None if val is None else str(val), None))
+                else:
+                    rows.append(("observation", name, metric, num, None, None))
         for s in self._spans:
-            rows.append(("span", s["name"], "seconds", s["seconds"], s["error"]))
+            rows.append(
+                ("span", s["name"], "seconds", s["seconds"], None, s["error"])
+            )
         return spark.createDataFrame(
-            rows, "kind string, name string, metric string, value double, error string"
+            rows,
+            "kind string, name string, metric string, value double, "
+            "text_value string, error string",
         )
 
 

@@ -183,3 +183,95 @@ def test_remove_and_close_close_handles_and_reset_failures():
     assert m.stats() == {
         "handles": 0, "failures_tracked": 0, "open_circuits": 0,
     }
+
+
+def test_remove_defers_close_to_last_borrower():
+    """A borrower inside use() keeps its handle open across a
+    concurrent remove(); the LAST borrower out closes it (ADVICE r6)."""
+    clock = FakeClock()
+    m = _mgr({}, clock)
+    with m.use("a") as outer:
+        with m.use("a") as inner:
+            assert inner is outer
+            m.remove("a")
+            assert not outer.closed  # two borrowers still inside
+            # the id is unpublished: a new caller gets a FRESH handle
+            fresh = m.get_or_create("a")
+            assert fresh is not outer and not fresh.closed
+        assert not outer.closed  # one borrower still inside
+    assert outer.closed  # last borrower released -> deferred close
+    assert not fresh.closed
+
+
+def test_close_defers_borrowed_handles():
+    clock = FakeClock()
+    m = _mgr({}, clock)
+    idle = m.get_or_create("idle")
+    cm = m.use("busy")
+    busy = cm.__enter__()
+    m.close()
+    assert idle.closed  # nothing in flight -> closed immediately
+    assert not busy.closed  # borrowed -> deferred
+    cm.__exit__(None, None, None)
+    assert busy.closed
+    with pytest.raises(RuntimeError):
+        m.get_or_create("idle")
+
+
+def test_slow_factory_does_not_block_other_ids():
+    """Creation runs outside the global lock: while one store's factory
+    is blocked, get_or_create of a DIFFERENT id completes (ADVICE r6)."""
+    import threading
+
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def factory(sid):
+        if sid == "slow":
+            entered.set()
+            assert gate.wait(timeout=10), "gate never opened"
+        return Handle(sid)
+
+    m = EngineManager(factory=factory)
+    t = threading.Thread(target=m.get_or_create, args=("slow",))
+    t.start()
+    assert entered.wait(timeout=10)
+    # the slow creation is parked inside factory(); this must not hang
+    fast = m.get_or_create("fast")
+    assert fast.sid == "fast"
+    gate.set()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert m.stats()["handles"] == 2
+    m.close()
+
+
+def test_racing_creators_of_same_id_deduplicate():
+    import threading
+
+    calls = []
+    release = threading.Event()
+    started = threading.Event()
+
+    def factory(sid):
+        calls.append(sid)
+        started.set()
+        assert release.wait(timeout=10)
+        return Handle(sid)
+
+    m = EngineManager(factory=factory)
+    got = []
+    threads = [
+        threading.Thread(target=lambda: got.append(m.get_or_create("x")))
+        for _ in range(4)
+    ]
+    threads[0].start()
+    assert started.wait(timeout=10)
+    for t in threads[1:]:
+        t.start()
+    release.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(calls) == 1  # factory ran exactly once
+    assert len(got) == 4 and all(h is got[0] for h in got)
+    m.close()

@@ -92,6 +92,33 @@ class TestReport:
         assert rep[("observation", "scan", "rows")]["value"] == 10.0
         assert ("span", "work", "seconds") in rep
 
+    def test_non_numeric_and_bool_metrics_not_dropped(self, spark):
+        """ADVICE r6: a min/max over a string column must land in the
+        report (value NULL, payload in text_value); bools are explicit
+        1.0/0.0 with 'true'/'false' text."""
+        tel = Telemetry()
+        df = spark.createDataFrame(
+            [("apple", 1), ("pear", 2)], "word string, n int"
+        )
+        obs = tel.observe(
+            df,
+            "mixed",
+            F.max("word").alias("max_word"),
+            F.bool_and(F.col("n") > 0).alias("all_pos"),
+            F.sum("n").alias("total"),
+        )
+        obs.count()
+        rep = {
+            (r["kind"], r["name"], r["metric"]): r
+            for r in tel.report(spark).collect()
+        }
+        sm = rep[("observation", "mixed", "max_word")]
+        assert sm["value"] is None and sm["text_value"] == "pear"
+        bm = rep[("observation", "mixed", "all_pos")]
+        assert bm["value"] == 1.0 and bm["text_value"] == "true"
+        nm = rep[("observation", "mixed", "total")]
+        assert nm["value"] == 3.0 and nm["text_value"] is None
+
     def test_unrun_observation_skipped(self, spark):
         tel = Telemetry()
         tel.observe(spark.range(5), "never_run")
