@@ -2845,6 +2845,23 @@ def q_kendall_value_hour(spark, sf_dir):
     return AN.kendall_tau_binned(binned, "event_type", "vb", "hr")
 
 
+def q_kendall_exact(spark, sf_dir):
+    """Per-event-type Kendall tau-b of RAW value vs event time
+    (analytics.kendall_tau_exact): Knight's O(n log n) merge-sort
+    inversion count inside applyInPandas — the exact complement to
+    kendall_value_hour's quantized cell formulation.  C, D and the tie
+    pair-counts are exact integers whatever the partitioning; tau is
+    one Spark-side float expression over their exact-int differences.
+    The oracle replays the same integers with an O(n²) rn-ordered pair
+    join (feasible at sf0.01) — identical counts, identical tau.
+    Engine y is epoch-ns, oracle y is epoch-us: tau-b is invariant
+    under the monotone ×1000 (same order, same ties)."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select("event_type", "value", "ts")
+    return AN.kendall_tau_exact(ev, "event_type", "value", "ts")
+
+
 def q_kl_sources(spark, sf_dir):
     """Per-source KL divergence of the unigram distribution from the
     whole corpus (text.kl_by_group) — the DSIR/DoReMi-style domain
@@ -3134,69 +3151,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-6 window (VERDICT r5 item #1): the 4
-# never-rotated r1/r2-era entries, then every round-5 query that has never
-# had a driver row (fourth/fifth-session adds first, then the
-# first/second/third-session list).  52 candidates for 50 slots — the 2
-# deferred to r7 are `knn_graph` and `mutual_knn`, whose machinery gets
-# indirect coverage this round through `semantic_clusters` (mutual-kNN ∘
-# duplicate_clusters) and `kcore_knn` (peels the mutual-kNN graph); both
-# stay local-sim green.  See the rotation ledger in CLAUDE.md.
+# its literal order below.  Round-7 window (VERDICT r6 item #1, per the
+# CLAUDE.md rotation ledger): the 21 never-driver-checked entries
+# (knn_graph + mutual_knn deferred from r6, plus the 19 r6 adds), then the
+# 13-entry r3 block, then the 16 oldest r4 entries (alphabetical from
+# ann_topk_ivf) = exactly 50.  The remaining 34 r4 entries queue for r8.
 _DRIVER_WINDOW_FRONT = [
-    # --- stale re-verification (driver rows last seen r1/r2) ---
-    "a2_segments",
-    "f5_validation_count",
-    "set_click_and_purchase",
-    "tumbling_daily",
-    # --- round-5 fourth-session adds (never driver-checked) ---
-    "hll_distinct",
-    "triangle_count",
-    "kmv_overlap",
-    "semantic_clusters",
-    "cms_user_counts",
-    "mixture_plan",
-    "funnel_timing",
-    "hll_daily_range",
-    "apply_mixture",
-    # --- round-5 fifth-session adds (never driver-checked) ---
-    "spearman_corr",
-    "chi2_weekday",
-    "mad_outliers",
-    "kcore_knn",
-    "cube_revenue",
-    "value_trend",
-    "source_ngram_overlap",
-    "attribution_linear",
-    "zipf_shingles",
-    "weekday_seasonality",
-    "cusum_changepoint",
-    "dup_rate_by_source",
-    "benford_values",
-    "heaps_docs",
-    "hist_quantiles",
-    "event_assoc",
-    "psi_drift",
-    # --- round-5 first/second/third-session adds (never driver-checked) ---
-    "tfidf_cosine",
-    "doc_length_deciles",
-    "asof_next_view",
-    "user_accumulation",
-    "salted_brand_revenue",
-    "ewma_daily",
-    "pq_codes",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "quality_classifier",
-    "boilerplate_blocks",
-    "dedup_editdist",
-    "random_projection",
-    "compaction_bins",
-    "ab_value_ztest",
-    "label_propagation",
-    "window_funcs",
-    "frequent_sequences",
-    "token_entropy",
-    "ivfadc_topk",
+    # --- never driver-checked: deferred from r6 ---
+    "knn_graph",
+    "mutual_knn",
+    # --- never driver-checked: round-6 adds ---
+    "ranksum_value",
+    "ks_value",
+    "gini_value",
+    "winsorized_value",
+    "kendall_value_hour",
+    "kl_sources",
+    "psi_daily",
+    "seasonal_strength",
+    "acf_daily",
+    "wilson_high_value",
+    "jsd_sources",
+    "xcorr_daily",
+    "token_burstiness",
+    "interarrival",
+    "robust_trend",
+    "holt_daily",
+    "score_calibration",
+    "dedup_sweep",
+    "classifier_auc",
+    # --- r3 block (driver rows last seen r3) ---
+    "bloom_prefilter",
+    "dsir_topk",
+    "embedding_quantization",
+    "event_funnel",
+    "event_transitions",
+    "iqr_outliers",
+    "kmeans_assign",
+    "ngram_novelty",
+    "perplexity_buckets",
+    "quantile_report",
+    "retention_cohorts",
+    "rolling_activity",
+    "value_histogram",
+    # --- 16 oldest r4 entries (alphabetical from ann_topk_ivf) ---
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "approx_distinct",
+    "array_funcs",
+    "bigram_logprob",
+    "binary_payload_stats",
+    "bpe_fertility",
+    "capped_per_source",
+    "char_ngram_count",
+    "column_stats",
+    "contamination",
+    "corr_stats",
+    "curation_report",
+    "customers_without_orders",
+    "date_funcs",
+    "decontaminated",
 ]
 
 
@@ -3337,6 +3351,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_value": q_gini_value,
         "winsorized_value": q_winsorized_value,
         "kendall_value_hour": q_kendall_value_hour,
+        "kendall_exact": q_kendall_exact,
         "kl_sources": q_kl_sources,
         "psi_daily": q_psi_daily,
         "seasonal_strength": q_seasonal_strength,
@@ -7364,6 +7379,48 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt(CAST(n0 - n1 AS DOUBLE)
                             * CAST(n0 - n2 AS DOUBLE)) END, 4) + 0 AS tau
         FROM j ORDER BY event_type
+    """
+    # Exact tau-b: the oracle re-derives Knight's integers (C, D, tie
+    # pair counts) with an rn-ordered O(n²) pair join — order-free
+    # statistics, so any correct exact computation matches the engine's
+    # merge-sort inversion count bit-for-bit.  y = epoch_us (engine uses
+    # epoch-ns: tau invariant under the monotone ×1000).
+    sql["kendall_exact"] = """
+        WITH pts AS (
+            SELECT event_type AS grp, value AS x, epoch_us(ts) AS y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, epoch_us(ts)) AS rn
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND ts IS NOT NULL AND NOT isnan(value)
+        ), pair AS (
+            SELECT a.grp,
+                   CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+                   CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+                   CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                        AS BIGINT) AS t1,
+                   CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                        AS BIGINT) AS t2,
+                   CAST(count(*) AS BIGINT) AS n0
+            FROM pts a JOIN pts b ON a.grp = b.grp AND a.rn < b.rn
+            GROUP BY a.grp
+        ), cnt AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n
+            FROM pts GROUP BY grp
+        )
+        SELECT cnt.grp AS event_type, n,
+               coalesce(cc, 0) AS concordant,
+               coalesce(dd, 0) AS discordant,
+               round(CASE WHEN n0 > t1 AND n0 > t2 THEN
+                     CAST(cc - dd AS DOUBLE)
+                     / sqrt(CAST(n0 - t1 AS DOUBLE)
+                            * CAST(n0 - t2 AS DOUBLE)) END, 4) + 0 AS tau
+        FROM cnt LEFT JOIN pair ON pair.grp = cnt.grp
+        ORDER BY event_type
     """
     # KL(source ‖ corpus) over unigrams: exact integer ratios inside
     # each term; the float sum replays as a token-sorted list fold.

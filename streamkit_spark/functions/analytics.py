@@ -49,6 +49,7 @@ __all__ = [
     "histogram_buckets",
     "quantiles_from_histogram",
     "association_rules",
+    "rules_from_baskets",
     "psi_profile",
     "psi_from_histogram",
     "floor_bucket",
@@ -60,6 +61,7 @@ __all__ = [
     "gini_by_group",
     "winsorized_stats",
     "kendall_tau_binned",
+    "kendall_tau_exact",
     "seasonal_strength",
     "seasonal_from_daily",
     "acf_by_group",
@@ -1536,8 +1538,20 @@ def association_rules(
         .select(*basket_cols, F.col(item_col).alias("__it"))
         .groupBy(*basket_cols)
         .agg(F.array_sort(F.collect_set("__it")).alias("items"))
-        .localCheckpoint(eager=False)
     )
+    return rules_from_baskets(b_items, round_digits=round_digits)
+
+
+def rules_from_baskets(
+    b_items: DataFrame, round_digits: int = 4
+) -> DataFrame:
+    """Association rules from an already-materialized basket table
+    (any key columns + an ``items`` sorted-distinct array) — the shared
+    finisher behind :func:`association_rules` and the streaming twin
+    (``streaming/association.py``), which maintains the monotone
+    (basket, item) distinct relation incrementally and groups it to
+    baskets at read time."""
+    b_items = b_items.localCheckpoint(eager=False)
     n_baskets = b_items.agg(F.count("*").cast("long").alias("nb"))
     item_counts = (
         b_items.select(F.explode("items").alias("it"))
@@ -2186,6 +2200,139 @@ def kendall_tau_binned(
             "n",
             F.col("cc").cast("long").alias("concordant"),
             F.col("dd").cast("long").alias("discordant"),
+            (F.round(tau, round_digits) + F.lit(0.0)).alias("tau"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kendall_tau_exact(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Kendall tau-b on RAW (unquantized) columns — exact
+    concordant/discordant counts via Knight's O(n log n) algorithm
+    (W. R. Knight, JASA 1966): sort by (x, y) and count strict
+    inversions of the y sequence with a merge sort; discordant = the
+    inversion count, concordant = n₀ − n₁ − n₂ + n₃ − D from the tie
+    marginals.  Output ``(group, n, concordant, discordant, tau)``
+    matching :func:`kendall_tau_binned`'s shape; tau is NULL when
+    either axis is constant.
+
+    This is the ONE batch operator that drops to ``applyInPandas``:
+    pairwise inversion counting is not expressible in DataFrame
+    algebra, and the declarative alternative (the cell self-join in
+    :func:`kendall_tau_binned`) is O(cells²) — quadratic when values
+    are near-unique.  The per-group compute is vectorized numpy
+    (lexsort + bottom-up merge counting cross-inversions with
+    searchsorted), O(n log n) time / O(n) memory.
+
+    Scale contract: ONE GROUP'S ROWS must fit one executor (the same
+    contract as any exact per-group rank statistic); groups process in
+    parallel.  For unbounded groups use :func:`kendall_tau_binned`,
+    where quantization bounds the state instead.
+
+    Determinism: C, D and the tie pair-counts are exact integers
+    whatever the row order (the lexsort canonicalizes Arrow's
+    arbitrary group order); tau is ONE float expression from those
+    integers, computed Spark-side so rounding semantics match the
+    oracle (python's round() is half-even, SQL's is not).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cond = (
+        F.col(group_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    for c in (x_col, y_col):
+        if dict(df.dtypes)[c] in ("double", "float"):
+            cond = cond & ~F.isnan(F.col(c))
+    slim = df.filter(cond).select(
+        F.col(group_col).alias("grp"), F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    grp_t = slim.schema["grp"].dataType.simpleString()
+    out_schema = (
+        f"grp {grp_t}, n long, concordant long, discordant long, "
+        "d1 double, d2 double, cd double"
+    )
+
+    def _inversions(arr: "np.ndarray") -> int:
+        """Strict inversions via bottom-up merge; each merge counts
+        cross pairs (l > r) as |L|·|R| − Σ searchsorted(L, r, right)."""
+        a = arr.copy()
+        n = a.size
+        inv = 0
+        width = 1
+        while width < n:
+            for lo in range(0, n - width, 2 * width):
+                mid = lo + width
+                hi = min(lo + 2 * width, n)
+                left, right = a[lo:mid], a[mid:hi]
+                inv += int(
+                    left.size * right.size
+                    - np.searchsorted(left, right, side="right").sum()
+                )
+                a[lo:hi] = np.sort(a[lo:hi], kind="stable")
+            width *= 2
+        return inv
+
+    def _run_tie_pairs(keys_sorted: "np.ndarray") -> int:
+        """Σ c·(c−1)/2 over runs of equal values in a sorted array."""
+        if keys_sorted.size == 0:
+            return 0
+        change = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1])
+        counts = np.diff(np.concatenate(([0], change + 1, [keys_sorted.size])))
+        counts = counts.astype(object)
+        return int((counts * (counts - 1) // 2).sum())
+
+    def _one_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        g = pdf["grp"].iloc[0]
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        n = len(pdf)
+        order = np.lexsort((ys, xs))
+        xs_s, ys_s = xs[order], ys[order]
+        n0 = n * (n - 1) // 2
+        n1 = _run_tie_pairs(xs_s)
+        n2 = _run_tie_pairs(np.sort(ys, kind="stable"))
+        # joint ties: runs where BOTH components repeat in lexsort order
+        joint_change = (xs_s[1:] != xs_s[:-1]) | (ys_s[1:] != ys_s[:-1])
+        runs = np.diff(
+            np.concatenate(([0], np.flatnonzero(joint_change) + 1, [n]))
+        ).astype(object)
+        n3 = int((runs * (runs - 1) // 2).sum()) if n else 0
+        d = _inversions(ys_s)
+        c = n0 - n1 - n2 + n3 - d
+        return pd.DataFrame(
+            {
+                "grp": [g],
+                "n": [n],
+                "concordant": [c],
+                "discordant": [d],
+                # exact integer differences, ONE rounding to double each
+                "d1": [float(n0 - n1)],
+                "d2": [float(n0 - n2)],
+                "cd": [float(c - d)],
+            }
+        )
+
+    stats = slim.groupBy("grp").applyInPandas(_one_group, out_schema)
+    tau = F.when(
+        (F.col("d1") > 0) & (F.col("d2") > 0),
+        F.col("cd") / F.sqrt(F.col("d1") * F.col("d2")),
+    )
+    return (
+        stats.select(
+            F.col("grp").alias(group_col),
+            "n",
+            "concordant",
+            "discordant",
             (F.round(tau, round_digits) + F.lit(0.0)).alias("tau"),
         )
         .orderBy(group_col)

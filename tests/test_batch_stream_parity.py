@@ -699,3 +699,118 @@ def test_cusum_finisher_on_streaming_daily_table(spark, fixture_stream):
         assert got == expected and len(got) > 0
     finally:
         q.stop()
+
+
+def test_association_stream_parity_fixture(spark, fixture_stream):
+    """Streaming (basket, item) distinct maintenance + shared finisher
+    equals batch analytics.association_rules exactly over the fixture
+    (baskets = user-days, items = event types)."""
+    from streamkit_spark.functions.analytics import association_rules
+    from streamkit_spark.streaming.association import (
+        basket_items_stream,
+        finalize_association,
+    )
+
+    day = F.expr("ts div 86400000000000").alias("day")
+    batch = tables.load(spark, SF_DIR, "events").select(
+        "user_id", day, "event_type"
+    )
+    expected = {
+        tuple(r)
+        for r in association_rules(
+            batch, ["user_id", "day"], "event_type"
+        ).collect()
+    }
+    stream = fixture_stream.select("user_id", day, "event_type")
+    q = (
+        basket_items_stream(stream, ["user_id", "day"], "event_type")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_assoc")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = spark.sql("SELECT * FROM parity_assoc")
+        # state/output cardinality bound: distinct (basket, item) pairs
+        assert pairs.count() == batch.dropDuplicates(
+            ["user_id", "day", "event_type"]
+        ).count()
+        got = {
+            tuple(r)
+            for r in finalize_association(
+                pairs, ["user_id", "day"], "event_type"
+            ).collect()
+        }
+        assert got == expected and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_association_stream_retroactive_pairs_across_batches(spark, tmp_path):
+    """The re-keying trap (CLAUDE r5): a later micro-batch adds item C
+    to a basket already holding {A, B} — the retroactive pairs (A,C) and
+    (B,C) must be counted exactly once, and replayed items must not
+    double-count.  Per-batch pair-count summation gets BOTH wrong; the
+    maintained distinct relation gets both right."""
+    from streamkit_spark.functions.analytics import association_rules
+    from streamkit_spark.streaming.association import (
+        basket_items_stream,
+        finalize_association,
+    )
+
+    schema = "basket string, item string"
+    rows_a = [("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "C")]
+    # batch 2: retroactive C into b1, replay of (b2, A), and a null item
+    rows_b = [("b1", "C"), ("b2", "A"), ("b3", "B"), ("b3", None)]
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(
+        str(tmp_path / "a")
+    )
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(
+        str(tmp_path / "b")
+    )
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for i, src in enumerate(("a", "b")):
+        part = next((tmp_path / src).glob("part-*.parquet"))
+        dst = d / f"{i}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        basket_items_stream(stream, ["basket"], "item")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_assoc_boundary")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = spark.sql("SELECT * FROM parity_assoc_boundary")
+        # replay emitted nothing: 4 + (1 new + 1 for b3's B) = 6 rows
+        assert pairs.count() == 6
+        batch_all = spark.createDataFrame(rows_a + rows_b, schema)
+        expected = {
+            tuple(r)
+            for r in association_rules(batch_all, ["basket"], "item").collect()
+        }
+        got_rules = finalize_association(pairs, ["basket"], "item")
+        got = {tuple(r) for r in got_rules.collect()}
+        assert got == expected
+        by_pair = {
+            (r["antecedent"], r["consequent"]): r["n_pair"]
+            for r in got_rules.collect()
+        }
+        # retroactive pairs exist exactly once; (A,C) co-occurs in b1 AND b2
+        assert by_pair[("A", "C")] == 2 and by_pair[("B", "C")] == 1
+    finally:
+        q.stop()

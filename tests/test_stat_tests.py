@@ -266,6 +266,70 @@ class TestKendall:
         assert kendall_tau_binned(df, "grp", "x", "y").collect()[0]["tau"] is None
 
 
+class TestKendallExact:
+    def test_matches_python_pair_loop_with_ties(self, spark):
+        from streamkit_spark.functions.analytics import kendall_tau_exact
+
+        pts = [
+            (1.5, 3.0), (1.5, 1.0), (2.0, 2.0), (2.0, 2.0), (3.0, 1.0),
+            (3.0, 5.0), (4.5, 4.0), (5.0, 2.0), (5.0, 5.0), (6.0, 6.0),
+            (0.0, 0.0), (2.0, 6.0), (4.5, 1.0), (6.0, 3.0), (2.0, 2.0),
+        ]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in pts], "grp string, x double, y double"
+        )
+        r = kendall_tau_exact(df, "grp", "x", "y").collect()[0]
+        cc, dd, tau = _kendall_ref(pts)
+        assert (r["n"], r["concordant"], r["discordant"]) == (len(pts), cc, dd)
+        assert r["tau"] == pytest.approx(tau, abs=1e-4)
+
+    def test_agrees_with_binned_on_integer_grid(self, spark):
+        """On already-quantized data the exact and cell formulations
+        are the same statistic — identical counts and tau."""
+        from streamkit_spark.functions.analytics import kendall_tau_exact
+
+        rng = [
+            ("a", i % 7, (i * 3 + (i % 5)) % 11) for i in range(200)
+        ] + [("b", i % 4, (13 - i) % 9) for i in range(150)]
+        df = spark.createDataFrame(rng, "grp string, x long, y long")
+        exact = {
+            r["grp"]: r for r in kendall_tau_exact(df, "grp", "x", "y").collect()
+        }
+        binned = {
+            r["grp"]: r for r in kendall_tau_binned(df, "grp", "x", "y").collect()
+        }
+        assert set(exact) == set(binned)
+        for g in exact:
+            assert exact[g]["concordant"] == binned[g]["concordant"]
+            assert exact[g]["discordant"] == binned[g]["discordant"]
+            assert exact[g]["tau"] == binned[g]["tau"]
+
+    def test_null_nan_filtered_and_single_row_group(self, spark):
+        from streamkit_spark.functions.analytics import kendall_tau_exact
+
+        rows = [
+            ("g", 1.0, 2.0), ("g", None, 3.0), ("g", float("nan"), 4.0),
+            ("g", 2.0, None), ("g", 3.0, 6.0), (None, 4.0, 4.0),
+            ("solo", 9.0, 9.0),
+        ]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        out = {r["grp"]: r for r in kendall_tau_exact(df, "grp", "x", "y").collect()}
+        assert set(out) == {"g", "solo"}
+        assert out["g"]["n"] == 2 and out["g"]["concordant"] == 1
+        assert out["solo"]["n"] == 1 and out["solo"]["tau"] is None
+        assert out["solo"]["concordant"] == 0 and out["solo"]["discordant"] == 0
+
+    def test_group_column_type_preserved(self, spark):
+        from streamkit_spark.functions.analytics import kendall_tau_exact
+
+        df = spark.createDataFrame(
+            [(7, 1.0, 2.0), (7, 2.0, 1.0)], "grp int, x double, y double"
+        )
+        out = kendall_tau_exact(df, "grp", "x", "y")
+        assert dict(out.dtypes)["grp"] == "int"
+        assert out.collect()[0]["discordant"] == 1
+
+
 # ---------------------------------------------------------------------------
 # kl
 # ---------------------------------------------------------------------------
