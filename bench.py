@@ -99,6 +99,8 @@ HEADLINE = [
     "acf_daily",
     "xcorr_daily",
     "jsd_sources",
+    # round 7: the applyInPandas exact-stat family (Knight tau-b)
+    "kendall_exact",
 ]
 
 

