@@ -1690,6 +1690,17 @@ def q_pmi_top_pairs(spark, sf_dir):
     return TX.pmi_pairs(docs, min_pair_count=5, top_n=50)
 
 
+def q_llr_top_pairs(spark, sf_dir):
+    """Top collocations by Dunning's log-likelihood ratio
+    (text.llr_pairs, Dunning CL'93): the 2×2 doc-co-occurrence table
+    per pair from the same exact doc-frequency counts PMI uses; the
+    statistic is one fixed four-term double expression (zero cells
+    contribute exactly 0), no cross-pair float reduction, and the
+    (llr DESC, a, b) total order makes the top-50 cutoff stable."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.llr_pairs(docs, min_pair_count=5, top_n=50)
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Mean bigram log-probability per doc under the corpus's own
     add-one-smoothed bigram LM (curation.bigram_logprob) — the order-2
@@ -2780,6 +2791,74 @@ def q_ranksum_value(spark, sf_dir):
     return AN.ranksum_by_group(_ev(spark, sf_dir), "event_type", "value")
 
 
+def q_cliffs_value(spark, sf_dir):
+    """Per-event-type Cliff's delta of value vs the complement
+    (analytics.cliffs_delta_by_group): the effect-size companion to
+    ranksum_value's z, from the SAME exact rank machinery
+    (_ranksum_parts) — δ = (u2 − n1·n2)/(n1·n2) with u2 the exact
+    doubled U; one exact-integer difference, one double division."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.cliffs_delta_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_weekday_outliers(spark, sf_dir):
+    """Seasonality-corrected daily anomalies per event type
+    (analytics.weekday_adjusted_outliers): each observed day's exact
+    DECIMAL(18,2) total vs its weekday's exact-median expectation,
+    then MAD fences on the residuals — every location estimate is an
+    order statistic via the shared _median_rank_filter selection, and
+    the |r − med| > 3·MAD flag compares unrounded doubles with one
+    expression shape on both engines."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.expr("ts div 86400000000000").alias("day"), "value"
+    )
+    return AN.weekday_adjusted_outliers(ev, "event_type", "day", "value")
+
+
+def q_theil_value(spark, sf_dir):
+    """Per-event-type Theil T inequality of value
+    (analytics.theil_by_group): exact cent counts and Σx; the only
+    float reduction folds (c·(x/μ))·ln(x/μ) in ascending cent order,
+    replayed by the oracle's list_sum(list(t ORDER BY xd)) — the
+    entropy complement to gini_value on the same cell machinery."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.theil_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_mi_weekday(spark, sf_dir):
+    """Mutual information (nats) between event_type and weekday
+    (analytics.mutual_information): exact integer contingency counts;
+    the MI cell sum and both marginal entropies each run as a sorted
+    left fold the oracle replays with list_sum(list(... ORDER BY)) —
+    the chi2_weekday machinery turned information-theoretic, plus the
+    normalized MI/√(H_r·H_c)."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    wd = ((F.expr("ts div 86400000000000") + 4) % 7).cast("long")
+    return AN.mutual_information(
+        ev.select("event_type", wd.alias("weekday")), "event_type", "weekday"
+    )
+
+
+def q_cramers_weekday(spark, sf_dir):
+    """Cramér's V for event_type × weekday (analytics.cramers_v):
+    effect-size composition over the chi2_weekday machinery — V is
+    derived from the already-rounded chi2 so both engines compose
+    identically-rounded inputs."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    wd = ((F.expr("ts div 86400000000000") + 4) % 7).cast("long")
+    return AN.cramers_v(
+        ev.select("event_type", wd.alias("weekday")), "event_type", "weekday"
+    )
+
+
 def q_ks_value(spark, sf_dir):
     """Per-event-type two-sample Kolmogorov-Smirnov distance of value
     vs the complement (analytics.ks_by_group): both empirical CDFs are
@@ -3280,6 +3359,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_stats": q_zorder_stats,
         "capped_per_source": q_capped_per_source,
         "pmi_top_pairs": q_pmi_top_pairs,
+        "llr_top_pairs": q_llr_top_pairs,
         "bigram_logprob": q_bigram_logprob,
         "embedding_covariance": q_embedding_covariance,
         "split_assignment": q_split_assignment,
@@ -3347,6 +3427,11 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6: locally verified, rotate into the driver
         # window in r7 (see the CLAUDE.md rotation ledger) ---
         "ranksum_value": q_ranksum_value,
+        "cliffs_value": q_cliffs_value,
+        "cramers_weekday": q_cramers_weekday,
+        "mi_weekday": q_mi_weekday,
+        "theil_value": q_theil_value,
+        "weekday_outliers": q_weekday_outliers,
         "ks_value": q_ks_value,
         "gini_value": q_gini_value,
         "winsorized_value": q_winsorized_value,
@@ -5080,6 +5165,59 @@ def oracle_sql() -> dict[str, str]:
         FROM pc JOIN tokc ta ON pc.a = ta.w
                 JOIN tokc tb ON pc.b = tb.w, nn
         ORDER BY pmi DESC, a, b LIMIT 50
+    """
+    # Dunning LLR: same co-occurrence tables as PMI; the four-term sum
+    # is written in the engine's exact order (k11 + k12 + k21 + k22),
+    # zero cells contribute literal 0.0 via the same CASE guard.
+    sql["llr_top_pairs"] = f"""
+        WITH {_tok_cte}, d AS (
+            SELECT doc_id, list_sort(list_distinct(t)) AS t FROM tok
+            WHERE len(list_distinct(t)) >= 2
+        ), pairs AS (
+            SELECT ua.tok AS a, ub.tok AS b
+            FROM d, unnest(d.t) AS ua(tok), unnest(d.t) AS ub(tok)
+            WHERE ua.tok < ub.tok
+        ), pc AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+        ), tokc AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS n_w
+            FROM (SELECT unnest(t) AS tok FROM d) GROUP BY 1
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM d
+        ), cells AS (
+            SELECT a, b, n_ab,
+                   ta.n_w AS n_a, tb.n_w AS n_b, N,
+                   n_ab AS k11,
+                   ta.n_w - n_ab AS k12,
+                   tb.n_w - n_ab AS k21,
+                   N - ta.n_w - tb.n_w + n_ab AS k22
+            FROM pc JOIN tokc ta ON pc.a = ta.w
+                    JOIN tokc tb ON pc.b = tb.w, nn
+        )
+        SELECT a, b, n_ab,
+               round(2 * (
+                   (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)
+                        * ln(CAST(k11 AS DOUBLE) * CAST(N AS DOUBLE)
+                             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                        ELSE 0.0 END)
+                 + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+                        * ln(CAST(k12 AS DOUBLE) * CAST(N AS DOUBLE)
+                             / (CAST(n_a AS DOUBLE)
+                                * CAST(N - n_b AS DOUBLE)))
+                        ELSE 0.0 END)
+                 + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+                        * ln(CAST(k21 AS DOUBLE) * CAST(N AS DOUBLE)
+                             / (CAST(N - n_a AS DOUBLE)
+                                * CAST(n_b AS DOUBLE)))
+                        ELSE 0.0 END)
+                 + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+                        * ln(CAST(k22 AS DOUBLE) * CAST(N AS DOUBLE)
+                             / (CAST(N - n_a AS DOUBLE)
+                                * CAST(N - n_b AS DOUBLE)))
+                        ELSE 0.0 END)
+               ), 4) + 0 AS llr
+        FROM cells
+        ORDER BY llr DESC, a, b LIMIT 50
     """
     sql["bigram_logprob"] = f"""
         WITH {_tok_cte}, bg AS (
@@ -7205,6 +7343,223 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(2 AS DOUBLE))
                      / sqrt(var) END, 4) + 0 AS z
         FROM m ORDER BY event_type
+    """
+    # Cliff's delta: the ranksum CTE machinery with the δ finisher —
+    # exact integer u2 − n1·n2 difference, one double division.
+    sql["cliffs_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1
+        ), ranked AS (
+            SELECT v, t,
+                   CAST(2 * coalesce(sum(t) OVER (
+                            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + t + 1 AS BIGINT) AS dr
+            FROM vals
+        ), ties AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n FROM ranked
+        ), per AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1,
+                   CAST(sum(c * dr) AS BIGINT) AS r2
+            FROM cells JOIN ranked USING (v) GROUP BY grp
+        )
+        SELECT grp AS event_type, n1 AS n,
+               CAST(n - n1 AS BIGINT) AS n_rest,
+               round(CASE WHEN n1 * (n - n1) > 0 THEN
+                     CAST((r2 - n1 * (n1 + 1)) - n1 * (n - n1) AS DOUBLE)
+                     / CAST(n1 * (n - n1) AS DOUBLE) END, 4) + 0 AS delta
+        FROM per CROSS JOIN ties ORDER BY event_type
+    """
+    # Weekday-adjusted outliers: decimal daily totals; weekday medians,
+    # residual median, and residual MAD are all exact two-rank order
+    # statistics; the 3·MAD flag compares unrounded doubles.
+    sql["weekday_outliers"] = """
+        WITH daily AS (
+            SELECT event_type AS grp,
+                   epoch_ms(ts) // 86400000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS yd
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), d2 AS (
+            SELECT grp, day, (day + 4) % 7 AS wd, yd FROM daily
+        ), p1 AS (
+            SELECT grp, wd, yd,
+                   row_number() OVER (PARTITION BY grp, wd ORDER BY yd)
+                       AS rn,
+                   count(*) OVER (PARTITION BY grp, wd) AS n
+            FROM d2
+        ), prof AS (
+            SELECT grp, wd, avg(yd) AS expected FROM p1
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1, 2
+        ), resid AS (
+            SELECT d2.grp, d2.day, d2.wd, d2.yd, prof.expected,
+                   d2.yd - prof.expected AS r
+            FROM d2 JOIN prof USING (grp, wd)
+        ), m1 AS (
+            SELECT grp, r,
+                   row_number() OVER (PARTITION BY grp ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY grp) AS n
+            FROM resid
+        ), med AS (
+            SELECT grp, avg(r) AS med_r FROM m1
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY grp
+        ), devs AS (
+            SELECT resid.grp, day, wd, yd, expected, r,
+                   abs(resid.r - med.med_r) AS dev
+            FROM resid JOIN med USING (grp)
+        ), m2 AS (
+            SELECT grp, dev,
+                   row_number() OVER (PARTITION BY grp ORDER BY dev) AS rn,
+                   count(*) OVER (PARTITION BY grp) AS n
+            FROM devs
+        ), mad AS (
+            SELECT grp, avg(dev) AS mad_r FROM m2
+            WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY grp
+        )
+        SELECT devs.grp AS event_type, day, wd AS weekday,
+               round(yd, 2) + 0 AS y,
+               round(expected, 4) + 0 AS expected,
+               round(r, 4) + 0 AS residual
+        FROM devs JOIN mad USING (grp)
+        WHERE dev > CAST(3 AS DOUBLE) * mad_r
+        ORDER BY event_type, day
+    """
+    # Theil T: cent cells, exact n/Σx, μ one double division; the term
+    # fold replays in ascending cent order (ln parity = token_entropy).
+    sql["theil_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp,
+                   CAST(value AS DECIMAL(18,2)) AS xd
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND CAST(value AS DECIMAL(18,2)) > 0
+        ), cent AS (
+            SELECT grp, xd, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), agg AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n, sum(xd * c) AS sx
+            FROM cent GROUP BY grp
+        ), terms AS (
+            SELECT cent.grp, xd,
+                   (CAST(c AS DOUBLE)
+                    * (CAST(xd AS DOUBLE)
+                       / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+                 * ln(CAST(xd AS DOUBLE)
+                      / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS t
+            FROM cent JOIN agg USING (grp)
+        )
+        SELECT agg.grp AS event_type, n,
+               round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+               round(f.s / CAST(n AS DOUBLE), 4) + 0 AS theil
+        FROM agg JOIN (
+            SELECT grp, list_sum(list(t ORDER BY xd)) AS s
+            FROM terms GROUP BY grp
+        ) f USING (grp)
+        ORDER BY event_type
+    """
+    # Mutual information: the chi2_weekday contingency CTEs with MI
+    # terms; the cell sum and both marginal entropies replay as
+    # list_sum(list(... ORDER BY)) folds (ln parity = token_entropy
+    # precedent).
+    sql["mi_weekday"] = """
+        WITH base AS (
+            SELECT event_type AS r,
+                   (epoch_ms(ts) // 86400000 + 4) % 7 AS c
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY r, c
+        ), rt AS (
+            SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r
+        ), ct AS (
+            SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS tn FROM cells
+        ), terms AS (
+            SELECT cells.r, cells.c,
+                   (CAST(o AS DOUBLE) / CAST(tn AS DOUBLE))
+                 * ln(CAST(o AS DOUBLE) * CAST(tn AS DOUBLE)
+                      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) AS t
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        ), mi AS (
+            SELECT list_sum(list(t ORDER BY r, c)) AS mi_raw FROM terms
+        ), hr AS (
+            SELECT list_sum(list(
+                       -(CAST(rt AS DOUBLE) / CAST(tn AS DOUBLE))
+                       * ln(CAST(rt AS DOUBLE) / CAST(tn AS DOUBLE))
+                       ORDER BY r)) AS h
+            FROM rt CROSS JOIN tot
+        ), hc AS (
+            SELECT list_sum(list(
+                       -(CAST(ct AS DOUBLE) / CAST(tn AS DOUBLE))
+                       * ln(CAST(ct AS DOUBLE) / CAST(tn AS DOUBLE))
+                       ORDER BY c)) AS h
+            FROM ct CROSS JOIN tot
+        ), dims AS (
+            SELECT CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+            FROM cells
+        )
+        SELECT tn AS n, n_rows, n_cols,
+               round(mi_raw, 4) + 0 AS mi,
+               round(hr.h, 4) + 0 AS h_row,
+               round(hc.h, 4) + 0 AS h_col,
+               round(CASE WHEN hr.h > 0 AND hc.h > 0 THEN
+                     mi_raw / sqrt(hr.h * hc.h) END, 4) + 0 AS nmi
+        FROM tot CROSS JOIN dims CROSS JOIN mi
+        CROSS JOIN hr CROSS JOIN hc
+    """
+    # Cramér's V: the chi2_weekday CTE block + the effect-size select
+    # over the ALREADY-ROUNDED chi2 (both engines compose identical
+    # rounded inputs).
+    sql["cramers_weekday"] = """
+        WITH base AS (
+            SELECT event_type AS r,
+                   (epoch_ms(ts) // 86400000 + 4) % 7 AS c
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        ), cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY r, c
+        ), rt AS (
+            SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r
+        ), ct AS (
+            SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c
+        ), tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS tn FROM cells
+        ), terms AS (
+            SELECT cells.r, cells.c, o,
+                   (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tn AS DOUBLE))
+                 * (CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tn AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(tn AS DOUBLE)) AS t
+            FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
+        ), rep AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+                   CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
+                        AS BIGINT) AS dof,
+                   round(list_sum(list(t ORDER BY r, c)), 4) + 0 AS chi2
+            FROM terms
+        )
+        SELECT n, n_rows, n_cols, dof, chi2,
+               round(CASE WHEN least(n_rows - 1, n_cols - 1) > 0 AND n > 0
+                          AND chi2 IS NOT NULL THEN
+                     sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))
+                     END, 4) + 0 AS v
+        FROM rep
     """
     # Two-sample KS: exact integer |i·n2 − j·n1| max over the groups ×
     # distinct-values grid; argmax pinned by (d DESC, v ASC).

@@ -59,7 +59,20 @@ __all__ = [
     "ks_by_group",
     "ks_from_cells",
     "gini_by_group",
+    "gini_from_cells",
     "winsorized_stats",
+    "winsorized_from_cells",
+    "cliffs_delta_by_group",
+    "cliffs_from_cells",
+    "cramers_v",
+    "mutual_information",
+    "mi_from_cells",
+    "chi2_from_cells",
+    "cramers_from_cells",
+    "contingency_cells",
+    "theil_by_group",
+    "theil_from_cells",
+    "weekday_adjusted_outliers",
     "kendall_tau_binned",
     "kendall_tau_exact",
     "seasonal_strength",
@@ -1004,10 +1017,32 @@ def chi2_independence(
     columns (variants, types, buckets), not identifiers; the input scan
     is a single map-side-combined count.
     """
-    cells = (
+    return chi2_from_cells(
+        contingency_cells(df, row_col, col_col), round_digits=round_digits
+    )
+
+
+def contingency_cells(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Shared (r, c, o) observed-count table for the categorical-
+    association statistics (chi2 / Cramér's V / mutual information):
+    null-filtered exact BIGINT counts.  Counts are MONOTONE and merge
+    by ADDITION, so this aggregate is also the streaming sketch for
+    those statistics (``streaming/contingency.py``) — the value_cells
+    discipline for the categorical family."""
+    return (
         df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
         .groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .agg(F.count("*").cast("long").alias("o"))
+    )
+
+
+def chi2_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`chi2_independence` over a prebuilt
+    (r, c, o) contingency table (the contingency streaming sketch)."""
+    cells = (
+        cells
         # cells feeds FOUR branches (itself + both marginals + the
         # total); without the checkpoint Catalyst re-plans the corpus
         # scan + count per branch (the derived-table self-join hazard —
@@ -1052,6 +1087,151 @@ def chi2_independence(
                 round_digits,
             ),
         ).alias("chi2"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Mutual information between two categorical columns, in nats:
+    MI = Σ (o/n)·ln(o·n/(rt·ct)) over observed cells, plus both
+    marginal entropies and the normalized MI/√(H_r·H_c) — the
+    information-theoretic companion to :func:`chi2_independence` (same
+    contingency machinery, answers "how many nats does knowing one
+    tell you about the other?").  One row
+    ``(n, n_rows, n_cols, mi, h_row, h_col, nmi)``.
+
+    Determinism contract (the chi2 discipline): counts and marginals
+    are exact BIGINTs; each term is ONE fixed double expression; every
+    cross-cell float sum — MI over cells, each entropy over its
+    marginal — runs as a left fold over the sorted cell/marginal list,
+    replayed by the oracle's ``list_sum(list(... ORDER BY))``
+    bit-for-bit.  Unobserved cells contribute exactly 0 (lim x·ln x)
+    and are simply absent.  NMI is NULL when either margin is
+    degenerate (single category ⇒ entropy 0).
+
+    Scale: identical to chi2_independence — the fold state is the
+    contingency table, bounded by category cardinalities; one
+    map-side-combined count over the corpus.
+    """
+    return mi_from_cells(
+        contingency_cells(df, row_col, col_col), round_digits=round_digits
+    )
+
+
+def mi_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`mutual_information` over a prebuilt
+    (r, c, o) contingency table (the contingency streaming sketch)."""
+    # feeds four branches (cells + both marginals + total): the
+    # chi2_independence checkpoint rationale applies verbatim
+    cells = cells.localCheckpoint(eager=False)
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("long").alias("tn"))
+    od = F.col("o").cast("double")
+    tnd = F.col("tn").cast("double")
+    term = (od / tnd) * F.log(
+        od * tnd / (F.col("rt").cast("double") * F.col("ct").cast("double"))
+    )
+    j = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .select("r", "c", "o", "tn", term.alias("t"))
+    )
+
+    def _fold(items: Column) -> Column:
+        return F.aggregate(
+            items, F.lit(0.0).cast("double"), lambda acc, x: acc + x["t"]
+        )
+
+    mi_row = j.groupBy("tn").agg(
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("c").cast("long").alias("n_cols"),
+        _fold(F.array_sort(F.collect_list(F.struct("r", "c", "t")))).alias(
+            "mi_raw"
+        ),
+    )
+    ent = lambda tcol, n: (  # noqa: E731
+        -(F.col(tcol).cast("double") / n)
+        * F.log(F.col(tcol).cast("double") / n)
+    )
+    hr = (
+        rt.crossJoin(F.broadcast(tot))
+        .select("r", ent("rt", F.col("tn").cast("double")).alias("t"))
+        .agg(_fold(F.array_sort(F.collect_list(F.struct("r", "t")))).alias("h"))
+    )
+    hc = (
+        ct.crossJoin(F.broadcast(tot))
+        .select("c", ent("ct", F.col("tn").cast("double")).alias("t"))
+        .agg(_fold(F.array_sort(F.collect_list(F.struct("c", "t")))).alias("h"))
+    )
+    out = (
+        mi_row.crossJoin(F.broadcast(hr.select(F.col("h").alias("h_r"))))
+        .crossJoin(F.broadcast(hc.select(F.col("h").alias("h_c"))))
+    )
+    nmi = F.when(
+        (F.col("h_r") > 0) & (F.col("h_c") > 0),
+        F.col("mi_raw") / F.sqrt(F.col("h_r") * F.col("h_c")),
+    )
+    return out.select(
+        F.col("tn").alias("n"),
+        "n_rows",
+        "n_cols",
+        (F.round(F.col("mi_raw"), round_digits) + F.lit(0.0)).alias("mi"),
+        (F.round(F.col("h_r"), round_digits) + F.lit(0.0)).alias("h_row"),
+        (F.round(F.col("h_c"), round_digits) + F.lit(0.0)).alias("h_col"),
+        (F.round(nmi, round_digits) + F.lit(0.0)).alias("nmi"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cramér's V effect size for the chi-squared independence test:
+    V = √(χ² / (n·min(r−1, c−1))) ∈ [0, 1] — how STRONG the
+    association is, the companion to :func:`chi2_independence`'s
+    "is there one?".  One row ``(n, n_rows, n_cols, dof, chi2, v)``.
+
+    Pure composition over the chi2 report: V is derived from the
+    ALREADY-ROUNDED chi2 (both engines round it identically, so the
+    composition stays hash-deterministic); NULL when either margin is
+    degenerate (min(r−1, c−1) = 0) or the statistic itself is NULL."""
+    return _cramers_select(
+        chi2_independence(df, row_col, col_col, round_digits=round_digits),
+        round_digits,
+    )
+
+
+def cramers_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`cramers_v` over a prebuilt (r, c, o)
+    contingency table (the contingency streaming sketch)."""
+    return _cramers_select(
+        chi2_from_cells(cells, round_digits=round_digits), round_digits
+    )
+
+
+def _cramers_select(rep: DataFrame, round_digits: int) -> DataFrame:
+    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.when(
+        (mindim > 0) & (F.col("n") > 0) & F.col("chi2").isNotNull(),
+        F.sqrt(
+            F.col("chi2") / (F.col("n").cast("double") * mindim.cast("double"))
+        ),
+    )
+    return rep.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "dof",
+        "chi2",
+        (F.round(v, round_digits) + F.lit(0.0)).alias("v"),
     )
 
 
@@ -1767,35 +1947,7 @@ def ranksum_from_cells(
     (grp, v, c) cell table — e.g. one maintained incrementally by
     ``streaming/rankstats.value_cells_stream`` (the
     quantiles_from_histogram split)."""
-    cells = cells.localCheckpoint(eager=False)
-    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
-    # doubled average rank of value v: ranks cum_prev+1 .. cum_prev+t
-    # average to cum_prev + (t+1)/2, doubled = 2·cum_prev + t + 1.
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vals.select(
-        "v",
-        "t",
-        (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1)
-        .cast("long")
-        .alias("dr"),
-    )
-    dec = "decimal(38,0)"
-    ties = ranked.agg(
-        F.sum("t").cast("long").alias("n"),
-        F.sum(
-            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
-            - F.col("t").cast(dec)
-        ).alias("tsum"),
-    )
-    per = (
-        cells.join(F.broadcast(ranked.select("v", "dr")), "v")
-        .groupBy("grp")
-        .agg(
-            F.sum("c").cast("long").alias("n1"),
-            F.sum(F.col("c") * F.col("dr")).cast("long").alias("r2"),
-        )
-        .crossJoin(F.broadcast(ties))
-    )
+    per = _ranksum_parts(cells)
     n1d = F.col("n1").cast("double")
     n2d = (F.col("n") - F.col("n1")).cast("double")
     nd = F.col("n").cast("double")
@@ -1822,6 +1974,96 @@ def ranksum_from_cells(
             (F.col("n") - F.col("n1")).cast("long").alias("n_rest"),
             F.round(u2.cast("double") / F.lit(2.0), round_digits).alias("u"),
             (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def _ranksum_parts(cells: DataFrame) -> DataFrame:
+    """Shared rank machinery for the Mann-Whitney family: per-group
+    ``(grp, n1, r2, n, tsum)`` — exact BIGINT rank sums from the
+    distinct-value count table (never a global row rank), the exact
+    DECIMAL(38,0) tie sum, and the global n — consumed by
+    :func:`ranksum_from_cells` (U/z) and :func:`cliffs_from_cells`
+    (dominance δ)."""
+    cells = cells.localCheckpoint(eager=False)
+    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    # doubled average rank of value v: ranks cum_prev+1 .. cum_prev+t
+    # average to cum_prev + (t+1)/2, doubled = 2·cum_prev + t + 1.
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "v",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1)
+        .cast("long")
+        .alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    ties = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast(dec) * F.col("t").cast(dec) * F.col("t").cast(dec)
+            - F.col("t").cast(dec)
+        ).alias("tsum"),
+    )
+    return (
+        cells.join(F.broadcast(ranked.select("v", "dr")), "v")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n1"),
+            F.sum(F.col("c") * F.col("dr")).cast("long").alias("r2"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+
+
+def cliffs_delta_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Cliff's delta vs the group's complement — the
+    nonparametric EFFECT SIZE companion to :func:`ranksum_by_group`'s
+    significance z: δ = P(X > Y) − P(X < Y) ∈ [−1, 1], how often this
+    segment's values dominate everyone else's.  |δ| ≳ 0.33/0.47 are the
+    conventional medium/large thresholds.  Output
+    ``(group, n, n_rest, delta)``; delta is NULL when the complement is
+    empty.
+
+    Determinism: δ = (u2 − n1·n2) / (n1·n2) where the doubled U
+    ``u2 = Σc·dr − n1·(n1+1)`` is the same exact BIGINT the rank-sum
+    report uses (ties get the standard half credit via the doubled
+    average ranks) — one exact integer difference, one double division.
+
+    Scale: identical envelope to :func:`ranksum_by_group` — one
+    (group, value) count, then the distinct-value table.
+    """
+    return cliffs_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def cliffs_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`cliffs_delta_by_group` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch)."""
+    per = _ranksum_parts(cells)
+    u2 = F.col("r2") - F.col("n1") * (F.col("n1") + 1)
+    n1n2 = F.col("n1") * (F.col("n") - F.col("n1"))
+    delta = F.when(
+        n1n2 > 0,
+        (u2 - n1n2).cast("double") / n1n2.cast("double"),
+    )
+    return (
+        per.select(
+            F.col("grp").alias(group_col),
+            F.col("n1").alias("n"),
+            (F.col("n") - F.col("n1")).cast("long").alias("n_rest"),
+            (F.round(delta, round_digits) + F.lit(0.0)).alias("delta"),
         )
         .orderBy(group_col)
     )
@@ -1957,30 +2199,58 @@ def gini_by_group(
     combination runs in double from the exact components with one fixed
     expression shape on both engines.
 
-    Scale: one rank window partitioned by group (the same exact-order-
-    statistic cost envelope as :func:`mad_outliers`) plus a plain
-    aggregate.  No collect, no self-join.
+    Scale: since r7 the rank work runs on the DISTINCT-VALUE cell table
+    (:func:`value_cells`) instead of a per-row rank window: the Lorenz
+    rank-weighted sum over a tie block of value v spanning rows
+    cum+1..cum+c is exactly x·(c·cum + c·(c+1)/2) — the same tie-stable
+    Σi·x the row formulation produced, now bounded by value cardinality
+    (and shared with the streaming sketch: ``finalize_gini``).
     """
-    base = df.filter(
-        F.col(group_col).isNotNull()
-        & F.col(value_col).isNotNull()
-        & (F.col(value_col) >= 0)
-    ).select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).cast("decimal(18,2)").alias("x"),
+    return gini_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def gini_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`gini_by_group` over a prebuilt
+    (grp, v, c) cell table — negative values are filtered HERE (the
+    Lorenz construction needs a non-negative measure), so one shared
+    rankstats sketch can still feed it alongside ranksum/KS/Cliff's.
+
+    The per-cell rank weight ``c·cum_prev + c·(c+1)/2`` stays within
+    DECIMAL(18,0) for n ≤ ~1.9e9 rows per group — the same envelope the
+    row_number formulation had (i ≤ n as decimal(18,0))."""
+    base = cells.filter(F.col("v") >= 0).select(
+        "grp",
+        F.col("v").cast("decimal(18,2)").alias("x"),
+        "v",
+        "c",
+    )
+    wv = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = base.select(
         "grp",
         "x",
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy("x"))
-        .cast("long")
-        .alias("i"),
+        "c",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long").alias("cum"),
     )
+    w = (
+        F.col("c").cast("decimal(18,0)") * F.col("cum")
+        + (
+            F.col("c").cast("decimal(18,0)") * (F.col("c") + 1)
+        ) / 2
+    ).cast("decimal(18,0)")
     agg = ranked.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i").cast("decimal(18,0)") * F.col("x")).alias("six"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("c").cast("decimal(18,0)")).alias("sx"),
+        F.sum(F.col("x") * w).alias("six"),
     )
     num = (
         F.lit(2.0) * F.col("six").cast("double")
@@ -1996,6 +2266,83 @@ def gini_by_group(
                 F.round(F.when(F.col("sx") > 0, num / den), round_digits)
                 + F.lit(0.0)
             ).alias("gini"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def theil_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Theil T inequality index over STRICTLY POSITIVE
+    values: T = (1/n)·Σ (x/μ)·ln(x/μ) ∈ [0, ln n] — the decomposable
+    entropy complement to :func:`gini_by_group` (0 = perfectly even,
+    ln n = all mass on one row).  Rows whose DECIMAL(18,2) cent value
+    rounds to ≤ 0 are excluded (the ln needs a positive measure; the
+    filter runs on cents so engine and oracle drop identical rows).
+    Output ``(group, n, mean, theil)``; theil is NULL for empty groups
+    after the filter (they simply have no row).
+
+    Determinism contract: counts and Σx ride exact longs/decimals; μ is
+    one double division; each cell term ``(c·(x/μ))·ln(x/μ)`` is one
+    fixed double expression over the CENT-value cell (engine and
+    oracle aggregate to the same cent cells), and the only
+    order-sensitive float sum folds in ascending cent order — the
+    oracle replays it with ``list_sum(list(t ORDER BY xd))``.
+
+    Scale: the fold state is the per-group distinct-CENT list —
+    bounded by value cardinality (quantize unbounded doubles upstream,
+    the value_cells contract); one map-side-combined count over rows.
+    """
+    return theil_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def theil_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`theil_by_group` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch); the
+    positivity filter runs HERE, on cents."""
+    cent = (
+        cells.select(
+            "grp", F.col("v").cast("decimal(18,2)").alias("xd"), "c"
+        )
+        .filter(F.col("xd") > 0)
+        .groupBy("grp", "xd")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    agg = cent.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("xd") * F.col("c").cast("decimal(18,0)")).alias("sx"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("xd").cast("double").alias("x"),
+                    F.col("c").cast("double").alias("cd"),
+                )
+            )
+        ).alias("items"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / nd
+    fold = F.aggregate(
+        F.col("items"),
+        F.lit(0.0).cast("double"),
+        lambda acc, it: acc + (it["cd"] * (it["x"] / mu)) * F.log(it["x"] / mu),
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round(mu, round_digits).alias("mean"),
+            (F.round(fold / nd, round_digits) + F.lit(0.0)).alias("theil"),
         )
         .orderBy(group_col)
     )
@@ -2022,49 +2369,78 @@ def winsorized_stats(
     exact whatever the partial-agg order — with one double division at
     the end.
 
-    Scale: one rank window partitioned by group + one broadcast join of
-    the per-group bound scalars.  Same cost envelope as
-    :func:`mad_outliers`.
+    Scale: since r7 the order statistics come from the DISTINCT-VALUE
+    cell table (:func:`value_cells`): the ⌈p·n/100⌉-th smallest row
+    value is the smallest cell value whose cumulative count reaches
+    that rank (the rounding cast double→cents is monotone, so the cent
+    at a row rank equals the cent of the cell at that rank), and the
+    clamped sums are Σc·clamp(x).  Bounded by value cardinality and
+    shared with the streaming sketch (``finalize_winsorized``).
     """
-    base = df.filter(
-        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
-    ).select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).cast("decimal(18,2)").alias("x"),
+    return winsorized_from_cells(
+        value_cells(df, group_col, value_col),
+        group_col,
+        lo_pct=lo_pct,
+        hi_pct=hi_pct,
+        round_digits=round_digits,
     )
-    ranked = base.select(
+
+
+def winsorized_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`winsorized_stats` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch)."""
+    cells = cells.localCheckpoint(eager=False)
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = cells.select(
         "grp",
-        "x",
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy("x"))
-        .cast("long")
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("grp")).cast("long").alias("nn"),
+        F.col("v").cast("decimal(18,2)").alias("x"),
+        "c",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("grp")).cast("long").alias("nn"),
     )
     lo_rank = F.greatest(
         F.lit(1).cast("long"),
         F.expr(f"({lo_pct} * nn + 99) div 100"),
     )
     hi_rank = F.expr(f"({hi_pct} * nn + 99) div 100")
+    # the rank-r row value = smallest cell value whose cum count >= r
     bounds = ranked.groupBy("grp").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("x"))).alias("lo"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("x"))).alias("hi"),
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("x"))).alias("hi"),
     )
-    clamped = base.join(F.broadcast(bounds), "grp").select(
-        "grp",
-        "x",
-        "lo",
-        "hi",
-        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("w"),
+    cdec = F.col("c").cast("decimal(18,0)")
+    clamped = (
+        cells.select("grp", F.col("v").cast("decimal(18,2)").alias("x"), "c")
+        .join(F.broadcast(bounds), "grp")
+        .select(
+            "grp",
+            "c",
+            "lo",
+            "hi",
+            F.col("x"),
+            F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias(
+                "w"
+            ),
+        )
     )
     return (
         clamped.groupBy("grp")
         .agg(
-            F.count("*").cast("long").alias("n"),
+            F.sum("c").cast("long").alias("n"),
             F.first("lo").alias("lo_d"),
             F.first("hi").alias("hi_d"),
-            F.sum("x").alias("sx"),
-            F.sum("w").alias("sw"),
+            F.sum(F.col("x") * cdec).alias("sx"),
+            F.sum(F.col("w") * cdec).alias("sw"),
         )
         .select(
             F.col("grp").alias(group_col),
@@ -2388,6 +2764,100 @@ def daily_totals(
         )
         .groupBy("grp", "day")
         .agg(_checked_daily_total(F.sum("v")).alias("y"))
+    )
+
+
+def weekday_adjusted_outliers(
+    df: DataFrame,
+    group_col: str,
+    day_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Seasonality-corrected daily anomaly report: which OBSERVED days
+    were unusual AFTER removing the weekly pattern?  Per group, each
+    day's total is compared to its weekday's EXACT median
+    (Mondays-to-Mondays), and the residuals get the MAD treatment —
+    a day flags when |r − median(r)| > k·MAD(r).  Output one row per
+    flagged day: ``(group, day, weekday, y, expected, residual)``,
+    ordered by (group, day).  The raw-value twin of
+    :func:`mad_outliers` for daily series whose level is dominated by
+    day-of-week seasonality (weekend dips would otherwise flag every
+    Saturday).
+
+    Determinism contract: daily totals ride exact DECIMAL(18,2)
+    (:func:`daily_totals`); every location estimate — the 7 per-weekday
+    medians, the residual median, the residual MAD — is an exact order
+    statistic via the shared ``_median_rank_filter`` selection, so
+    nothing depends on tie or aggregation order; the flag compares
+    unrounded doubles with one expression shape on both engines.
+
+    Scale: the corpus-sized work is the ONE daily-total shuffle;
+    everything downstream runs on groups × observed days (rank windows
+    over that small table).  Missing days are NOT zero-filled — compose
+    with :func:`gap_filled_daily` upstream if absence itself should
+    flag."""
+    daily = (
+        daily_totals(df, group_col, day_col, value_col)
+        .select(
+            "grp",
+            "day",
+            ((F.col("day") + 4) % 7).cast("long").alias("wd"),
+            F.col("y").cast("double").alias("yd"),
+        )
+        # feeds the weekday profile AND the residual join; checkpoint
+        # so the corpus aggregate runs once (the mad_outliers rationale)
+        .localCheckpoint(eager=False)
+    )
+
+    def _exact_median_over(t: DataFrame, keys: list, col: str, out: str):
+        wnd = Window.partitionBy(*keys).orderBy(col)
+        ranked = t.select(
+            *keys,
+            F.col(col),
+            F.row_number().over(wnd).alias("__rn"),
+            F.count("*").over(Window.partitionBy(*keys)).alias("__n"),
+        )
+        return (
+            ranked.filter(_median_rank_filter("__rn", "__n"))
+            .groupBy(*keys)
+            .agg(F.avg(col).alias(out))
+        )
+
+    prof = _exact_median_over(
+        daily.select("grp", "wd", "yd"), ["grp", "wd"], "yd", "expected"
+    ).localCheckpoint(eager=False)
+    resid = (
+        daily.join(F.broadcast(prof), ["grp", "wd"])
+        .withColumn("r", F.col("yd") - F.col("expected"))
+        .localCheckpoint(eager=False)  # feeds med, mad, and the flag
+    )
+    med_r = _exact_median_over(
+        resid.select("grp", "r"), ["grp"], "r", "med_r"
+    ).localCheckpoint(eager=False)
+    devs = resid.join(F.broadcast(med_r), "grp").withColumn(
+        "dev", F.abs(F.col("r") - F.col("med_r"))
+    )
+    mad_r = _exact_median_over(
+        devs.select("grp", "dev"), ["grp"], "dev", "mad_r"
+    ).localCheckpoint(eager=False)
+    return (
+        devs.join(F.broadcast(mad_r), "grp")
+        .filter(F.col("dev") > F.lit(float(k)) * F.col("mad_r"))
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            F.col("wd").alias("weekday"),
+            (F.round(F.col("yd"), 2) + F.lit(0.0)).alias("y"),
+            (F.round(F.col("expected"), round_digits) + F.lit(0.0)).alias(
+                "expected"
+            ),
+            (F.round(F.col("r"), round_digits) + F.lit(0.0)).alias(
+                "residual"
+            ),
+        )
+        .orderBy(group_col, "day")
     )
 
 

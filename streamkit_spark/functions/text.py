@@ -363,6 +363,30 @@ def pmi_pairs(
     token count m.  For 100 TB corpora cap m first (slice the distinct
     array to its top-m tokens, or pre-filter tokens by document
     frequency) — the fixture's ~40-token docs need neither."""
+    pc, tokc, ndocs = _doc_cooccurrence_tables(df, text_col, id_col)
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("N").cast("double"))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pc.filter(F.col("n_ab") >= min_pair_count)
+        .join(tokc.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")), "a")
+        .join(tokc.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")), "b")
+        .crossJoin(F.broadcast(ndocs))
+        .select("a", "b", "n_ab", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(top_n)
+    )
+
+
+def _doc_cooccurrence_tables(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared document-co-occurrence counting for the collocation
+    statistics (:func:`pmi_pairs`, :func:`llr_pairs`): pair counts
+    ``(a, b, n_ab)`` with a < b via in-row enumeration of the
+    distinct-sorted token array (group-and-enumerate — no token
+    self-join), token doc-frequencies ``(w, n_w)``, and the doc count."""
     toks = F.array_sort(F.array_distinct(tokens(text_col)))
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).filter(
         F.size("t") >= 2
@@ -385,17 +409,71 @@ def pmi_pairs(
         F.count("*").alias("n_w")
     )
     ndocs = d.agg(F.count("*").alias("N"))
-    pmi = F.log(
-        (F.col("n_ab").cast("double") * F.col("N").cast("double"))
-        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
-    )
-    return (
+    return pc, tokc, ndocs
+
+
+def llr_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by Dunning's log-likelihood ratio (Dunning,
+    CL 1993): for token pairs co-occurring in documents,
+    ``LLR = 2·Σ kᵢⱼ·ln(kᵢⱼ·N / (Rᵢ·Cⱼ))`` over the 2×2 contingency
+    table (co-occur / a-only / b-only / neither) — the collocation
+    test that, unlike PMI, does not over-reward rare pairs.  Output
+    ``(a, b, n_ab, llr)``, a < b, ordered by (llr DESC, a, b).
+
+    Determinism: all four cell counts are exact BIGINTs derived from
+    the same doc-frequency tables PMI uses; the statistic is ONE fixed
+    four-term double expression per pair (zero cells contribute
+    exactly 0 via the same CASE guard on both engines) — no
+    cross-pair float reduction exists, and the (llr, a, b) sort is a
+    total order so the top_n cutoff is stable under ties.
+
+    Scale: identical envelope to :func:`pmi_pairs` — in-doc pair
+    enumeration is O(m²) in per-doc distinct tokens; cap m upstream
+    for 100 TB corpora."""
+    pc, tokc, ndocs = _doc_cooccurrence_tables(df, text_col, id_col)
+    j = (
         pc.filter(F.col("n_ab") >= min_pair_count)
         .join(tokc.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")), "a")
         .join(tokc.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")), "b")
         .crossJoin(F.broadcast(ndocs))
-        .select("a", "b", "n_ab", F.round(pmi, 4).alias("pmi"))
-        .orderBy(F.desc("pmi"), "a", "b")
+    )
+
+    def term(k: Column, r: Column, c: Column) -> Column:
+        nd = F.col("N").cast("double")
+        return F.when(
+            k > 0,
+            k.cast("double")
+            * F.log(
+                k.cast("double") * nd / (r.cast("double") * c.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_ab")
+    k12 = F.col("n_a") - F.col("n_ab")
+    k21 = F.col("n_b") - F.col("n_ab")
+    k22 = F.col("N") - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+    r1, r2 = F.col("n_a"), F.col("N") - F.col("n_a")
+    c1, c2 = F.col("n_b"), F.col("N") - F.col("n_b")
+    llr = 2 * (
+        term(k11, r1, c1)
+        + term(k12, r1, c2)
+        + term(k21, r2, c1)
+        + term(k22, r2, c2)
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            "n_ab",
+            (F.round(llr, 4) + F.lit(0.0)).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "a", "b")
         .limit(top_n)
     )
 

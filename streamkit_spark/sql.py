@@ -204,8 +204,14 @@ def register_diagnostics_views(
     * ``{p}cusum``         — CUSUM changepoint day per type
     * ``{p}benford``       — first-digit audit of event values
     * ``{p}quantile_sketch`` — mergeable histogram-quantile report
-    * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit) and
-      ``{p}heaps`` (vocabulary-growth fit)
+    * ``{p}effect_sizes``  — Cliff's delta of each type vs complement
+    * ``{p}theil``         — Theil T inequality per type
+    * ``{p}cramers_weekday`` — chi2 + Cramér's V of type × weekday
+    * ``{p}mi_weekday``    — mutual information / NMI of type × weekday
+    * ``{p}weekday_outliers`` — seasonality-corrected daily anomalies
+    * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit),
+      ``{p}heaps`` (vocabulary-growth fit), and ``{p}collocations``
+      (Dunning LLR token pairs)
 
     Views are logical plans; each inherits the underlying scan's
     pushdown.  The events frame must be normalized (``tables.load``)."""
@@ -235,6 +241,22 @@ def register_diagnostics_views(
         f"{p}quantile_sketch": A.histogram_quantiles(
             events, "event_type", "value"
         ),
+        f"{p}effect_sizes": A.cliffs_delta_by_group(
+            events, "event_type", "value"
+        ),
+        f"{p}theil": A.theil_by_group(events, "event_type", "value"),
+        f"{p}cramers_weekday": A.cramers_v(
+            events.select("event_type", wd.alias("weekday")),
+            "event_type", "weekday",
+        ),
+        f"{p}mi_weekday": A.mutual_information(
+            events.select("event_type", wd.alias("weekday")),
+            "event_type", "weekday",
+        ),
+        f"{p}weekday_outliers": A.weekday_adjusted_outliers(
+            events.select("event_type", day.alias("day"), "value"),
+            "event_type", "day", "value",
+        ),
     }
     if documents is not None:
         counts = (
@@ -246,6 +268,7 @@ def register_diagnostics_views(
         )
         views[f"{p}zipf"] = T.zipf_fit(counts)
         views[f"{p}heaps"] = T.heaps_fit(documents)
+        views[f"{p}collocations"] = T.llr_pairs(documents)
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)

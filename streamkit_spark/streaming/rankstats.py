@@ -15,17 +15,28 @@ Same split as the histogram-quantile twin (``streaming/quantiles.py``):
   (``analytics.ranksum_from_cells`` / ``ks_from_cells``) so batch and
   stream cannot drift; the parity tests pin them together.
 
-One sketch, two reports: the same live cell table answers "is this
-segment's distribution SHIFTED?" (Mann-Whitney z) and "is its SHAPE
-drifting?" (two-sample KS distance) without a second pass over the
-stream.
+One sketch, six reports: the same live cell table answers "is this
+segment's distribution SHIFTED?" (Mann-Whitney z), "is its SHAPE
+drifting?" (two-sample KS distance), "how STRONGLY does it dominate?"
+(Cliff's delta), "how CONCENTRATED is it?" (Gini and Theil), and
+"what's its robust location?" (winsorized means) without a second pass
+over the stream — the daily.py multi-report discipline applied to the
+value-cell family.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["value_cells_stream", "finalize_ranksum", "finalize_ks"]
+__all__ = [
+    "value_cells_stream",
+    "finalize_ranksum",
+    "finalize_ks",
+    "finalize_cliffs",
+    "finalize_gini",
+    "finalize_winsorized",
+    "finalize_theil",
+]
 
 
 def value_cells_stream(
@@ -64,3 +75,59 @@ def finalize_ks(
     from streamkit_spark.functions.analytics import ks_from_cells
 
     return ks_from_cells(cells, group_col, round_digits)
+
+
+def finalize_cliffs(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cliff's delta effect-size report from the shared cell table —
+    the shared batch finisher (``analytics.cliffs_from_cells``)."""
+    from streamkit_spark.functions.analytics import cliffs_from_cells
+
+    return cliffs_from_cells(cells, group_col, round_digits)
+
+
+def finalize_gini(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Gini concentration report from the shared cell table — the
+    shared batch finisher (``analytics.gini_from_cells``; negatives are
+    filtered inside it, so the sketch needs no Lorenz-specific
+    pre-filter)."""
+    from streamkit_spark.functions.analytics import gini_from_cells
+
+    return gini_from_cells(cells, group_col, round_digits)
+
+
+def finalize_theil(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Theil T inequality report from the shared cell table — the
+    shared batch finisher (``analytics.theil_from_cells``; positivity
+    filtering happens inside it, on cents)."""
+    from streamkit_spark.functions.analytics import theil_from_cells
+
+    return theil_from_cells(cells, group_col, round_digits)
+
+
+def finalize_winsorized(
+    cells: DataFrame,
+    group_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Winsorized-mean report from the shared cell table — the shared
+    batch finisher (``analytics.winsorized_from_cells``)."""
+    from streamkit_spark.functions.analytics import winsorized_from_cells
+
+    return winsorized_from_cells(
+        cells, group_col, lo_pct=lo_pct, hi_pct=hi_pct,
+        round_digits=round_digits,
+    )

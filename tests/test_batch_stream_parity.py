@@ -375,17 +375,24 @@ def test_psi_stream_parity(spark, fixture_stream):
 
 
 def test_rankstats_stream_parity(spark, fixture_stream):
-    """The SAME streaming (grp, v, c) cell table feeds BOTH rank-stat
-    finishers: live Mann-Whitney and KS reports equal the batch
-    analytics.ranksum_by_group / ks_by_group exactly
-    (streaming/rankstats.py), and state is cell-bounded."""
+    """The SAME streaming (grp, v, c) cell table feeds ALL FIVE
+    rank/value-stat finishers: live Mann-Whitney, KS, Cliff's delta,
+    Gini, and winsorized-mean reports equal the batch analytics
+    operators exactly (streaming/rankstats.py), and state is
+    cell-bounded."""
     from streamkit_spark.functions.analytics import (
+        cliffs_delta_by_group,
+        gini_by_group,
         ks_by_group,
         ranksum_by_group,
+        winsorized_stats,
     )
     from streamkit_spark.streaming.rankstats import (
+        finalize_cliffs,
+        finalize_gini,
         finalize_ks,
         finalize_ranksum,
+        finalize_winsorized,
         value_cells_stream,
     )
 
@@ -395,6 +402,17 @@ def test_rankstats_stream_parity(spark, fixture_stream):
     }
     want_ks = {
         tuple(r) for r in ks_by_group(batch, "event_type", "value").collect()
+    }
+    want_cliffs = {
+        tuple(r)
+        for r in cliffs_delta_by_group(batch, "event_type", "value").collect()
+    }
+    want_gini = {
+        tuple(r) for r in gini_by_group(batch, "event_type", "value").collect()
+    }
+    want_wins = {
+        tuple(r)
+        for r in winsorized_stats(batch, "event_type", "value").collect()
     }
     q = (
         value_cells_stream(fixture_stream, "event_type", "value")
@@ -423,6 +441,83 @@ def test_rankstats_stream_parity(spark, fixture_stream):
         got_ks = {tuple(r) for r in finalize_ks(cells, "event_type").collect()}
         assert got_u == want_u and len(got_u) > 0
         assert got_ks == want_ks and len(got_ks) > 0
+        got_cliffs = {
+            tuple(r) for r in finalize_cliffs(cells, "event_type").collect()
+        }
+        assert got_cliffs == want_cliffs and len(got_cliffs) > 0
+        got_gini = {
+            tuple(r) for r in finalize_gini(cells, "event_type").collect()
+        }
+        assert got_gini == want_gini and len(got_gini) > 0
+        got_wins = {
+            tuple(r) for r in finalize_winsorized(cells, "event_type").collect()
+        }
+        assert got_wins == want_wins and len(got_wins) > 0
+        from streamkit_spark.functions.analytics import theil_by_group
+        from streamkit_spark.streaming.rankstats import finalize_theil
+
+        want_theil = {
+            tuple(r)
+            for r in theil_by_group(batch, "event_type", "value").collect()
+        }
+        got_theil = {
+            tuple(r) for r in finalize_theil(cells, "event_type").collect()
+        }
+        assert got_theil == want_theil and len(got_theil) > 0
+    finally:
+        q.stop()
+
+
+def test_contingency_stream_parity(spark, fixture_stream):
+    """The SAME streaming (r, c, o) contingency table feeds all three
+    categorical-association finishers: live chi2, Cramér's V, and
+    mutual-information reports equal the batch analytics operators
+    exactly (streaming/contingency.py), and state is cell-bounded."""
+    from streamkit_spark.functions.analytics import (
+        chi2_independence,
+        cramers_v,
+        mutual_information,
+    )
+    from streamkit_spark.streaming.contingency import (
+        contingency_stream,
+        finalize_chi2,
+        finalize_cramers,
+        finalize_mi,
+    )
+
+    wd = F.expr("(ts div 86400000000000 + 4) % 7").cast("long").alias("weekday")
+    batch = tables.load(spark, SF_DIR, "events").select("event_type", wd)
+    want_chi2 = {
+        tuple(r)
+        for r in chi2_independence(batch, "event_type", "weekday").collect()
+    }
+    want_v = {
+        tuple(r) for r in cramers_v(batch, "event_type", "weekday").collect()
+    }
+    want_mi = {
+        tuple(r)
+        for r in mutual_information(batch, "event_type", "weekday").collect()
+    }
+    stream = fixture_stream.select("event_type", wd)
+    q = (
+        contingency_stream(stream, "event_type", "weekday")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_contingency")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cells = spark.sql("SELECT * FROM parity_contingency")
+        # state bound: occupied contingency cells, never row count
+        want_cells = batch.filter(
+            F.col("event_type").isNotNull()
+        ).distinct().count()
+        assert cells.count() == want_cells < batch.count()
+        assert {tuple(r) for r in finalize_chi2(cells).collect()} == want_chi2
+        assert {tuple(r) for r in finalize_cramers(cells).collect()} == want_v
+        got_mi = {tuple(r) for r in finalize_mi(cells).collect()}
+        assert got_mi == want_mi and len(got_mi) == 1
     finally:
         q.stop()
 

@@ -425,6 +425,58 @@ def test_pmi_planted_collocation_ranks_first(spark):
     assert got[0]["pmi"] == round(math.log(40 / 10), 4)
 
 
+def test_llr_matches_python_2x2_reference(spark):
+    from streamkit_spark.functions.text import llr_pairs
+
+    rows = []
+    # zaa/zbb exclusive to 10 docs; zcc co-occurs with them in 5 of
+    # those plus 5 fillers (a weaker, non-exclusive association)
+    for i in range(10):
+        rows.append((i, "zaa zbb" + (" zcc" if i < 5 else "")))
+    for i in range(10, 40):
+        extra = " zcc" if i < 15 else ""
+        rows.append((i, f"w{i % 3} w{3 + i % 5} w{8 + i % 7}{extra}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = llr_pairs(df, min_pair_count=5, top_n=10).collect()
+    assert got, "planted collocation should survive the count cut"
+    top = {(r["a"], r["b"]): r for r in got}
+    assert ("zaa", "zbb") in top
+    # the exclusive pair out-scores the weaker planted one
+    assert (got[0]["a"], got[0]["b"]) == ("zaa", "zbb")
+    assert top[("zaa", "zbb")]["llr"] > top.get(
+        ("zaa", "zcc"), got[-1]
+    )["llr"]
+    import math
+
+    def ref_llr(k11, n_a, n_b, n):
+        k12, k21 = n_a - k11, n_b - k11
+        k22 = n - n_a - n_b + k11
+        out = 0.0
+        for k, r, c in (
+            (k11, n_a, n_b),
+            (k12, n_a, n - n_b),
+            (k21, n - n_a, n_b),
+            (k22, n - n_a, n - n_b),
+        ):
+            if k > 0:
+                out += k * math.log(k * n / (r * c))
+        return 2 * out
+
+    r = top[("zaa", "zbb")]
+    # zaa and zbb each appear in exactly the 10 planted docs of 40
+    assert r["n_ab"] == 10
+    assert r["llr"] == pytest.approx(ref_llr(10, 10, 10, 40), abs=1e-3)
+    # an exclusive pair carries more evidence than independent fillers:
+    # every other surviving pair scores strictly lower than a planted
+    # pair with disjoint support
+    rows2 = [(i, "xaa xbb") for i in range(10)] + [
+        (i, f"w{i % 3} w{3 + i % 5}") for i in range(10, 40)
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = llr_pairs(df2, min_pair_count=5, top_n=10).collect()
+    assert (got2[0]["a"], got2[0]["b"]) == ("xaa", "xbb")
+
+
 def test_bigram_logprob_prefers_common_phrases(spark):
     from streamkit_spark.functions.curation import bigram_logprob
 

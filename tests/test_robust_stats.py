@@ -183,6 +183,53 @@ class TestMadOutliers:
         assert row["n_outliers"] == 1
 
 
+class TestWeekdayAdjustedOutliers:
+    def test_planted_anomaly_flags_weekends_do_not(self, spark):
+        """A strong weekly pattern (weekend dips) with one planted
+        Wednesday spike: the spike flags, the weekend dips do not —
+        the whole point of removing the weekday profile first."""
+        from streamkit_spark.functions.analytics import (
+            mad_outliers,
+            weekday_adjusted_outliers,
+        )
+
+        rows = []
+        for day in range(4, 4 + 49):  # day 4 = Thursday epoch anchor
+            wd = (day + 4) % 7
+            base = 20.0 if wd in (2, 3) else 100.0  # weekend dips
+            val = base + (day % 3) * 0.5  # small jitter
+            if day == 25:
+                val += 500.0  # planted anomaly
+            rows.append(("g", day, val))
+        df = spark.createDataFrame(rows, "grp string, day long, v double")
+        out = weekday_adjusted_outliers(df, "grp", "day", "v").collect()
+        assert [r["day"] for r in out] == [25]
+        assert out[0]["residual"] == pytest.approx(500.0, abs=1.0)
+        # sanity: the UNADJUSTED MAD on the same daily values flags the
+        # weekend dips (level shifts), which is exactly the false-alarm
+        # mode the adjusted report removes
+        from pyspark.sql import functions as F
+
+        naive = mad_outliers(
+            df.groupBy("grp", "day")
+            .agg(F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("y"))
+            .select("grp", F.col("y").alias("v")),
+            "grp",
+            "v",
+        ).collect()[0]
+        assert naive["n_outliers"] > 1
+
+    def test_single_observation_weekdays_never_flag_themselves(self, spark):
+        from streamkit_spark.functions.analytics import (
+            weekday_adjusted_outliers,
+        )
+
+        # 7 days, one per weekday: every expected == itself, residual 0
+        rows = [("g", d, float(10 * d)) for d in range(7)]
+        df = spark.createDataFrame(rows, "grp string, day long, v double")
+        assert weekday_adjusted_outliers(df, "grp", "day", "v").count() == 0
+
+
 class TestOlsTrend:
     def test_exact_line(self, spark):
         # y = 2x + 1 exactly -> slope 2, intercept 1, r2 1

@@ -155,9 +155,10 @@ def test_diagnostics_views_queryable_from_sql(spark):
     docs = tables.load(spark, SF_DIR, "documents")
     names = register_diagnostics_views(spark, ev, docs)
     assert names == [
-        "dg_benford", "dg_chi2_weekday", "dg_cusum", "dg_heaps",
-        "dg_mad_outliers", "dg_quantile_sketch", "dg_value_trend",
-        "dg_zipf",
+        "dg_benford", "dg_chi2_weekday", "dg_collocations",
+        "dg_cramers_weekday", "dg_cusum", "dg_effect_sizes", "dg_heaps",
+        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
+        "dg_theil", "dg_value_trend", "dg_weekday_outliers", "dg_zipf",
     ]
     row = spark.sql(
         """
@@ -168,7 +169,16 @@ def test_diagnostics_views_queryable_from_sql(spark):
                 WHERE n_days > 0) AS cusum_groups,
                (SELECT count(*) FROM dg_quantile_sketch
                 WHERE p IN (50, 90, 99)) AS q_rows,
-               (SELECT n_docs FROM dg_heaps) AS heaps_docs
+               (SELECT n_docs FROM dg_heaps) AS heaps_docs,
+               (SELECT count(*) FROM dg_effect_sizes
+                WHERE delta BETWEEN -1 AND 1) AS delta_rows,
+               (SELECT count(*) FROM dg_theil
+                WHERE theil >= 0) AS theil_rows,
+               (SELECT v FROM dg_cramers_weekday) AS cramers,
+               (SELECT nmi FROM dg_mi_weekday) AS nmi,
+               (SELECT count(*) FROM dg_weekday_outliers) AS anomaly_days,
+               (SELECT count(*) FROM dg_collocations
+                WHERE llr >= 0) AS colloc_rows
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -181,6 +191,12 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["q_rows"] == 3 * n_types
     assert row["dof"] >= 1
     assert row["heaps_docs"] > 0
+    assert row["delta_rows"] == n_types
+    assert row["theil_rows"] == n_types
+    assert row["cramers"] is not None and 0 <= row["cramers"] <= 1
+    assert row["nmi"] is not None and 0 <= row["nmi"] <= 1
+    assert row["anomaly_days"] >= 0
+    assert row["colloc_rows"] > 0
 
 
 def test_timeseries_views_queryable_from_sql(spark):

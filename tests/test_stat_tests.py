@@ -266,6 +266,166 @@ class TestKendall:
         assert kendall_tau_binned(df, "grp", "x", "y").collect()[0]["tau"] is None
 
 
+class TestCliffsDelta:
+    @staticmethod
+    def _ref_delta(xs, ys):
+        gt = sum(1 for x in xs for y in ys if x > y)
+        lt = sum(1 for x in xs for y in ys if x < y)
+        return (gt - lt) / (len(xs) * len(ys))
+
+    def test_matches_pairwise_reference_with_ties(self, spark):
+        from streamkit_spark.functions.analytics import cliffs_delta_by_group
+
+        rows = [("a", v) for v in A_VALS] + [("b", v) for v in B_VALS]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {
+            r["grp"]: r for r in cliffs_delta_by_group(df, "grp", "v").collect()
+        }
+        ref_a = self._ref_delta(A_VALS, B_VALS)
+        ref_b = self._ref_delta(B_VALS, A_VALS)
+        assert out["a"]["delta"] == pytest.approx(ref_a, abs=1e-4)
+        assert out["b"]["delta"] == pytest.approx(ref_b, abs=1e-4)
+        assert out["a"]["n"] == len(A_VALS) and out["a"]["n_rest"] == len(B_VALS)
+        # antisymmetry of the two-group case
+        assert out["a"]["delta"] == pytest.approx(-out["b"]["delta"], abs=1e-4)
+
+    def test_total_dominance_and_empty_complement(self, spark):
+        from streamkit_spark.functions.analytics import cliffs_delta_by_group
+
+        rows = [("hi", 100.0 + i) for i in range(5)] + [
+            ("lo", 1.0 + i) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {
+            r["grp"]: r for r in cliffs_delta_by_group(df, "grp", "v").collect()
+        }
+        assert out["hi"]["delta"] == 1.0 and out["lo"]["delta"] == -1.0
+        solo = spark.createDataFrame([("only", 2.0)], "grp string, v double")
+        r = cliffs_delta_by_group(solo, "grp", "v").collect()[0]
+        assert r["delta"] is None and r["n_rest"] == 0
+
+
+class TestCramersV:
+    def test_matches_manual_2x2(self, spark):
+        from streamkit_spark.functions.analytics import cramers_v
+
+        # 2x2 table: a/x 30, a/y 10, b/x 10, b/y 30
+        rows = (
+            [("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30
+        )
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = cramers_v(df, "r", "c").collect()[0]
+        # chi2 for this table = 20.0 (phi^2 = 0.25), V = sqrt(0.25) = 0.5
+        assert out["chi2"] == pytest.approx(20.0, abs=1e-6)
+        assert out["v"] == pytest.approx(0.5, abs=1e-4)
+        assert out["dof"] == 1 and out["n"] == 80
+
+    def test_independent_table_near_zero(self, spark):
+        from streamkit_spark.functions.analytics import cramers_v
+
+        rows = [(r, c) for r in "ab" for c in "xy" for _ in range(25)]
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = cramers_v(df, "r", "c").collect()[0]
+        assert out["v"] == 0.0
+
+    def test_degenerate_margin_null(self, spark):
+        from streamkit_spark.functions.analytics import cramers_v
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "x"), ("a", "x")], "r string, c string"
+        )
+        out = cramers_v(df, "r", "c").collect()[0]
+        assert out["n_cols"] == 1 and out["v"] is None
+
+
+class TestTheil:
+    @staticmethod
+    def _ref_theil(xs):
+        import math
+
+        cents = [round(x * 100) / 100 for x in xs]
+        cents = [x for x in cents if x > 0]
+        n = len(cents)
+        mu = sum(cents) / n
+        return sum((x / mu) * math.log(x / mu) for x in cents) / n
+
+    def test_matches_python_reference(self, spark):
+        from streamkit_spark.functions.analytics import theil_by_group
+
+        xs = [1.0, 2.0, 2.0, 5.0, 10.0, 0.5, 40.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in xs], "grp string, v double"
+        )
+        r = theil_by_group(df, "grp", "v").collect()[0]
+        assert r["n"] == len(xs)
+        assert r["theil"] == pytest.approx(self._ref_theil(xs), abs=1e-4)
+
+    def test_uniform_zero_and_spike_near_ln_n(self, spark):
+        import math
+
+        from streamkit_spark.functions.analytics import theil_by_group
+
+        rows = [("even", 5.0)] * 20 + [("spike", 0.01)] * 99 + [
+            ("spike", 1e6)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r for r in theil_by_group(df, "grp", "v").collect()}
+        assert out["even"]["theil"] == 0.0
+        # one row holds ~all mass: T approaches ln(n) = ln(100)
+        assert out["spike"]["theil"] == pytest.approx(
+            math.log(100), rel=0.01
+        )
+
+    def test_nonpositive_cents_excluded(self, spark):
+        from streamkit_spark.functions.analytics import theil_by_group
+
+        # 0.004 rounds to 0.00 cents -> excluded exactly like 0 and -1
+        df = spark.createDataFrame(
+            [("g", 0.004), ("g", 0.0), ("g", -1.0), ("g", 2.0), ("g", 4.0)],
+            "grp string, v double",
+        )
+        r = theil_by_group(df, "grp", "v").collect()[0]
+        assert r["n"] == 2
+        assert r["theil"] == pytest.approx(
+            self._ref_theil([2.0, 4.0]), abs=1e-4
+        )
+
+
+class TestMutualInformation:
+    def test_perfect_dependence_mi_equals_entropy(self, spark):
+        from streamkit_spark.functions.analytics import mutual_information
+
+        # c is a bijection of r: MI = H(r) = H(c), NMI = 1
+        rows = [("a", "x")] * 10 + [("b", "y")] * 30 + [("c", "z")] * 60
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = mutual_information(df, "r", "c").collect()[0]
+        import math
+
+        h = -sum(p * math.log(p) for p in (0.1, 0.3, 0.6))
+        assert out["mi"] == pytest.approx(h, abs=1e-4)
+        assert out["h_row"] == out["h_col"] == pytest.approx(h, abs=1e-4)
+        assert out["nmi"] == pytest.approx(1.0, abs=1e-4)
+
+    def test_independent_zero(self, spark):
+        from streamkit_spark.functions.analytics import mutual_information
+
+        rows = [(r, c) for r in "ab" for c in "xyz" for _ in range(10)]
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = mutual_information(df, "r", "c").collect()[0]
+        assert out["mi"] == 0.0 and out["nmi"] == 0.0
+        assert out["n"] == 60 and out["n_rows"] == 2 and out["n_cols"] == 3
+
+    def test_degenerate_margin_nmi_null(self, spark):
+        from streamkit_spark.functions.analytics import mutual_information
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("b", "x")], "r string, c string"
+        )
+        out = mutual_information(df, "r", "c").collect()[0]
+        assert out["mi"] == 0.0 and out["nmi"] is None
+
+
 class TestKendallExact:
     def test_matches_python_pair_loop_with_ties(self, spark):
         from streamkit_spark.functions.analytics import kendall_tau_exact
