@@ -1148,12 +1148,19 @@ def mi_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
             items, F.lit(0.0).cast("double"), lambda acc, x: acc + x["t"]
         )
 
-    mi_row = j.groupBy("tn").agg(
+    # GLOBAL aggregates (never groupBy) + count>0 guards on every fold:
+    # an empty input must yield ONE row of NULL statistics exactly like
+    # chi2_from_cells and the SQL oracle's bare aggregates — a zero-row
+    # report is the r5 chi2 empty-input divergence class, and a
+    # streaming dashboard's MI view must read NULL, not vanish.
+    mi_row = j.agg(
+        F.max("tn").alias("tn"),
         F.countDistinct("r").cast("long").alias("n_rows"),
         F.countDistinct("c").cast("long").alias("n_cols"),
-        _fold(F.array_sort(F.collect_list(F.struct("r", "c", "t")))).alias(
-            "mi_raw"
-        ),
+        F.when(
+            F.count("*") > 0,
+            _fold(F.array_sort(F.collect_list(F.struct("r", "c", "t")))),
+        ).alias("mi_raw"),
     )
     ent = lambda tcol, n: (  # noqa: E731
         -(F.col(tcol).cast("double") / n)
@@ -1162,12 +1169,22 @@ def mi_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
     hr = (
         rt.crossJoin(F.broadcast(tot))
         .select("r", ent("rt", F.col("tn").cast("double")).alias("t"))
-        .agg(_fold(F.array_sort(F.collect_list(F.struct("r", "t")))).alias("h"))
+        .agg(
+            F.when(
+                F.count("*") > 0,
+                _fold(F.array_sort(F.collect_list(F.struct("r", "t")))),
+            ).alias("h")
+        )
     )
     hc = (
         ct.crossJoin(F.broadcast(tot))
         .select("c", ent("ct", F.col("tn").cast("double")).alias("t"))
-        .agg(_fold(F.array_sort(F.collect_list(F.struct("c", "t")))).alias("h"))
+        .agg(
+            F.when(
+                F.count("*") > 0,
+                _fold(F.array_sort(F.collect_list(F.struct("c", "t")))),
+            ).alias("h")
+        )
     )
     out = (
         mi_row.crossJoin(F.broadcast(hr.select(F.col("h").alias("h_r"))))
@@ -1333,6 +1350,30 @@ def _median_rank_filter(rn_col: str, n_col: str) -> Column:
     )
 
 
+def _exact_median_by(
+    t: DataFrame, keys: list, col: str, out: str
+) -> DataFrame:
+    """Exact per-key median of ``col`` as an order statistic: one rank
+    window + the :func:`_median_rank_filter` two-rank selection, then
+    avg of the selected row(s).  The ONE definition behind every exact
+    median in this module (:func:`mad_outliers`,
+    :func:`weekday_adjusted_outliers`) — the rank arithmetic and the
+    window shape must not fork."""
+    ranked = t.select(
+        *keys,
+        F.col(col),
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy(col))
+        .alias("__rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("__n"),
+    )
+    return (
+        ranked.filter(_median_rank_filter("__rn", "__n"))
+        .groupBy(*keys)
+        .agg(F.avg(col).alias(out))
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
@@ -1360,35 +1401,21 @@ def mad_outliers(
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"), F.col(value_col).cast("double").alias("v")
     )
-
-    def _exact_median(t: DataFrame, col: str, out: str) -> DataFrame:
-        ranked = t.select(
-            "grp",
-            F.col(col),
-            F.row_number()
-            .over(Window.partitionBy("grp").orderBy(col))
-            .alias("__rn"),
-            F.count("*").over(Window.partitionBy("grp")).alias("__n"),
-        )
-        return (
-            ranked.filter(_median_rank_filter("__rn", "__n"))
-            .groupBy("grp")
-            .agg(F.avg(col).alias(out))
-        )
-
     # Both medians are group-count-sized scalars; localCheckpoint them
     # so their full-corpus rank-window pipelines run ONCE each — devs
     # feeds two branches (mad + flagged) and without the checkpoints
     # Catalyst re-plans med's window under both (the derived-table
     # re-planning hazard).  base itself is re-scanned (a cheap columnar
     # scan), but no window sort ever runs twice.
-    med = _exact_median(base, "v", "med").localCheckpoint(eager=False)
+    med = _exact_median_by(base, ["grp"], "v", "med").localCheckpoint(
+        eager=False
+    )
     devs = base.join(F.broadcast(med), "grp").withColumn(
         "dev", F.abs(F.col("v") - F.col("med"))
     )
-    mad = _exact_median(devs.select("grp", "dev"), "dev", "mad").localCheckpoint(
-        eager=False
-    )
+    mad = _exact_median_by(
+        devs.select("grp", "dev"), ["grp"], "dev", "mad"
+    ).localCheckpoint(eager=False)
     flagged = devs.join(F.broadcast(mad), "grp")
     return (
         flagged.groupBy("grp")
@@ -2221,9 +2248,14 @@ def gini_from_cells(
     Lorenz construction needs a non-negative measure), so one shared
     rankstats sketch can still feed it alongside ranksum/KS/Cliff's.
 
-    The per-cell rank weight ``c·cum_prev + c·(c+1)/2`` stays within
-    DECIMAL(18,0) for n ≤ ~1.9e9 rows per group — the same envelope the
-    row_number formulation had (i ≤ n as decimal(18,0))."""
+    The per-cell rank weight ``c·cum_prev + c·(c+1)/2`` is bounded by
+    the group's rank sum n·(n+1)/2, so it must narrow to DECIMAL(18,0)
+    (the widest weight the exact x·w product can carry within Spark's
+    38-digit decimals) — that holds for n ≤ ~1.34e9 rows per group.
+    Past that the narrowing would silently NULL under non-ANSI Spark
+    and F.sum would skip the heaviest tie blocks (a WRONG gini, not a
+    NULL one — the ols_trend silent-overflow class), so the weight is
+    computed wide and guarded with raise_error first."""
     base = cells.filter(F.col("v") >= 0).select(
         "grp",
         F.col("v").cast("decimal(18,2)").alias("x"),
@@ -2241,11 +2273,23 @@ def gini_from_cells(
         "c",
         F.coalesce(F.sum("c").over(wv), F.lit(0)).cast("long").alias("cum"),
     )
-    w = (
-        F.col("c").cast("decimal(18,0)") * F.col("cum")
+    w_wide = (
+        F.col("c").cast("decimal(38,0)") * F.col("cum")
         + (
-            F.col("c").cast("decimal(18,0)") * (F.col("c") + 1)
+            F.col("c").cast("decimal(38,0)") * (F.col("c") + 1)
         ) / 2
+    ).cast("decimal(38,0)")
+    w = F.when(
+        w_wide <= F.lit(999_999_999_999_999_999).cast("decimal(38,0)"),
+        w_wide,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "gini_from_cells: Lorenz rank weight exceeds the "
+                "DECIMAL(18,0) exactness bound (group larger than "
+                "~1.34e9 rows) — shard the group or pre-aggregate"
+            )
+        ).cast("decimal(38,0)")
     ).cast("decimal(18,0)")
     agg = ranked.groupBy("grp").agg(
         F.sum("c").cast("long").alias("n"),
@@ -2811,21 +2855,7 @@ def weekday_adjusted_outliers(
         .localCheckpoint(eager=False)
     )
 
-    def _exact_median_over(t: DataFrame, keys: list, col: str, out: str):
-        wnd = Window.partitionBy(*keys).orderBy(col)
-        ranked = t.select(
-            *keys,
-            F.col(col),
-            F.row_number().over(wnd).alias("__rn"),
-            F.count("*").over(Window.partitionBy(*keys)).alias("__n"),
-        )
-        return (
-            ranked.filter(_median_rank_filter("__rn", "__n"))
-            .groupBy(*keys)
-            .agg(F.avg(col).alias(out))
-        )
-
-    prof = _exact_median_over(
+    prof = _exact_median_by(
         daily.select("grp", "wd", "yd"), ["grp", "wd"], "yd", "expected"
     ).localCheckpoint(eager=False)
     resid = (
@@ -2833,13 +2863,13 @@ def weekday_adjusted_outliers(
         .withColumn("r", F.col("yd") - F.col("expected"))
         .localCheckpoint(eager=False)  # feeds med, mad, and the flag
     )
-    med_r = _exact_median_over(
+    med_r = _exact_median_by(
         resid.select("grp", "r"), ["grp"], "r", "med_r"
     ).localCheckpoint(eager=False)
     devs = resid.join(F.broadcast(med_r), "grp").withColumn(
         "dev", F.abs(F.col("r") - F.col("med_r"))
     )
-    mad_r = _exact_median_over(
+    mad_r = _exact_median_by(
         devs.select("grp", "dev"), ["grp"], "dev", "mad_r"
     ).localCheckpoint(eager=False)
     return (

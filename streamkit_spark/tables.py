@@ -66,16 +66,20 @@ def normalize_events(df: DataFrame) -> DataFrame:
 # footer read + py4j analysis round-trips (~70 ms) and the result is an
 # immutable plan, so repeated loads (bench runs a 62-entry suite ×3,
 # most entries loading 1-3 tables) pay it once per session.  Keyed by
-# SparkContext identity so a restarted session never sees stale plans;
-# fixture files are regenerated only BETWEEN driver rounds, never while
-# a session is live (same lifecycle assumption as _IVFADC_CACHE).
+# SparkSESSION identity, not SparkContext: a DataFrame executes under
+# the configs of the session that built it, and two sessions sharing
+# one context (the engine session vs the driver's bare comparison
+# session) must never serve each other's plans.  The cached DataFrame
+# pins its session, so the id() can't be recycled while the entry
+# lives.  Fixture files are regenerated only BETWEEN driver rounds,
+# never while a session is live (same lifecycle as _IVFADC_CACHE).
 _PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load(
     spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
 ) -> DataFrame:
-    key = (id(spark.sparkContext), os.path.abspath(sf_dir), name)
+    key = (id(spark), os.path.abspath(sf_dir), name)
     if not fresh:
         hit = _PLAN_CACHE.get(key)
         if hit is not None:

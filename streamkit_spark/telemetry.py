@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import time
 from collections import deque
+from decimal import Decimal as _Decimal
 from contextlib import contextmanager
 from typing import Any, Iterator
 
@@ -159,14 +160,17 @@ class Telemetry:
                     rows.append(("observation", name, metric,
                                  1.0 if val else 0.0,
                                  "true" if val else "false", None))
-                    continue
-                try:
-                    num = float(val)  # int, float, Decimal
-                except (TypeError, ValueError):
+                elif isinstance(val, (int, float, _Decimal)):
+                    # strict type check, NOT float(val) duck-typing: a
+                    # numeric-looking STRING metric (max over id
+                    # strings like '00042') must keep its payload in
+                    # text_value, not silently become a gauge of 42.0
+                    rows.append(
+                        ("observation", name, metric, float(val), None, None)
+                    )
+                else:
                     rows.append(("observation", name, metric, None,
                                  None if val is None else str(val), None))
-                else:
-                    rows.append(("observation", name, metric, num, None, None))
         for s in self._spans:
             rows.append(
                 ("span", s["name"], "seconds", s["seconds"], None, s["error"])

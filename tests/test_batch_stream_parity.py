@@ -509,9 +509,11 @@ def test_contingency_stream_parity(spark, fixture_stream):
     try:
         q.processAllAvailable()
         cells = spark.sql("SELECT * FROM parity_contingency")
-        # state bound: occupied contingency cells, never row count
+        # state bound: occupied contingency cells, never row count —
+        # filter BOTH key columns exactly as contingency_cells does (a
+        # regenerated fixture with one NULL ts must not flake this)
         want_cells = batch.filter(
-            F.col("event_type").isNotNull()
+            F.col("event_type").isNotNull() & F.col("weekday").isNotNull()
         ).distinct().count()
         assert cells.count() == want_cells < batch.count()
         assert {tuple(r) for r in finalize_chi2(cells).collect()} == want_chi2

@@ -425,6 +425,25 @@ class TestMutualInformation:
         out = mutual_information(df, "r", "c").collect()[0]
         assert out["mi"] == 0.0 and out["nmi"] is None
 
+    def test_empty_input_one_null_row_like_chi2(self, spark):
+        """Empty input yields ONE row of NULL statistics (the chi2 /
+        SQL-oracle bare-aggregate discipline), never zero rows — a live
+        MI dashboard must read NULL, not vanish (r7 review fix)."""
+        from streamkit_spark.functions.analytics import (
+            chi2_independence,
+            mutual_information,
+        )
+
+        df = spark.createDataFrame([], "r string, c string")
+        rows = mutual_information(df, "r", "c").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n"] is None and r["n_rows"] == 0 and r["n_cols"] == 0
+        assert r["mi"] is None and r["nmi"] is None
+        assert r["h_row"] is None and r["h_col"] is None
+        # and the chi2 twin agrees on the shape contract
+        assert len(chi2_independence(df, "r", "c").collect()) == 1
+
 
 class TestKendallExact:
     def test_matches_python_pair_loop_with_ties(self, spark):

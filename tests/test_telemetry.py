@@ -119,6 +119,23 @@ class TestReport:
         nm = rep[("observation", "mixed", "total")]
         assert nm["value"] == 3.0 and nm["text_value"] is None
 
+    def test_numeric_looking_string_metric_stays_text(self, spark):
+        """max over STRING ids like '00042' must keep its payload in
+        text_value — float('00042') succeeding is not numericness
+        (r7 review fix)."""
+        tel = Telemetry()
+        df = spark.createDataFrame(
+            [("00042",), ("00007",)], "order_id string"
+        )
+        obs = tel.observe(df, "ids", F.max("order_id").alias("max_id"))
+        obs.count()
+        rep = {
+            (r["kind"], r["name"], r["metric"]): r
+            for r in tel.report(spark).collect()
+        }
+        m = rep[("observation", "ids", "max_id")]
+        assert m["value"] is None and m["text_value"] == "00042"
+
     def test_unrun_observation_skipped(self, spark):
         tel = Telemetry()
         tel.observe(spark.range(5), "never_run")
