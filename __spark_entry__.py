@@ -2791,6 +2791,29 @@ def q_ranksum_value(spark, sf_dir):
     return AN.ranksum_by_group(_ev(spark, sf_dir), "event_type", "value")
 
 
+def q_ad_value(spark, sf_dir):
+    """Per-event-type two-sample Anderson-Darling A² of value vs the
+    complement (analytics.ad_by_group, Scholz-Stephens '87 midrank
+    A²ₐₖₙ): doubled midranks make every per-value term a ratio of
+    exact DECIMAL(38,0)/HUGEINT integers; the complement's T is
+    exactly −T(group) so ONE value-ordered fold serves both samples;
+    the oracle replays it with list_sum(list(... ORDER BY v))."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.ad_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
+def q_cvm_value(spark, sf_dir):
+    """Per-event-type two-sample Cramér-von Mises W² of value vs the
+    complement (analytics.cvm_by_group): D = cum₁·n₂ − cum₂·n₁ is an
+    exact DECIMAL(38,0) integer at every pooled distinct value, each
+    term l·D² is one fixed double ratio, and the only float reduction
+    is the v-ordered fold the oracle replays with list_sum."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.cvm_by_group(_ev(spark, sf_dir), "event_type", "value")
+
+
 def q_cliffs_value(spark, sf_dir):
     """Per-event-type Cliff's delta of value vs the complement
     (analytics.cliffs_delta_by_group): the effect-size companion to
@@ -3428,6 +3451,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window in r7 (see the CLAUDE.md rotation ledger) ---
         "ranksum_value": q_ranksum_value,
         "cliffs_value": q_cliffs_value,
+        "ad_value": q_ad_value,
+        "cvm_value": q_cvm_value,
         "cramers_weekday": q_cramers_weekday,
         "mi_weekday": q_mi_weekday,
         "theil_value": q_theil_value,
@@ -7515,6 +7540,119 @@ def oracle_sql() -> dict[str, str]:
                      mi_raw / sqrt(hr.h * hc.h) END, 4) + 0 AS nmi
         FROM tot CROSS JOIN dims CROSS JOIN mi
         CROSS JOIN hr CROSS JOIN hc
+    """
+    # Cramér-von Mises: exact integer D = cum1·n2 − cum2·n1 per pooled
+    # value over the same grid; one v-ordered fold per group.
+    sql["cvm_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), pooled AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS l FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(l) AS BIGINT) AS n_tot FROM pooled
+        ), sizes AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY 1
+        ), grid AS (
+            SELECT s.grp, s.n1, p.v, p.l, coalesce(c.c, 0) AS cf
+            FROM sizes s CROSS JOIN pooled p
+            LEFT JOIN cells c ON c.grp = s.grp AND c.v = p.v
+        ), m AS (
+            SELECT grp, n1, v, l,
+                   CAST(sum(cf) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum1,
+                   CAST(sum(l) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cump
+            FROM grid
+        ), terms AS (
+            SELECT grp, n1, v, n_tot,
+                   CAST(l AS DOUBLE) AS ld,
+                   CAST(cum1 AS HUGEINT) * (n_tot - n1)
+                     - CAST(cump - cum1 AS HUGEINT) * n1 AS d
+            FROM m CROSS JOIN tot
+        ), folds AS (
+            SELECT grp, n1, n_tot,
+                   list_sum(list(
+                       ld * CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+                       ORDER BY v)) AS s
+            FROM terms GROUP BY 1, 2, 3
+        )
+        SELECT grp AS event_type, n1 AS n,
+               CAST(n_tot - n1 AS BIGINT) AS n_rest,
+               round(CASE WHEN n1 > 0 AND n_tot > n1 THEN
+                     s / (CAST(n1 AS DOUBLE) * CAST(n_tot - n1 AS DOUBLE)
+                          * CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE))
+                     END, 4) + 0 AS w2
+        FROM folds ORDER BY event_type
+    """
+    # Anderson-Darling A²akN: doubled midranks over the groups×values
+    # grid; every term is a ratio of exact HUGEINT integers; one
+    # v-ordered fold per group (the complement's T = −T cancels).
+    sql["ad_value"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), pooled AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS l FROM cells GROUP BY 1
+        ), prk AS (
+            SELECT v, l,
+                   CAST(2 * coalesce(sum(l) OVER (
+                            ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + l AS BIGINT) AS b2
+            FROM pooled
+        ), tot AS (
+            SELECT CAST(sum(l) AS BIGINT) AS n_tot,
+                   CAST(count(*) AS BIGINT) AS n_vals
+            FROM pooled
+        ), sizes AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY 1
+        ), grid AS (
+            SELECT s.grp, s.n1, p.v, p.l, p.b2, coalesce(c.c, 0) AS cf
+            FROM sizes s CROSS JOIN prk p
+            LEFT JOIN cells c ON c.grp = s.grp AND c.v = p.v
+        ), m AS (
+            SELECT grp, n1, v, l, b2,
+                   CAST(2 * coalesce(sum(cf) OVER (
+                            PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) + cf AS BIGINT) AS m2
+            FROM grid
+        ), terms AS (
+            SELECT m.grp, m.n1, v,
+                   CAST(l AS HUGEINT) AS ld,
+                   CAST(n_tot AS HUGEINT) * m2
+                     - CAST(n1 AS HUGEINT) * b2 AS t1,
+                   CAST(b2 AS HUGEINT) * (2 * n_tot - b2)
+                     - CAST(n_tot AS HUGEINT) * l AS d2,
+                   n_tot, n_vals
+            FROM m CROSS JOIN tot
+        ), folds AS (
+            SELECT grp, n1, n_tot, n_vals,
+                   list_sum(list(
+                       CASE WHEN d2 > 0 THEN
+                           CAST(ld AS DOUBLE) * CAST(t1 AS DOUBLE)
+                           * CAST(t1 AS DOUBLE) / CAST(d2 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END
+                       ORDER BY v)) AS s
+            FROM terms GROUP BY 1, 2, 3, 4
+        )
+        SELECT grp AS event_type, n1 AS n,
+               CAST(n_tot - n1 AS BIGINT) AS n_rest,
+               round(CASE WHEN n_vals > 1 AND n1 > 0 AND n_tot > n1 THEN
+                     ((CAST(n_tot AS DOUBLE) - CAST(1 AS DOUBLE))
+                      / CAST(n_tot AS DOUBLE))
+                     * (s / CAST(n1 AS DOUBLE)
+                        + s / CAST(n_tot - n1 AS DOUBLE)) END, 4) + 0
+                   AS a2
+        FROM folds ORDER BY event_type
     """
     # Cramér's V: the chi2_weekday CTE block + the effect-size select
     # over the ALREADY-ROUNDED chi2 (both engines compose identical

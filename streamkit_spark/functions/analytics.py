@@ -64,6 +64,10 @@ __all__ = [
     "winsorized_from_cells",
     "cliffs_delta_by_group",
     "cliffs_from_cells",
+    "ad_by_group",
+    "ad_from_cells",
+    "cvm_by_group",
+    "cvm_from_cells",
     "cramers_v",
     "mutual_information",
     "mi_from_cells",
@@ -73,6 +77,7 @@ __all__ = [
     "theil_by_group",
     "theil_from_cells",
     "weekday_adjusted_outliers",
+    "weekday_outliers_from_daily",
     "kendall_tau_binned",
     "kendall_tau_exact",
     "seasonal_strength",
@@ -2205,6 +2210,240 @@ def ks_from_cells(
     )
 
 
+def ad_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group two-sample Anderson-Darling statistic of ``value`` vs
+    the group's COMPLEMENT — the tail-sensitive member of the
+    two-sample family (ranksum = shift, KS = max CDF gap, Cliff = how
+    often, AD = whole-distribution with tail weighting).  The
+    tie-adjusted midrank A²ₐₖₙ of Scholz & Stephens (JASA 1987, k=2) —
+    what ``scipy.anderson_ksamp(midrank=True)`` computes.  Output
+    ``(group, n, n_rest, a2)``; a2 is NULL when the pooled sample has a
+    single distinct value or either sample is empty.  Larger a2 = more
+    distributional difference; ~1.9 is the usual 5% critical value.
+
+    Determinism contract: with DOUBLED midranks every per-value term
+    is a ratio of exact integers — numerator l·T² with
+    T = N·M2 − n₁·B2 (M2/B2 the doubled sample/pooled midrank counts),
+    denominator D2 = B2·(2N − B2) − N·l, algebraically 4× the textbook
+    B(N−B) − Nl/4 and > 0 whenever l < N — so the only float work is
+    one fixed expression per distinct value and two value-ordered left
+    folds (S1 for the group, S2 for the complement), replayed by the
+    oracle's ``list_sum(list(... ORDER BY v))``.  The wide products
+    ride DECIMAL(38,0) (T ~ 2N², past int64 at N ≈ 2·10⁹).
+
+    Scale: the ranksum envelope — one (group, value) count, then the
+    distinct-value table; quantize unbounded doubles upstream
+    (value_cells contract)."""
+    return ad_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def ad_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`ad_by_group` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch)."""
+    cells = cells.localCheckpoint(eager=False)
+    pooled = cells.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pooled_rk = pooled.select(
+        "v",
+        "l",
+        (2 * F.coalesce(F.sum("l").over(wv), F.lit(0)) + F.col("l"))
+        .cast("long")
+        .alias("b2"),  # doubled pooled midrank count through v
+    )
+    tot = pooled.agg(
+        F.sum("l").cast("long").alias("n_tot"),
+        F.count("*").cast("long").alias("n_vals"),
+    )
+    sizes = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
+    # every group needs a row for EVERY pooled value (its count there
+    # may be 0 but the term is still nonzero): the groups × values grid
+    # with the group's count filled to 0, so the doubled midrank is ONE
+    # cumulative window over the grid — 2·(count < v) + count(v),
+    # correct on cell and non-cell rows alike.
+    spine = (
+        sizes.join(F.broadcast(pooled_rk.select("v", "l", "b2")), how="cross")
+        .join(cells, ["grp", "v"], "left")
+        .withColumn("cf", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+    )
+    wsp = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m2 = (
+        2 * F.coalesce(F.sum("cf").over(wsp), F.lit(0)) + F.col("cf")
+    ).cast("long")
+    dec = "decimal(38,0)"
+    terms = (
+        spine.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "v",
+            "n1",
+            "n_tot",
+            "n_vals",
+            F.col("l").cast(dec).alias("ld"),
+            (
+                F.col("n_tot").cast(dec) * m2.cast(dec)
+                - F.col("n1").cast(dec) * F.col("b2").cast(dec)
+            ).alias("t1"),
+            (
+                F.col("b2").cast(dec)
+                * (2 * F.col("n_tot") - F.col("b2")).cast(dec)
+                - F.col("n_tot").cast(dec) * F.col("l").cast(dec)
+            ).alias("d2"),
+        )
+    )
+    # complement's T is derived, not re-ranked: M2_rest = B2 − M2_grp
+    # and T2 = N·(B2 − M2) − (N − n1)·B2 = n1·B2 − N·M2 = −T1 exactly,
+    # so T2² = T1² and S2's fold shares S1's elements — ONE fold, two
+    # divisors.
+    term = F.when(
+        F.col("d2") > 0,
+        F.col("ld").cast("double")
+        * F.col("t1").cast("double")
+        * F.col("t1").cast("double")
+        / F.col("d2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    agg = terms.groupBy("grp", "n1", "n_tot", "n_vals").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("v"), term.alias("t")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["t"],
+        ).alias("s")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n_tot") - F.col("n1")).cast("double")
+    nd = F.col("n_tot").cast("double")
+    a2 = F.when(
+        (F.col("n_vals") > 1)
+        & (F.col("n1") > 0)
+        & (F.col("n_tot") > F.col("n1")),
+        ((nd - F.lit(1.0)) / nd)
+        * (F.col("s") / n1d + F.col("s") / n2d),
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            F.col("n1").alias("n"),
+            (F.col("n_tot") - F.col("n1")).cast("long").alias("n_rest"),
+            (F.round(a2, round_digits) + F.lit(0.0)).alias("a2"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def cvm_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group two-sample Cramér-von Mises statistic of ``value`` vs
+    the group's COMPLEMENT — the INTEGRAL member of the two-sample
+    family (KS = max CDF gap, CvM = squared gap integrated over the
+    pooled sample, AD = the same with tail weighting):
+    W² = Σⱼ lⱼ·(F₁(vⱼ) − F₂(vⱼ))² · n₁n₂/N², computed as
+    Σⱼ lⱼ·Dⱼ²/(n₁·n₂·N²) with Dⱼ = cum₁ⱼ·n₂ − cum₂ⱼ·n₁ an EXACT
+    integer (right-continuous CDFs at each pooled distinct value).
+    Output ``(group, n, n_rest, w2)``; w2 is NULL when either sample
+    is empty.  The usual 5% critical value is ~0.461.
+
+    Determinism contract: Dⱼ and lⱼ are exact DECIMAL(38,0)/BIGINT
+    integers; each term is one fixed double ratio and the only float
+    reduction is a value-ordered left fold, replayed by the oracle's
+    ``list_sum(list(... ORDER BY v))``.
+
+    Scale: the ranksum/AD envelope — one (group, value) count, then
+    the groups × distinct-values grid; quantize unbounded doubles
+    upstream (value_cells contract)."""
+    return cvm_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def cvm_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`cvm_by_group` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch)."""
+    cells = cells.localCheckpoint(eager=False)
+    pooled = cells.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
+    tot = pooled.agg(F.sum("l").cast("long").alias("n_tot"))
+    sizes = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
+    spine = (
+        sizes.join(F.broadcast(pooled), how="cross")
+        .join(cells, ["grp", "v"], "left")
+        .withColumn("cf", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+    )
+    wthr = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum1 = F.sum("cf").over(wthr).cast("long")
+    cump = F.sum("l").over(wthr).cast("long")  # pooled cum via the grid
+    dec = "decimal(38,0)"
+    # D = cum1·n2 − cum2·n1 with cum2 = cump − cum1
+    d_int = (
+        cum1.cast(dec) * (F.col("n_tot") - F.col("n1")).cast(dec)
+        - (cump - cum1).cast(dec) * F.col("n1").cast(dec)
+    )
+    terms = spine.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "v",
+        "n1",
+        "n_tot",
+        F.col("l").cast("double").alias("ld"),
+        d_int.alias("d"),
+    )
+    term = (
+        F.col("ld")
+        * F.col("d").cast("double")
+        * F.col("d").cast("double")
+    )
+    agg = terms.groupBy("grp", "n1", "n_tot").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("v"), term.alias("t")))
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["t"],
+        ).alias("s")
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n_tot") - F.col("n1")).cast("double")
+    nd = F.col("n_tot").cast("double")
+    w2 = F.when(
+        (F.col("n1") > 0) & (F.col("n_tot") > F.col("n1")),
+        F.col("s") / (n1d * n2d * nd * nd),
+    )
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            F.col("n1").alias("n"),
+            (F.col("n_tot") - F.col("n1")).cast("long").alias("n_rest"),
+            (F.round(w2, round_digits) + F.lit(0.0)).alias("w2"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group_col: str,
@@ -2842,8 +3081,26 @@ def weekday_adjusted_outliers(
     over that small table).  Missing days are NOT zero-filled — compose
     with :func:`gap_filled_daily` upstream if absence itself should
     flag."""
+    return weekday_outliers_from_daily(
+        daily_totals(df, group_col, day_col, value_col),
+        group_col,
+        k=k,
+        round_digits=round_digits,
+    )
+
+
+def weekday_outliers_from_daily(
+    totals: DataFrame,
+    group_col: str,
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`weekday_adjusted_outliers` over a
+    prebuilt (grp, day, y DECIMAL) daily-total table — e.g. the one
+    ``streaming/daily.daily_totals_stream`` maintains (the sketch's
+    sixth report)."""
     daily = (
-        daily_totals(df, group_col, day_col, value_col)
+        totals
         .select(
             "grp",
             "day",

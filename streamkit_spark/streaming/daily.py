@@ -17,10 +17,12 @@ Same split as the histogram-quantile and rank-stat twins
   ``xcorr_from_daily``) so batch and stream cannot drift; the parity
   test pins all three reports together.
 
-One sketch, three reports: the same live daily table answers "is the
-weekly rhythm strengthening?", "is the series trending or cyclic?"
-(ACF), and "which metrics co-move?" without a second pass over the
-stream.
+One sketch, six reports: the same live daily table answers "is the
+weekly rhythm strengthening?" (seasonal), "is the series trending or
+cyclic?" (ACF), "which metrics co-move?" (xcorr), "where is the level
+heading?" (Holt), "when did the level shift?" (CUSUM), and "which days
+were anomalous after the weekly pattern?" (weekday outliers) without a
+second pass over the stream.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ __all__ = [
     "finalize_xcorr",
     "finalize_holt",
     "finalize_cusum",
+    "finalize_weekday_outliers",
 ]
 
 
@@ -120,4 +123,24 @@ def finalize_cusum(
         daily.select("grp", "day", F.col("y").alias("sv")),
         group_col,
         round_digits,
+    )
+
+
+def finalize_weekday_outliers(
+    daily: DataFrame,
+    group_col: str,
+    k: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Seasonality-corrected daily anomaly report from the SAME
+    streaming daily table — the shared batch finisher
+    (``analytics.weekday_outliers_from_daily``): the sixth report off
+    one sketch.  Which days were unusual AFTER the weekly pattern,
+    live."""
+    from streamkit_spark.functions.analytics import (
+        weekday_outliers_from_daily,
+    )
+
+    return weekday_outliers_from_daily(
+        daily, group_col, k=k, round_digits=round_digits
     )

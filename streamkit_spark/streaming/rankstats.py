@@ -15,13 +15,14 @@ Same split as the histogram-quantile twin (``streaming/quantiles.py``):
   (``analytics.ranksum_from_cells`` / ``ks_from_cells``) so batch and
   stream cannot drift; the parity tests pin them together.
 
-One sketch, six reports: the same live cell table answers "is this
+One sketch, eight reports: the same live cell table answers "is this
 segment's distribution SHIFTED?" (Mann-Whitney z), "is its SHAPE
-drifting?" (two-sample KS distance), "how STRONGLY does it dominate?"
-(Cliff's delta), "how CONCENTRATED is it?" (Gini and Theil), and
-"what's its robust location?" (winsorized means) without a second pass
-over the stream — the daily.py multi-report discipline applied to the
-value-cell family.
+drifting?" (two-sample KS max gap, Cramér-von Mises integral gap),
+"including the TAILS?" (Anderson-Darling A²), "how STRONGLY does it
+dominate?" (Cliff's delta), "how CONCENTRATED is it?" (Gini and
+Theil), and "what's its robust location?" (winsorized means) without a
+second pass over the stream — the daily.py multi-report discipline
+applied to the value-cell family.
 """
 
 from __future__ import annotations
@@ -36,6 +37,8 @@ __all__ = [
     "finalize_gini",
     "finalize_winsorized",
     "finalize_theil",
+    "finalize_ad",
+    "finalize_cvm",
 ]
 
 
@@ -101,6 +104,33 @@ def finalize_gini(
     from streamkit_spark.functions.analytics import gini_from_cells
 
     return gini_from_cells(cells, group_col, round_digits)
+
+
+def finalize_ad(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-sample Anderson-Darling drift report from the shared cell
+    table — the shared batch finisher (``analytics.ad_from_cells``):
+    the tail-sensitive complement to :func:`finalize_ks`."""
+    from streamkit_spark.functions.analytics import ad_from_cells
+
+    return ad_from_cells(cells, group_col, round_digits)
+
+
+def finalize_cvm(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises drift report from the shared cell
+    table — the shared batch finisher (``analytics.cvm_from_cells``):
+    the integral complement to :func:`finalize_ks`'s max and
+    :func:`finalize_ad`'s tail weighting."""
+    from streamkit_spark.functions.analytics import cvm_from_cells
+
+    return cvm_from_cells(cells, group_col, round_digits)
 
 
 def finalize_theil(

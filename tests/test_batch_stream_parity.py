@@ -453,8 +453,14 @@ def test_rankstats_stream_parity(spark, fixture_stream):
             tuple(r) for r in finalize_winsorized(cells, "event_type").collect()
         }
         assert got_wins == want_wins and len(got_wins) > 0
-        from streamkit_spark.functions.analytics import theil_by_group
-        from streamkit_spark.streaming.rankstats import finalize_theil
+        from streamkit_spark.functions.analytics import (
+            ad_by_group,
+            theil_by_group,
+        )
+        from streamkit_spark.streaming.rankstats import (
+            finalize_ad,
+            finalize_theil,
+        )
 
         want_theil = {
             tuple(r)
@@ -464,6 +470,25 @@ def test_rankstats_stream_parity(spark, fixture_stream):
             tuple(r) for r in finalize_theil(cells, "event_type").collect()
         }
         assert got_theil == want_theil and len(got_theil) > 0
+        want_ad = {
+            tuple(r)
+            for r in ad_by_group(batch, "event_type", "value").collect()
+        }
+        got_ad = {
+            tuple(r) for r in finalize_ad(cells, "event_type").collect()
+        }
+        assert got_ad == want_ad and len(got_ad) > 0
+        from streamkit_spark.functions.analytics import cvm_by_group
+        from streamkit_spark.streaming.rankstats import finalize_cvm
+
+        want_cvm = {
+            tuple(r)
+            for r in cvm_by_group(batch, "event_type", "value").collect()
+        }
+        got_cvm = {
+            tuple(r) for r in finalize_cvm(cells, "event_type").collect()
+        }
+        assert got_cvm == want_cvm and len(got_cvm) > 0
     finally:
         q.stop()
 
@@ -596,6 +621,25 @@ def test_daily_series_stream_parity(spark, fixture_stream):
         assert got_seasonal == want_seasonal and len(got_seasonal) > 0
         assert got_acf == want_acf and len(got_acf) > 0
         assert got_xcorr == want_xcorr and len(got_xcorr) > 0
+        # sixth report off the same sketch: weekday-adjusted anomalies
+        from streamkit_spark.functions.analytics import (
+            weekday_adjusted_outliers,
+        )
+        from streamkit_spark.streaming.daily import (
+            finalize_weekday_outliers,
+        )
+
+        want_anom = {
+            tuple(r)
+            for r in weekday_adjusted_outliers(
+                sel(batch), "event_type", "day", "value"
+            ).collect()
+        }
+        got_anom = {
+            tuple(r)
+            for r in finalize_weekday_outliers(daily, "event_type").collect()
+        }
+        assert got_anom == want_anom
     finally:
         q.stop()
 

@@ -305,6 +305,130 @@ class TestCliffsDelta:
         assert r["delta"] is None and r["n_rest"] == 0
 
 
+class TestAndersonDarling:
+    @staticmethod
+    def _ref_a2akn(xs, ys):
+        """Scholz-Stephens (1987) midrank A2akN for k=2, computed with
+        BOTH samples' terms independently (not via the T2 = -T1
+        shortcut the engine uses) — an algebra cross-check."""
+        from collections import Counter
+
+        cx, cy = Counter(xs), Counter(ys)
+        n1, n2 = len(xs), len(ys)
+        N = n1 + n2
+        sx = sy = 0.0
+        cumx = cumy = cump = 0
+        for v in sorted(set(xs) | set(ys)):
+            lx, ly = cx.get(v, 0), cy.get(v, 0)
+            l = lx + ly
+            mx = cumx + lx / 2
+            my = cumy + ly / 2
+            bj = cump + l / 2
+            d = bj * (N - bj) - N * l / 4
+            if d > 0:
+                sx += l * (N * mx - n1 * bj) ** 2 / d
+                sy += l * (N * my - n2 * bj) ** 2 / d
+            cumx += lx
+            cumy += ly
+            cump += l
+        return (N - 1) / N * (sx / n1 + sy / n2)
+
+    def test_matches_python_reference_with_ties(self, spark):
+        from streamkit_spark.functions.analytics import ad_by_group
+
+        rows = [("a", v) for v in A_VALS] + [("b", v) for v in B_VALS]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r for r in ad_by_group(df, "grp", "v").collect()}
+        ref_a = self._ref_a2akn(A_VALS, B_VALS)
+        ref_b = self._ref_a2akn(B_VALS, A_VALS)
+        assert out["a"]["a2"] == pytest.approx(ref_a, abs=1e-3)
+        assert out["b"]["a2"] == pytest.approx(ref_b, abs=1e-3)
+        # two-sample symmetry: group-vs-rest == rest-vs-group
+        assert out["a"]["a2"] == out["b"]["a2"]
+        assert out["a"]["n"] == len(A_VALS) and out["a"]["n_rest"] == len(B_VALS)
+
+    def test_identical_distributions_small_disjoint_large(self, spark):
+        from streamkit_spark.functions.analytics import ad_by_group
+
+        same = [("a", float(v % 5)) for v in range(50)] + [
+            ("b", float(v % 5)) for v in range(50)
+        ]
+        out = {r["grp"]: r for r in ad_by_group(
+            spark.createDataFrame(same, "grp string, v double"), "grp", "v"
+        ).collect()}
+        assert abs(out["a"]["a2"]) < 1.0  # well under the 5% critical ~1.96
+        far = [("lo", float(i)) for i in range(30)] + [
+            ("hi", float(1000 + i)) for i in range(30)
+        ]
+        out2 = {r["grp"]: r for r in ad_by_group(
+            spark.createDataFrame(far, "grp string, v double"), "grp", "v"
+        ).collect()}
+        assert out2["lo"]["a2"] > 10.0
+
+    def test_degenerate_single_value_null(self, spark):
+        from streamkit_spark.functions.analytics import ad_by_group
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 1.0)], "grp string, v double"
+        )
+        for r in ad_by_group(df, "grp", "v").collect():
+            assert r["a2"] is None
+
+
+class TestCramerVonMises:
+    @staticmethod
+    def _ref_w2(xs, ys):
+        from collections import Counter
+
+        cx, cy = Counter(xs), Counter(ys)
+        n1, n2 = len(xs), len(ys)
+        N = n1 + n2
+        s = 0.0
+        c1 = c2 = 0
+        for v in sorted(set(xs) | set(ys)):
+            c1 += cx.get(v, 0)
+            c2 += cy.get(v, 0)
+            l = cx.get(v, 0) + cy.get(v, 0)
+            s += l * (c1 / n1 - c2 / n2) ** 2
+        return (n1 * n2) / N**2 * s
+
+    def test_matches_python_reference_with_ties(self, spark):
+        from streamkit_spark.functions.analytics import cvm_by_group
+
+        rows = [("a", v) for v in A_VALS] + [("b", v) for v in B_VALS]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r for r in cvm_by_group(df, "grp", "v").collect()}
+        assert out["a"]["w2"] == pytest.approx(
+            self._ref_w2(A_VALS, B_VALS), abs=1e-3
+        )
+        # two-sample symmetry
+        assert out["a"]["w2"] == out["b"]["w2"]
+
+    def test_identical_small_disjoint_large(self, spark):
+        from streamkit_spark.functions.analytics import cvm_by_group
+
+        same = [("a", float(v % 5)) for v in range(50)] + [
+            ("b", float(v % 5)) for v in range(50)
+        ]
+        out = {r["grp"]: r for r in cvm_by_group(
+            spark.createDataFrame(same, "grp string, v double"), "grp", "v"
+        ).collect()}
+        assert out["a"]["w2"] < 0.461  # under the 5% critical value
+        far = [("lo", float(i)) for i in range(30)] + [
+            ("hi", float(1000 + i)) for i in range(30)
+        ]
+        out2 = {r["grp"]: r for r in cvm_by_group(
+            spark.createDataFrame(far, "grp string, v double"), "grp", "v"
+        ).collect()}
+        assert out2["lo"]["w2"] > 2.0
+
+    def test_empty_complement_null(self, spark):
+        from streamkit_spark.functions.analytics import cvm_by_group
+
+        df = spark.createDataFrame([("only", 1.0)], "grp string, v double")
+        assert cvm_by_group(df, "grp", "v").collect()[0]["w2"] is None
+
+
 class TestCramersV:
     def test_matches_manual_2x2(self, spark):
         from streamkit_spark.functions.analytics import cramers_v
