@@ -7649,8 +7649,9 @@ def oracle_sql() -> dict[str, str]:
                round(CASE WHEN n_vals > 1 AND n1 > 0 AND n_tot > n1 THEN
                      ((CAST(n_tot AS DOUBLE) - CAST(1 AS DOUBLE))
                       / CAST(n_tot AS DOUBLE))
-                     * (s / CAST(n1 AS DOUBLE)
-                        + s / CAST(n_tot - n1 AS DOUBLE)) END, 4) + 0
+                     * ((s / CAST(n_tot AS DOUBLE)) / CAST(n1 AS DOUBLE)
+                        + (s / CAST(n_tot AS DOUBLE))
+                          / CAST(n_tot - n1 AS DOUBLE)) END, 4) + 0
                    AS a2
         FROM folds ORDER BY event_type
     """

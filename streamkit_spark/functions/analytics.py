@@ -2142,43 +2142,14 @@ def ks_from_cells(
     (grp, v, c) cell table — the SAME table
     ``streaming/rankstats.value_cells_stream`` maintains, so one
     streaming sketch serves both rank statistics."""
-    cells = cells.localCheckpoint(eager=False)
-    vals = cells.groupBy("v").agg(F.sum("c").cast("long").alias("g"))
-    groups = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
-    tot = cells.agg(F.sum("c").cast("long").alias("n"))
-    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    pts = vals.select(
-        "v", F.sum("g").over(wall).cast("long").alias("cum_all")
-    )
-    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     dec = "decimal(38,0)"
-    grid = (
-        pts.crossJoin(F.broadcast(groups))
-        .join(cells, ["grp", "v"], "left")
-        .select(
-            "grp",
-            "v",
-            "n1",
-            "cum_all",
-            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
-        )
-        .select(
-            "grp",
-            "v",
-            "n1",
-            "cum_all",
-            F.sum("c").over(wg).cast("long").alias("i"),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
+    grid = _cdf_grid(cells)
     dnum = F.abs(
-        F.col("i").cast(dec) * (F.col("n") - F.col("n1")).cast(dec)
-        - (F.col("cum_all") - F.col("i")).cast(dec) * F.col("n1").cast(dec)
+        F.col("cum1").cast(dec) * (F.col("n_tot") - F.col("n1")).cast(dec)
+        - (F.col("cump") - F.col("cum1")).cast(dec) * F.col("n1").cast(dec)
     )
     scored = grid.select(
-        "grp", "v", "n1", "n", dnum.alias("dnum")
+        "grp", "v", "n1", F.col("n_tot").alias("n"), dnum.alias("dnum")
     )
     wbest = Window.partitionBy("grp").orderBy(
         F.col("dnum").desc(), F.col("v").asc()
@@ -2210,6 +2181,38 @@ def ks_from_cells(
     )
 
 
+def _cdf_grid(cells: DataFrame) -> DataFrame:
+    """The shared groups × pooled-values CDF grid behind the
+    two-sample shape statistics (:func:`ks_from_cells`,
+    :func:`cvm_from_cells`, :func:`ad_from_cells`): one row per
+    (group, pooled distinct value) carrying the value's pooled count
+    ``l``, the group's count there ``cf`` (0 where absent), and the
+    INCLUSIVE cumulative counts ``cum1`` (group) / ``cump`` (pooled),
+    plus the ``n1`` / ``n_tot`` scalars.  AD's doubled midranks derive
+    exactly as ``m2 = 2·cum1 − cf`` and ``b2 = 2·cump − l``.  One
+    definition so the spine arithmetic cannot fork (the
+    _ranksum_parts/_exact_median_by precedent)."""
+    cells = cells.localCheckpoint(eager=False)
+    pooled = cells.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
+    sizes = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
+    tot = cells.agg(F.sum("c").cast("long").alias("n_tot"))
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pts = pooled.select(
+        "v", "l", F.sum("l").over(wall).cast("long").alias("cump")
+    )
+    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        pts.crossJoin(F.broadcast(sizes))
+        .join(cells, ["grp", "v"], "left")
+        .withColumn("cf", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+        .withColumn("cum1", F.sum("cf").over(wg).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select("grp", "v", "n1", "n_tot", "l", "cf", "cum1", "cump")
+    )
+
+
 def ad_by_group(
     df: DataFrame,
     group_col: str,
@@ -2220,20 +2223,25 @@ def ad_by_group(
     the group's COMPLEMENT — the tail-sensitive member of the
     two-sample family (ranksum = shift, KS = max CDF gap, Cliff = how
     often, AD = whole-distribution with tail weighting).  The
-    tie-adjusted midrank A²ₐₖₙ of Scholz & Stephens (JASA 1987, k=2) —
-    what ``scipy.anderson_ksamp(midrank=True)`` computes.  Output
-    ``(group, n, n_rest, a2)``; a2 is NULL when the pooled sample has a
-    single distinct value or either sample is empty.  Larger a2 = more
-    distributional difference; ~1.9 is the usual 5% critical value.
+    tie-adjusted midrank A²ₐₖₙ of Scholz & Stephens (JASA 1987, k=2,
+    their eq. 7) — what ``scipy.anderson_ksamp(midrank=True)`` computes
+    as the raw statistic.  Output ``(group, n, n_rest, a2)``; a2 is
+    NULL when the pooled sample has a single distinct value or either
+    sample is empty.  Under H₀, E[a2] ≈ k − 1 = 1; compare the
+    standardized (a2 − 1)/σ_N against Scholz-Stephens Table 1 (or
+    scipy's interpolated critical values) for a calibrated test —
+    larger a2 = more distributional difference, tails weighted.
 
     Determinism contract: with DOUBLED midranks every per-value term
     is a ratio of exact integers — numerator l·T² with
     T = N·M2 − n₁·B2 (M2/B2 the doubled sample/pooled midrank counts),
     denominator D2 = B2·(2N − B2) − N·l, algebraically 4× the textbook
     B(N−B) − Nl/4 and > 0 whenever l < N — so the only float work is
-    one fixed expression per distinct value and two value-ordered left
-    folds (S1 for the group, S2 for the complement), replayed by the
-    oracle's ``list_sum(list(... ORDER BY v))``.  The wide products
+    one fixed expression per distinct value and one value-ordered left
+    fold (the complement's T is exactly −T(group), so one fold serves
+    both samples), replayed by the oracle's
+    ``list_sum(list(... ORDER BY v))``; eq. 7's l/N weight enters as a
+    single s/N division in the final combination.  The wide products
     ride DECIMAL(38,0) (T ~ 2N², past int64 at N ≈ 2·10⁹).
 
     Scale: the ranksum envelope — one (group, value) count, then the
@@ -2250,65 +2258,35 @@ def ad_from_cells(
     round_digits: int = 4,
 ) -> DataFrame:
     """Finisher half of :func:`ad_by_group` over a prebuilt
-    (grp, v, c) cell table (the rankstats streaming sketch)."""
-    cells = cells.localCheckpoint(eager=False)
-    pooled = cells.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    pooled_rk = pooled.select(
-        "v",
-        "l",
-        (2 * F.coalesce(F.sum("l").over(wv), F.lit(0)) + F.col("l"))
-        .cast("long")
-        .alias("b2"),  # doubled pooled midrank count through v
-    )
-    tot = pooled.agg(
-        F.sum("l").cast("long").alias("n_tot"),
-        F.count("*").cast("long").alias("n_vals"),
-    )
-    sizes = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
-    # every group needs a row for EVERY pooled value (its count there
-    # may be 0 but the term is still nonzero): the groups × values grid
-    # with the group's count filled to 0, so the doubled midrank is ONE
-    # cumulative window over the grid — 2·(count < v) + count(v),
-    # correct on cell and non-cell rows alike.
-    spine = (
-        sizes.join(F.broadcast(pooled_rk.select("v", "l", "b2")), how="cross")
-        .join(cells, ["grp", "v"], "left")
-        .withColumn("cf", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
-    )
-    wsp = (
-        Window.partitionBy("grp")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    m2 = (
-        2 * F.coalesce(F.sum("cf").over(wsp), F.lit(0)) + F.col("cf")
-    ).cast("long")
+    (grp, v, c) cell table (the rankstats streaming sketch).  Built on
+    the shared :func:`_cdf_grid`: the doubled midranks are exactly
+    ``m2 = 2·cum1 − cf`` and ``b2 = 2·cump − l``."""
     dec = "decimal(38,0)"
-    terms = (
-        spine.crossJoin(F.broadcast(tot))
-        .select(
-            "grp",
-            "v",
-            "n1",
-            "n_tot",
-            "n_vals",
-            F.col("l").cast(dec).alias("ld"),
-            (
-                F.col("n_tot").cast(dec) * m2.cast(dec)
-                - F.col("n1").cast(dec) * F.col("b2").cast(dec)
-            ).alias("t1"),
-            (
-                F.col("b2").cast(dec)
-                * (2 * F.col("n_tot") - F.col("b2")).cast(dec)
-                - F.col("n_tot").cast(dec) * F.col("l").cast(dec)
-            ).alias("d2"),
-        )
+    grid = _cdf_grid(cells)
+    m2 = (2 * F.col("cum1") - F.col("cf")).cast("long")
+    b2 = (2 * F.col("cump") - F.col("l")).cast("long")
+    terms = grid.select(
+        "grp",
+        "v",
+        "n1",
+        "n_tot",
+        F.col("l").cast(dec).alias("ld"),
+        (
+            F.col("n_tot").cast(dec) * m2.cast(dec)
+            - F.col("n1").cast(dec) * b2.cast(dec)
+        ).alias("t1"),
+        (
+            b2.cast(dec) * (2 * F.col("n_tot") - b2).cast(dec)
+            - F.col("n_tot").cast(dec) * F.col("l").cast(dec)
+        ).alias("d2"),
     )
     # complement's T is derived, not re-ranked: M2_rest = B2 − M2_grp
     # and T2 = N·(B2 − M2) − (N − n1)·B2 = n1·B2 − N·M2 = −T1 exactly,
     # so T2² = T1² and S2's fold shares S1's elements — ONE fold, two
-    # divisors.
+    # divisors.  The Scholz-Stephens eq. 7 weight is l/N, so each term
+    # carries l and the final combination divides the fold by N once
+    # per sample (r7 review fix: the raw l weight made a2 exactly N×
+    # the published statistic).
     term = F.when(
         F.col("d2") > 0,
         F.col("ld").cast("double")
@@ -2316,24 +2294,25 @@ def ad_from_cells(
         * F.col("t1").cast("double")
         / F.col("d2").cast("double"),
     ).otherwise(F.lit(0.0))
-    agg = terms.groupBy("grp", "n1", "n_tot", "n_vals").agg(
+    agg = terms.groupBy("grp", "n1", "n_tot").agg(
+        F.countDistinct("v").cast("long").alias("n_vals"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(F.struct(F.col("v"), term.alias("t")))
             ),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x["t"],
-        ).alias("s")
+        ).alias("s"),
     )
     n1d = F.col("n1").cast("double")
     n2d = (F.col("n_tot") - F.col("n1")).cast("double")
     nd = F.col("n_tot").cast("double")
+    sn = F.col("s") / nd
     a2 = F.when(
         (F.col("n_vals") > 1)
         & (F.col("n1") > 0)
         & (F.col("n_tot") > F.col("n1")),
-        ((nd - F.lit(1.0)) / nd)
-        * (F.col("s") / n1d + F.col("s") / n2d),
+        ((nd - F.lit(1.0)) / nd) * (sn / n1d + sn / n2d),
     )
     return (
         agg.select(
@@ -2381,30 +2360,16 @@ def cvm_from_cells(
     round_digits: int = 4,
 ) -> DataFrame:
     """Finisher half of :func:`cvm_by_group` over a prebuilt
-    (grp, v, c) cell table (the rankstats streaming sketch)."""
-    cells = cells.localCheckpoint(eager=False)
-    pooled = cells.groupBy("v").agg(F.sum("c").cast("long").alias("l"))
-    tot = pooled.agg(F.sum("l").cast("long").alias("n_tot"))
-    sizes = cells.groupBy("grp").agg(F.sum("c").cast("long").alias("n1"))
-    spine = (
-        sizes.join(F.broadcast(pooled), how="cross")
-        .join(cells, ["grp", "v"], "left")
-        .withColumn("cf", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
-    )
-    wthr = (
-        Window.partitionBy("grp")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum1 = F.sum("cf").over(wthr).cast("long")
-    cump = F.sum("l").over(wthr).cast("long")  # pooled cum via the grid
+    (grp, v, c) cell table (the rankstats streaming sketch), built on
+    the shared :func:`_cdf_grid`."""
     dec = "decimal(38,0)"
+    grid = _cdf_grid(cells)
     # D = cum1·n2 − cum2·n1 with cum2 = cump − cum1
     d_int = (
-        cum1.cast(dec) * (F.col("n_tot") - F.col("n1")).cast(dec)
-        - (cump - cum1).cast(dec) * F.col("n1").cast(dec)
+        F.col("cum1").cast(dec) * (F.col("n_tot") - F.col("n1")).cast(dec)
+        - (F.col("cump") - F.col("cum1")).cast(dec) * F.col("n1").cast(dec)
     )
-    terms = spine.crossJoin(F.broadcast(tot)).select(
+    terms = grid.select(
         "grp",
         "v",
         "n1",

@@ -639,7 +639,9 @@ def test_daily_series_stream_parity(spark, fixture_stream):
             tuple(r)
             for r in finalize_weekday_outliers(daily, "event_type").collect()
         }
-        assert got_anom == want_anom
+        # non-vacuity: the sf0.01 fixture produces real flagged days
+        # (22 at last count) — {} == {} must not pass as parity
+        assert got_anom == want_anom and len(got_anom) > 0
     finally:
         q.stop()
 

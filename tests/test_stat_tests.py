@@ -326,8 +326,10 @@ class TestAndersonDarling:
             bj = cump + l / 2
             d = bj * (N - bj) - N * l / 4
             if d > 0:
-                sx += l * (N * mx - n1 * bj) ** 2 / d
-                sy += l * (N * my - n2 * bj) ** 2 / d
+                # Scholz-Stephens eq. 7 weight is l/N, not l (the r7
+                # review fix: dropping /N made the statistic N× too big)
+                sx += (l / N) * (N * mx - n1 * bj) ** 2 / d
+                sy += (l / N) * (N * my - n2 * bj) ** 2 / d
             cumx += lx
             cumy += ly
             cump += l
@@ -356,14 +358,28 @@ class TestAndersonDarling:
         out = {r["grp"]: r for r in ad_by_group(
             spark.createDataFrame(same, "grp string, v double"), "grp", "v"
         ).collect()}
-        assert abs(out["a"]["a2"]) < 1.0  # well under the 5% critical ~1.96
+        # EXACTLY identical samples: every T = 0, so a2 = 0 exactly
+        assert out["a"]["a2"] == 0.0
         far = [("lo", float(i)) for i in range(30)] + [
             ("hi", float(1000 + i)) for i in range(30)
         ]
         out2 = {r["grp"]: r for r in ad_by_group(
             spark.createDataFrame(far, "grp string, v double"), "grp", "v"
         ).collect()}
+        # full separation drives A2akN far above its H0 mean of 1
+        # (scipy.anderson_ksamp on disjoint N=60 gives ~28)
         assert out2["lo"]["a2"] > 10.0
+        # the H0-mean sanity: a genuinely null split stays near 1, not N
+        import random
+
+        rng = random.Random(11)
+        pool = [float(rng.randint(0, 40)) for _ in range(400)]
+        null_rows = [("x" if i % 2 else "y", v) for i, v in enumerate(pool)]
+        out3 = {r["grp"]: r for r in ad_by_group(
+            spark.createDataFrame(null_rows, "grp string, v double"),
+            "grp", "v",
+        ).collect()}
+        assert abs(out3["x"]["a2"]) < 5.0  # would be ~hundreds if N-scaled
 
     def test_degenerate_single_value_null(self, spark):
         from streamkit_spark.functions.analytics import ad_by_group
