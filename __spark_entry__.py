@@ -2023,6 +2023,39 @@ def q_split_assignment(spark, sf_dir):
     return C.assign_split(docs).select("doc_id", "split").orderBy("doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe split (curation.cluster_safe_split): near-dup
+    CLUSTERS move between train/val/test atomically — the md5 split
+    bucket hashes the connected component's representative instead of
+    the doc id (Lee et al. 2022 §5: id-hashed splits put near-dup
+    pairs across the eval boundary).  Oracle: the dedup_clusters
+    recursive-CTE closure over the exact-Jaccard pair set, then the
+    identical bucket CASE on coalesce(cluster_id, doc_id)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    return (
+        C.cluster_safe_split(docs, pairs)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
+
+
+def q_split_leakage(spark, sf_dir):
+    """Eval-contamination audit (curation.split_leakage_report): how
+    many near-dup pairs straddle two splits under plain id hashing vs
+    the cluster-keyed split?  leaked_cluster_hash is 0 BY CONSTRUCTION
+    (pair endpoints share a component, hence a key) — the row makes
+    the id-hash baseline's leak count visible and trips if the keying
+    ever breaks."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    return C.split_leakage_report(docs, pairs)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-feature linear quality classifier
     (curation.quality_classifier_score): fastText-style scoring over 3-
@@ -3386,6 +3419,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "embedding_covariance": q_embedding_covariance,
         "split_assignment": q_split_assignment,
+        "leakage_safe_split": q_leakage_safe_split,
+        "split_leakage": q_split_leakage,
         "weighted_sample": q_weighted_sample,
         "column_stats": q_column_stats,
         "key_skew": q_key_skew,
@@ -5313,6 +5348,109 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, {_sbs("doc_id", "split")} AS bucket
               FROM documents)
         ORDER BY doc_id
+    """
+    # leakage_safe_split: the dedup_clusters transitive closure, then
+    # the identical bucket CASE keyed on the cluster representative
+    sql["leakage_safe_split"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text),
+                   '\\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM jp
+            UNION
+            SELECT id_b, id_a FROM jp
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+        ), cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        ), keyed AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        )
+        SELECT doc_id, split_key,
+               CASE {' '.join(_cases)} ELSE '{_last}' END AS split
+        FROM (SELECT doc_id, split_key,
+                     {_sbs("split_key", "split")} AS bucket
+              FROM keyed)
+        ORDER BY doc_id
+    """
+    # split_leakage: both assignments over the same closure; the pair
+    # join counts split-straddling endpoints under each keying
+    _cases_p = ' '.join(_cases).replace("bucket", "bp")
+    _cases_s = ' '.join(_cases).replace("bucket", "bs")
+    sql["split_leakage"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text),
+                   '\\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM jp
+            UNION
+            SELECT id_b, id_a FROM jp
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+        ), cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        ), keyed AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        ), assigned AS (
+            SELECT doc_id,
+                   CASE {_cases_p} ELSE '{_last}' END AS sp,
+                   CASE {_cases_s} ELSE '{_last}' END AS ss
+            FROM (SELECT doc_id,
+                         {_sbs("doc_id", "split")} AS bp,
+                         {_sbs("split_key", "split")} AS bs
+                  FROM keyed)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN a.sp <> b.sp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leaked_id_hash,
+               CAST(sum(CASE WHEN a.ss <> b.ss THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leaked_cluster_hash
+        FROM jp JOIN assigned a ON jp.id_a = a.doc_id
+                JOIN assigned b ON jp.id_b = b.doc_id
     """
     # weighted_sample: Efraimidis-Spirakis keys, log domain (ln + division
     # only — no pow), md5-bucket uniform draw

@@ -731,6 +731,105 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: NEAR-DUPLICATES MUST
+    SHARE A SPLIT.  Plain id-hashed splitting (:func:`assign_split`)
+    puts ~w_train·w_test of every near-dup pair across the train/test
+    boundary — the classic eval-contamination mode (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §5
+    measures the resulting overlap inflation).  Here the hash key is
+    the document's near-dup CLUSTER representative instead of its own
+    id: every member of a connected component gets the component's
+    ``cluster_id`` (min doc id, from ``dedup.duplicate_clusters`` over
+    the pair graph), unclustered docs key by themselves, and the split
+    decision is the same deterministic md5 bucket ``assign_split``
+    uses — so whole clusters move between splits atomically and the
+    assignment stays stable as the corpus grows.
+
+    Output: ``df``'s columns + ``split_key`` (the hash key actually
+    used) + ``split``.
+
+    Scale: one left join of the corpus against the cluster table
+    (|clustered docs| ≪ corpus after LSH banding; AQE broadcasts the
+    measured-small side), then the pure map-side bucket expression —
+    no extra shuffle beyond the cluster computation itself."""
+    from streamkit_spark.functions.dedup import duplicate_clusters
+
+    cl = duplicate_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = df.join(cl, id_col, "left").withColumn(
+        "split_key",
+        F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+    ).drop("cluster_id")
+    return assign_split(keyed, weights, id_col="split_key", salt=salt)
+
+
+def split_leakage_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Quantify eval contamination from split hashing: of the near-dup
+    pairs in ``pairs``, how many STRADDLE two different splits under
+    (a) plain id-hashed assignment and (b) the cluster-keyed
+    :func:`cluster_safe_split`?  One row:
+    ``(n_pairs, leaked_id_hash, leaked_cluster_hash)``.
+
+    ``leaked_cluster_hash`` is 0 BY CONSTRUCTION (both endpoints of a
+    pair share a connected component, hence a split key) — the report
+    exists to make the id-hash baseline's leak count visible next to
+    it, and as a regression tripwire if the keying ever breaks.
+
+    Scale: two split assignments (map-side expressions) + one join of
+    the pair list against each — all bounded by |pairs| ≪ corpus."""
+    plain = assign_split(
+        df.select(id_col), weights, id_col=id_col, salt=salt
+    ).select(F.col(id_col).alias("__id"), F.col("split").alias("__sp"))
+    safe = cluster_safe_split(
+        df.select(id_col), pairs, weights, id_col=id_col, salt=salt
+    ).select(F.col(id_col).alias("__id"), F.col("split").alias("__ss"))
+
+    def _leaks(assign: DataFrame, col: str) -> DataFrame:
+        return (
+            pairs.select("id_a", "id_b")
+            .join(
+                assign.select(
+                    F.col("__id").alias("id_a"), F.col(col).alias("__a")
+                ),
+                "id_a",
+            )
+            .join(
+                assign.select(
+                    F.col("__id").alias("id_b"), F.col(col).alias("__b")
+                ),
+                "id_b",
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_pairs"),
+                F.sum(
+                    F.when(F.col("__a") != F.col("__b"), 1).otherwise(0)
+                ).cast("long").alias("leaked"),
+            )
+        )
+
+    a = _leaks(plain, "__sp").select(
+        "n_pairs", F.col("leaked").alias("leaked_id_hash")
+    )
+    b = _leaks(safe, "__ss").select(
+        F.col("leaked").alias("leaked_cluster_hash")
+    )
+    return a.crossJoin(F.broadcast(b))
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: Column | str,

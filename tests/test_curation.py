@@ -425,6 +425,63 @@ def test_pmi_planted_collocation_ranks_first(spark):
     assert got[0]["pmi"] == round(math.log(40 / 10), 4)
 
 
+def test_cluster_safe_split_keeps_near_dups_together(spark):
+    """Every member of a near-dup cluster gets the SAME split, keyed by
+    the cluster representative; unclustered docs split exactly as
+    assign_split would on their own id."""
+    from streamkit_spark.functions.curation import assign_split, cluster_safe_split
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    rows = [(i, text) for i in range(3)]  # exact near-dup cluster 0,1,2
+    rows += [(100 + i, f"unique doc {i} " + " ".join(
+        f"w{i}{j}" for j in range(20))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from streamkit_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, threshold=0.6)
+    out = cluster_safe_split(df, pairs).select(
+        "doc_id", "split_key", "split"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 33
+    # the cluster: one shared key (min id = 0), one shared split
+    assert {by_id[i]["split_key"] for i in (0, 1, 2)} == {0}
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    # unclustered docs: key = own id, split = plain assign_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.filter(F.col("doc_id") >= 100)).collect()
+    }
+    for i in range(100, 130):
+        assert by_id[i]["split_key"] == i
+        assert by_id[i]["split"] == plain[i]
+
+
+def test_split_leakage_report_zero_by_construction(spark):
+    """The cluster-keyed split leaks ZERO near-dup pairs while the
+    id-hash baseline leaks some (with enough planted clusters, the
+    ~4% expected straddle rate at 98/1/1 weights materializes)."""
+    from streamkit_spark.functions.curation import split_leakage_report
+    from streamkit_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = []
+    for c in range(40):  # 40 planted pairs of near-identical docs
+        text = f"cluster {c} " + " ".join(f"tok{c}_{j}" for j in range(30))
+        rows.append((2 * c, text))
+        rows.append((2 * c + 1, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.6)
+    assert pairs.count() >= 40
+    # weights that make straddling likely for the id-hash baseline
+    r = split_leakage_report(
+        df, pairs, weights={"train": 0.5, "test": 0.5}
+    ).collect()[0]
+    assert r["n_pairs"] == pairs.count()
+    assert r["leaked_cluster_hash"] == 0
+    # ~half the pairs straddle under independent 50/50 id hashing
+    assert r["leaked_id_hash"] > 5
+
+
 def test_llr_matches_python_2x2_reference(spark):
     from streamkit_spark.functions.text import llr_pairs
 
