@@ -4778,11 +4778,13 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank
     """
-    # dedup_clusters: transitive closure over the exact-Jaccard pair set
-    # (same recall argument as dedup_minhash_lsh) via recursive CTE;
-    # cluster_id = min doc_id of the component.
-    sql["dedup_clusters"] = """
-        WITH RECURSIVE toks AS (
+    # The exact-Jaccard near-dup pair set + transitive closure shared by
+    # FOUR oracles (dedup_clusters, dup_rate_by_source,
+    # leakage_safe_split, split_leakage) — ONE copy so a change to
+    # shingling/threshold/closure can't silently fork (the r6
+    # raw-vs-lowercased tokenization lesson).  Same recall argument as
+    # dedup_minhash_lsh.  Consumers append their own `cl` + final select.
+    _closure_cte = """toks AS (
             SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
             FROM documents
         ), sh AS (
@@ -4808,7 +4810,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, a FROM edges
             UNION
             SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
-        ), cl AS (
+        )"""
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_closure_cte}, cl AS (
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
         )
         SELECT doc_id, cluster_id,
@@ -5352,36 +5356,7 @@ def oracle_sql() -> dict[str, str]:
     # leakage_safe_split: the dedup_clusters transitive closure, then
     # the identical bucket CASE keyed on the cluster representative
     sql["leakage_safe_split"] = f"""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text),
-                   '\\s+'), x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jp AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
-        ), edges AS (
-            SELECT id_a AS a, id_b AS b FROM jp
-            UNION
-            SELECT id_b, id_a FROM jp
-        ), reach(id, r) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
-        ), cl AS (
+        WITH RECURSIVE {_closure_cte}, cl AS (
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
         ), keyed AS (
             SELECT d.doc_id,
@@ -5400,36 +5375,7 @@ def oracle_sql() -> dict[str, str]:
     _cases_p = ' '.join(_cases).replace("bucket", "bp")
     _cases_s = ' '.join(_cases).replace("bucket", "bs")
     sql["split_leakage"] = f"""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text),
-                   '\\s+'), x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jp AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
-        ), edges AS (
-            SELECT id_a AS a, id_b AS b FROM jp
-            UNION
-            SELECT id_b, id_a FROM jp
-        ), reach(id, r) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
-        ), cl AS (
+        WITH RECURSIVE {_closure_cte}, cl AS (
             SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
         ), keyed AS (
             SELECT d.doc_id,
@@ -5445,10 +5391,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM keyed)
         )
         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN a.sp <> b.sp THEN 1 ELSE 0 END)
-                    AS BIGINT) AS leaked_id_hash,
-               CAST(sum(CASE WHEN a.ss <> b.ss THEN 1 ELSE 0 END)
-                    AS BIGINT) AS leaked_cluster_hash
+               CAST(coalesce(sum(CASE WHEN a.sp <> b.sp THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS leaked_id_hash,
+               CAST(coalesce(sum(CASE WHEN a.ss <> b.ss THEN 1 ELSE 0 END),
+                    0) AS BIGINT) AS leaked_cluster_hash
         FROM jp JOIN assigned a ON jp.id_a = a.doc_id
                 JOIN assigned b ON jp.id_b = b.doc_id
     """
@@ -7420,34 +7366,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # Dedup impact per source: the dedup_clusters transitive closure,
     # rolled up to source level.
-    sql["dup_rate_by_source"] = """
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jp AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
-        ), edges AS (
-            SELECT id_a AS a, id_b AS b FROM jp
-            UNION
-            SELECT id_b, id_a FROM jp
-        ), reach(id, r) AS (
-            SELECT a, a FROM edges
-            UNION
-            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
-        ), cl AS (
+    sql["dup_rate_by_source"] = f"""
+        WITH RECURSIVE {_closure_cte}, cl AS (
             SELECT id AS doc_id FROM reach GROUP BY 1
         )
         SELECT d.source,

@@ -716,9 +716,18 @@ def assign_split(
     across runs and engines, and id-keyed — a document keeps its split
     even when the corpus around it grows, which is exactly what keeps
     eval sets uncontaminated across dataset versions."""
+    return df.withColumn(
+        "split", _split_case(sample_bucket(id_col, salt), weights)
+    )
+
+
+def _split_case(bucket: Column, weights: dict[str, float] | None) -> Column:
+    """The cumulative-threshold CASE over a bucket column — the ONE
+    definition behind :func:`assign_split`, :func:`cluster_safe_split`
+    and :func:`split_leakage_report` (the thresholds' float arithmetic
+    must not fork between them)."""
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     total = float(sum(weights.values()))
-    bucket = sample_bucket(id_col, salt)
     expr: Column | None = None
     acc = 0.0
     items = list(weights.items())
@@ -727,8 +736,7 @@ def assign_split(
         cond = bucket < F.lit(acc)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn("split", expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
 
 
 def cluster_safe_split(
@@ -761,12 +769,23 @@ def cluster_safe_split(
     no extra shuffle beyond the cluster computation itself."""
     from streamkit_spark.functions.dedup import duplicate_clusters
 
+    # Everything on the CLUSTER side casts to the id column's type,
+    # never the reverse: the equi-join must compare in the id's own
+    # type (a string-id corpus joined against long cluster ids would
+    # coerce the STRING side and crash/NULL under ANSI), and for
+    # unclustered docs the key IS the untouched id, so plain
+    # assign_split is the exact fixed point for every id type — a
+    # string '007' must hash as '007', not '7' (r7 review fix).
+    # duplicate_clusters emits long ids, so pairs over non-numeric ids
+    # need a numeric surrogate upstream.
+    id_type = dict(df.dtypes)[id_col]
     cl = duplicate_clusters(pairs).select(
-        F.col("doc_id").alias(id_col), "cluster_id"
+        F.col("doc_id").cast(id_type).alias(id_col),
+        F.col("cluster_id").cast(id_type).alias("cluster_id"),
     )
     keyed = df.join(cl, id_col, "left").withColumn(
         "split_key",
-        F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long")),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)),
     ).drop("cluster_id")
     return assign_split(keyed, weights, id_col="split_key", salt=salt)
 
@@ -789,45 +808,57 @@ def split_leakage_report(
     exists to make the id-hash baseline's leak count visible next to
     it, and as a regression tripwire if the keying ever breaks.
 
-    Scale: two split assignments (map-side expressions) + one join of
-    the pair list against each — all bounded by |pairs| ≪ corpus."""
-    plain = assign_split(
-        df.select(id_col), weights, id_col=id_col, salt=salt
-    ).select(F.col(id_col).alias("__id"), F.col("split").alias("__sp"))
-    safe = cluster_safe_split(
+    Scale: ONE keyed table carrying both bucket columns (the oracle's
+    ``assigned`` CTE shape), one pair double-join, one aggregate —
+    bounded by |pairs| ≪ corpus.  ``pairs`` is checkpointed first: it
+    feeds duplicate_clusters AND the pair join, and an LSH pair
+    pipeline re-planned per branch is the repo's canonical derived-
+    table hazard."""
+    pairs = pairs.localCheckpoint(eager=False)
+    assigned = cluster_safe_split(
         df.select(id_col), pairs, weights, id_col=id_col, salt=salt
-    ).select(F.col(id_col).alias("__id"), F.col("split").alias("__ss"))
-
-    def _leaks(assign: DataFrame, col: str) -> DataFrame:
-        return (
-            pairs.select("id_a", "id_b")
-            .join(
-                assign.select(
-                    F.col("__id").alias("id_a"), F.col(col).alias("__a")
-                ),
-                "id_a",
-            )
-            .join(
-                assign.select(
-                    F.col("__id").alias("id_b"), F.col(col).alias("__b")
-                ),
-                "id_b",
-            )
-            .agg(
-                F.count("*").cast("long").alias("n_pairs"),
-                F.sum(
-                    F.when(F.col("__a") != F.col("__b"), 1).otherwise(0)
-                ).cast("long").alias("leaked"),
-            )
+    ).select(
+        F.col(id_col).alias("__id"),
+        _split_case(sample_bucket(id_col, salt), weights).alias("__sp"),
+        F.col("split").alias("__ss"),
+    )
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            assigned.select(
+                F.col("__id").alias("id_a"),
+                F.col("__sp").alias("__spa"),
+                F.col("__ss").alias("__ssa"),
+            ),
+            "id_a",
         )
-
-    a = _leaks(plain, "__sp").select(
-        "n_pairs", F.col("leaked").alias("leaked_id_hash")
+        .join(
+            assigned.select(
+                F.col("__id").alias("id_b"),
+                F.col("__sp").alias("__spb"),
+                F.col("__ss").alias("__ssb"),
+            ),
+            "id_b",
+        )
     )
-    b = _leaks(safe, "__ss").select(
-        F.col("leaked").alias("leaked_cluster_hash")
+    # coalesce(..., 0): an empty pair set must read (0, 0, 0), not
+    # NULLs — 'leaked_cluster_hash == 0' is the advertised tripwire
+    # and NULL comparisons would silently never fire (r7 review fix)
+    return j.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__spa") != F.col("__spb"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("leaked_id_hash"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__ssa") != F.col("__ssb"), 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("leaked_cluster_hash"),
     )
-    return a.crossJoin(F.broadcast(b))
 
 
 def weighted_sample(

@@ -205,6 +205,10 @@ def register_diagnostics_views(
     * ``{p}benford``       — first-digit audit of event values
     * ``{p}quantile_sketch`` — mergeable histogram-quantile report
     * ``{p}effect_sizes``  — Cliff's delta of each type vs complement
+    * ``{p}shape_drift``   — Anderson-Darling A² of each type vs
+      complement (tail-weighted shape drift; KS lives in the rank-stat
+      streaming family)
+    * ``{p}cvm_drift``     — Cramér-von Mises W² (integral shape drift)
     * ``{p}theil``         — Theil T inequality per type
     * ``{p}cramers_weekday`` — chi2 + Cramér's V of type × weekday
     * ``{p}mi_weekday``    — mutual information / NMI of type × weekday
@@ -244,6 +248,8 @@ def register_diagnostics_views(
         f"{p}effect_sizes": A.cliffs_delta_by_group(
             events, "event_type", "value"
         ),
+        f"{p}shape_drift": A.ad_by_group(events, "event_type", "value"),
+        f"{p}cvm_drift": A.cvm_by_group(events, "event_type", "value"),
         f"{p}theil": A.theil_by_group(events, "event_type", "value"),
         f"{p}cramers_weekday": A.cramers_v(
             events.select("event_type", wd.alias("weekday")),

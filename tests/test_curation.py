@@ -457,6 +457,23 @@ def test_cluster_safe_split_keeps_near_dups_together(spark):
         assert by_id[i]["split"] == plain[i]
 
 
+def test_cluster_safe_split_string_ids_keep_assign_split_fixed_point(spark):
+    """With STRING ids, unclustered docs must hash their original id
+    ('007', not '7') — the split_key coalesce casts cluster_id to the
+    id's type, never the id to long (r7 review fix)."""
+    from streamkit_spark.functions.curation import assign_split, cluster_safe_split
+
+    df = spark.createDataFrame(
+        [("007", "x"), ("7", "y"), ("doc-9", "z")], "doc_id string, text string"
+    )
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in cluster_safe_split(df, empty_pairs).collect()}
+    plain = {r["doc_id"]: r["split"] for r in assign_split(df).collect()}
+    for d in ("007", "7", "doc-9"):
+        assert out[d]["split_key"] == d
+        assert out[d]["split"] == plain[d]
+
+
 def test_split_leakage_report_zero_by_construction(spark):
     """The cluster-keyed split leaks ZERO near-dup pairs while the
     id-hash baseline leaks some (with enough planted clusters, the

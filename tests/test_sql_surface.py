@@ -156,8 +156,9 @@ def test_diagnostics_views_queryable_from_sql(spark):
     names = register_diagnostics_views(spark, ev, docs)
     assert names == [
         "dg_benford", "dg_chi2_weekday", "dg_collocations",
-        "dg_cramers_weekday", "dg_cusum", "dg_effect_sizes", "dg_heaps",
-        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
+        "dg_cramers_weekday", "dg_cusum", "dg_cvm_drift",
+        "dg_effect_sizes", "dg_heaps", "dg_mad_outliers",
+        "dg_mi_weekday", "dg_quantile_sketch", "dg_shape_drift",
         "dg_theil", "dg_value_trend", "dg_weekday_outliers", "dg_zipf",
     ]
     row = spark.sql(
@@ -178,7 +179,11 @@ def test_diagnostics_views_queryable_from_sql(spark):
                (SELECT nmi FROM dg_mi_weekday) AS nmi,
                (SELECT count(*) FROM dg_weekday_outliers) AS anomaly_days,
                (SELECT count(*) FROM dg_collocations
-                WHERE llr >= 0) AS colloc_rows
+                WHERE llr >= 0) AS colloc_rows,
+               (SELECT count(*) FROM dg_shape_drift
+                WHERE a2 IS NOT NULL) AS ad_rows,
+               (SELECT count(*) FROM dg_cvm_drift
+                WHERE w2 >= 0) AS cvm_rows
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -197,6 +202,8 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["nmi"] is not None and 0 <= row["nmi"] <= 1
     assert row["anomaly_days"] >= 0
     assert row["colloc_rows"] > 0
+    assert row["ad_rows"] == n_types
+    assert row["cvm_rows"] == n_types
 
 
 def test_timeseries_views_queryable_from_sql(spark):
