@@ -2836,6 +2836,21 @@ def q_ad_value(spark, sf_dir):
     return AN.ad_by_group(_ev(spark, sf_dir), "event_type", "value")
 
 
+def q_ks_daily(spark, sf_dir):
+    """Per-DAY two-sample KS of value vs the rest of the corpus
+    (analytics.ks_by_group with the tz-free day index as the group) —
+    the shape-drift TREND: which days' value distributions deviated,
+    and at what value the CDF gap peaked.  Pure composition over the
+    ks_value machinery; the psi_daily precedent applied to the exact
+    rank family."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        F.expr("ts div 86400000000000").alias("day"), "value"
+    )
+    return AN.ks_by_group(ev, "day", "value")
+
+
 def q_cvm_value(spark, sf_dir):
     """Per-event-type two-sample Cramér-von Mises W² of value vs the
     complement (analytics.cvm_by_group): D = cum₁·n₂ − cum₂·n₁ is an
@@ -3488,6 +3503,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliffs_value": q_cliffs_value,
         "ad_value": q_ad_value,
         "cvm_value": q_cvm_value,
+        "ks_daily": q_ks_daily,
         "cramers_weekday": q_cramers_weekday,
         "mi_weekday": q_mi_weekday,
         "theil_value": q_theil_value,
@@ -7807,6 +7823,56 @@ def oracle_sql() -> dict[str, str]:
                  AS ks_d,
                v AS at_value
         FROM best WHERE rn = 1 ORDER BY event_type
+    """
+    # ks_daily: the ks_value machinery with the tz-free day index as
+    # the group — per-day shape-drift trend.
+    sql["ks_daily"] = """
+        WITH base AS (
+            SELECT epoch_ms(ts) // 86400000 AS grp, CAST(value AS DOUBLE) AS v
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ), cells AS (
+            SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), vals AS (
+            SELECT v, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1
+        ), pts AS (
+            SELECT v, CAST(sum(g) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cum_all
+            FROM vals
+        ), grps AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n FROM cells
+        ), grid AS (
+            SELECT g.grp, p.v, g.n1, p.cum_all,
+                   coalesce(cells.c, 0) AS c
+            FROM grps g CROSS JOIN pts p
+            LEFT JOIN cells ON cells.grp = g.grp AND cells.v = p.v
+        ), cum AS (
+            SELECT grp, v, n1, cum_all,
+                   CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS i
+            FROM grid
+        ), scored AS (
+            SELECT grp, v, n1, n,
+                   abs(CAST(i AS HUGEINT) * (n - n1)
+                       - CAST(cum_all - i AS HUGEINT) * n1) AS dnum
+            FROM cum CROSS JOIN tot
+        ), best AS (
+            SELECT grp, v, n1, n, dnum,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY dnum DESC, v ASC) AS rn
+            FROM scored
+        )
+        SELECT grp AS day, n1 AS n,
+               CAST(n - n1 AS BIGINT) AS n_rest,
+               round(CASE WHEN n > n1 THEN CAST(dnum AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)) END, 4)
+                 AS ks_d,
+               v AS at_value
+        FROM best WHERE rn = 1 ORDER BY day
     """
     # Gini: exact decimal Σx and tie-stable rank-weighted Σi·x; one
     # fixed double combination.

@@ -822,8 +822,15 @@ def split_leakage_report(
         _split_case(sample_bucket(id_col, salt), weights).alias("__sp"),
         F.col("split").alias("__ss"),
     )
+    # the pair ids join in the ID COLUMN'S type (the cluster_safe_split
+    # discipline): a long-vs-string equi-join would coerce the string
+    # side under ANSI — crash on 'doc-9', conflate '007' with 7
+    id_type = dict(df.dtypes)[id_col]
     j = (
-        pairs.select("id_a", "id_b")
+        pairs.select(
+            F.col("id_a").cast(id_type).alias("id_a"),
+            F.col("id_b").cast(id_type).alias("id_b"),
+        )
         .join(
             assigned.select(
                 F.col("__id").alias("id_a"),
