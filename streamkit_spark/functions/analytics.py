@@ -2830,6 +2830,68 @@ def kendall_tau_binned(
     )
 
 
+def _count_inversions(arr) -> int:
+    """Strict inversions via bottom-up merge sort; each merge counts
+    cross pairs (l > r) as |L|·|R| − Σ searchsorted(L, r, right).
+    O(n log n) comparisons, vectorized numpy merges — the imperative
+    core of :func:`kendall_tau_exact`, module-level so the property
+    tests can drive it against a brute-force pair loop directly."""
+    import numpy as np
+
+    a = arr.copy()
+    n = a.size
+    inv = 0
+    width = 1
+    while width < n:
+        for lo in range(0, n - width, 2 * width):
+            mid = lo + width
+            hi = min(lo + 2 * width, n)
+            left, right = a[lo:mid], a[mid:hi]
+            inv += int(
+                left.size * right.size
+                - np.searchsorted(left, right, side="right").sum()
+            )
+            a[lo:hi] = np.sort(a[lo:hi], kind="stable")
+        width *= 2
+    return inv
+
+
+def _run_tie_pairs(keys_sorted) -> int:
+    """Σ c·(c−1)/2 over runs of equal values in a SORTED array."""
+    import numpy as np
+
+    if keys_sorted.size == 0:
+        return 0
+    change = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1])
+    counts = np.diff(np.concatenate(([0], change + 1, [keys_sorted.size])))
+    counts = counts.astype(object)
+    return int((counts * (counts - 1) // 2).sum())
+
+
+def _knight_counts(xs, ys) -> tuple:
+    """Knight's tau-b integer core over two aligned value arrays:
+    ``(concordant, discordant, n0, n1, n2)`` — exact whatever the row
+    order (the lexsort canonicalizes it).  n1/n2 are the x/y tie pair
+    counts; C = n0 − n1 − n2 + n3 − D with n3 the joint-tie pairs."""
+    import numpy as np
+
+    n = len(xs)
+    order = np.lexsort((ys, xs))
+    xs_s, ys_s = xs[order], ys[order]
+    n0 = n * (n - 1) // 2
+    n1 = _run_tie_pairs(xs_s)
+    n2 = _run_tie_pairs(np.sort(ys, kind="stable"))
+    # joint ties: runs where BOTH components repeat in lexsort order
+    joint_change = (xs_s[1:] != xs_s[:-1]) | (ys_s[1:] != ys_s[:-1])
+    runs = np.diff(
+        np.concatenate(([0], np.flatnonzero(joint_change) + 1, [n]))
+    ).astype(object)
+    n3 = int((runs * (runs - 1) // 2).sum()) if n else 0
+    d = _count_inversions(ys_s)
+    c = n0 - n1 - n2 + n3 - d
+    return c, d, n0, n1, n2
+
+
 def kendall_tau_exact(
     df: DataFrame,
     group_col: str,
@@ -2886,57 +2948,15 @@ def kendall_tau_exact(
         "d1 double, d2 double, cd double"
     )
 
-    def _inversions(arr: "np.ndarray") -> int:
-        """Strict inversions via bottom-up merge; each merge counts
-        cross pairs (l > r) as |L|·|R| − Σ searchsorted(L, r, right)."""
-        a = arr.copy()
-        n = a.size
-        inv = 0
-        width = 1
-        while width < n:
-            for lo in range(0, n - width, 2 * width):
-                mid = lo + width
-                hi = min(lo + 2 * width, n)
-                left, right = a[lo:mid], a[mid:hi]
-                inv += int(
-                    left.size * right.size
-                    - np.searchsorted(left, right, side="right").sum()
-                )
-                a[lo:hi] = np.sort(a[lo:hi], kind="stable")
-            width *= 2
-        return inv
-
-    def _run_tie_pairs(keys_sorted: "np.ndarray") -> int:
-        """Σ c·(c−1)/2 over runs of equal values in a sorted array."""
-        if keys_sorted.size == 0:
-            return 0
-        change = np.flatnonzero(keys_sorted[1:] != keys_sorted[:-1])
-        counts = np.diff(np.concatenate(([0], change + 1, [keys_sorted.size])))
-        counts = counts.astype(object)
-        return int((counts * (counts - 1) // 2).sum())
-
     def _one_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         g = pdf["grp"].iloc[0]
-        xs = pdf["x"].to_numpy()
-        ys = pdf["y"].to_numpy()
-        n = len(pdf)
-        order = np.lexsort((ys, xs))
-        xs_s, ys_s = xs[order], ys[order]
-        n0 = n * (n - 1) // 2
-        n1 = _run_tie_pairs(xs_s)
-        n2 = _run_tie_pairs(np.sort(ys, kind="stable"))
-        # joint ties: runs where BOTH components repeat in lexsort order
-        joint_change = (xs_s[1:] != xs_s[:-1]) | (ys_s[1:] != ys_s[:-1])
-        runs = np.diff(
-            np.concatenate(([0], np.flatnonzero(joint_change) + 1, [n]))
-        ).astype(object)
-        n3 = int((runs * (runs - 1) // 2).sum()) if n else 0
-        d = _inversions(ys_s)
-        c = n0 - n1 - n2 + n3 - d
+        c, d, n0, n1, n2 = _knight_counts(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        )
         return pd.DataFrame(
             {
                 "grp": [g],
-                "n": [n],
+                "n": [len(pdf)],
                 "concordant": [c],
                 "discordant": [d],
                 # exact integer differences, ONE rounding to double each
