@@ -3301,66 +3301,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-7 window (VERDICT r6 item #1, per the
-# CLAUDE.md rotation ledger): the 21 never-driver-checked entries
-# (knn_graph + mutual_knn deferred from r6, plus the 19 r6 adds), then the
-# 13-entry r3 block, then the 16 oldest r4 entries (alphabetical from
-# ann_topk_ivf) = exactly 50.  The remaining 34 r4 entries queue for r8.
+# its literal order below.  Round-8 window (VERDICT r7 item #1, per the
+# CLAUDE.md rotation ledger): the 34 remaining r4 entries, then the 12
+# never-driver-checked r7 adds, then the 4 oldest r5 entries
+# (alphabetical) = exactly 50.
 _DRIVER_WINDOW_FRONT = [
-    # --- never driver-checked: deferred from r6 ---
-    "knn_graph",
-    "mutual_knn",
-    # --- never driver-checked: round-6 adds ---
-    "ranksum_value",
-    "ks_value",
-    "gini_value",
-    "winsorized_value",
-    "kendall_value_hour",
-    "kl_sources",
-    "psi_daily",
-    "seasonal_strength",
-    "acf_daily",
-    "wilson_high_value",
-    "jsd_sources",
-    "xcorr_daily",
-    "token_burstiness",
-    "interarrival",
-    "robust_trend",
-    "holt_daily",
-    "score_calibration",
-    "dedup_sweep",
-    "classifier_auc",
-    # --- r3 block (driver rows last seen r3) ---
-    "bloom_prefilter",
-    "dsir_topk",
-    "embedding_quantization",
-    "event_funnel",
-    "event_transitions",
-    "iqr_outliers",
-    "kmeans_assign",
-    "ngram_novelty",
-    "perplexity_buckets",
-    "quantile_report",
-    "retention_cohorts",
-    "rolling_activity",
-    "value_histogram",
-    # --- 16 oldest r4 entries (alphabetical from ann_topk_ivf) ---
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "approx_distinct",
-    "array_funcs",
-    "bigram_logprob",
-    "binary_payload_stats",
-    "bpe_fertility",
-    "capped_per_source",
-    "char_ngram_count",
-    "column_stats",
-    "contamination",
-    "corr_stats",
-    "curation_report",
-    "customers_without_orders",
-    "date_funcs",
-    "decontaminated",
+    # --- the 34 r4 entries (driver rows last seen r4) ---
+    "dedup_clusters",
+    "dedup_overlap",
+    "dedup_substring",
+    "dedup_substring_fast_recall",
+    "dedup_substring_maxdf",
+    "doc_chunks",
+    "doc_quality",
+    "dsir_weights",
+    "embedding_covariance",
+    "embedding_near_dups",
+    "embedding_norms",
+    "key_skew",
+    "lang_id_confusion",
+    "math_funcs",
+    "median_quantity",
+    "mixing_plan",
+    "orders_above_avg",
+    "pack_sequences",
+    "pii_report",
+    "pmi_top_pairs",
+    "quality_rules",
+    "repetition_stats",
+    "semantic_dedup",
+    "source_balance",
+    "split_assignment",
+    "stratified_sample",
+    "string_funcs",
+    "temperature_sample",
+    "top_tokens_per_lang",
+    "unigram_logprob",
+    "vocab_spectrum",
+    "weekly_growth",
+    "weighted_sample",
+    "zorder_stats",
+    # --- never driver-checked: round-7 adds ---
+    "kendall_exact",
+    "cliffs_value",
+    "ad_value",
+    "cvm_value",
+    "cramers_weekday",
+    "mi_weekday",
+    "theil_value",
+    "llr_top_pairs",
+    "weekday_outliers",
+    "leakage_safe_split",
+    "split_leakage",
+    "ks_daily",
+    # --- 4 oldest r5 entries (alphabetical) ---
+    "a1_segment_status",
+    "a2_spaces",
+    "ann_topk_bruteforce",
+    "asof_purchase_click",
 ]
 
 
