@@ -2750,6 +2750,19 @@ def q_benford_values(spark, sf_dir):
     return AN.benford_profile(ev, "value")
 
 
+def q_benford_value(spark, sf_dir):
+    """Per-event-type Benford first-digit audit
+    (analytics.benford_by_group — the value-cell sketch's 9th report,
+    streaming twin streaming/rankstats.finalize_benford): one
+    synthetic/capped segment can't hide inside a Benford-clean corpus
+    total.  Same determinism contract as benford_values (cent-string
+    digits, exact counts, repr-literal constants), segmented."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir)
+    return AN.benford_by_group(ev, "event_type", "value")
+
+
 def q_heaps_docs(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit over the doc_id-ordered corpus
     (text.heaps_fit): exact integer token/new-type cumulative sums; the
@@ -3126,6 +3139,22 @@ def q_jsd_sources(spark, sf_dir):
 
     docs = tables.load(spark, sf_dir, "documents")
     return jsd_by_group_pairs(docs, "source", "text")
+
+
+def q_kendall_matrix(spark, sf_dir):
+    """Pairwise Kendall tau-b between source unigram frequency profiles
+    over the union vocabulary (text.kendall_profile_pairs) — the
+    rank-correlation drift matrix: jsd_sources measures mass
+    divergence, this measures whether two sources RANK their vocabulary
+    the same way (size-invariant).  Exact integer counts on the
+    zero-filled source × vocabulary spine; tau-b via the quantized-cell
+    machinery (analytics.kendall_tau_binned) with integer counts AS the
+    quantization; in-row pair enumeration per token — no derived-table
+    self-join."""
+    from streamkit_spark.functions.text import kendall_profile_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return kendall_profile_pairs(docs, "source", "text")
 
 
 def q_xcorr_daily(spark, sf_dir):
@@ -3576,6 +3605,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": q_pivot_user_events,
         "label_centroids": q_label_centroids,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # --- new in round 8: locally verified, rotate into the driver
+        # window in r9 (see the CLAUDE.md rotation ledger) ---
+        "benford_value": q_benford_value,
+        "kendall_matrix": q_kendall_matrix,
     }
 
 
@@ -7128,6 +7161,42 @@ def oracle_sql() -> dict[str, str]:
                  AS excess
         FROM wp ORDER BY digit
     """
+    # Grouped Benford over the value-cell table: the distinct-(grp, v)
+    # cells replay value_cells, cents via the same monotone
+    # double→DECIMAL(18,2) cast as the engine's benford_from_cells.
+    sql["benford_value"] = f"""
+        WITH cells AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), cents AS (
+            SELECT grp,
+                   CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS ct, c
+            FROM cells
+        ), obs AS (
+            SELECT grp,
+                   CAST(substr(CAST(ct AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   CAST(sum(c) AS BIGINT) AS n_obs
+            FROM cents WHERE ct > 0 GROUP BY 1, 2
+        ), tot AS (
+            SELECT grp, CAST(sum(n_obs) AS BIGINT) AS tn
+            FROM obs GROUP BY grp
+        ), wp AS (
+            SELECT obs.grp, digit, n_obs, tn,
+                   CASE digit {_benford_case} END AS p
+            FROM obs JOIN tot ON obs.grp = tot.grp
+        )
+        SELECT grp AS event_type, digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(tn AS DOUBLE), 4) + 0
+                 AS share,
+               round(p, 4) + 0 AS benford_p,
+               round(CAST(n_obs AS DOUBLE) / CAST(tn AS DOUBLE) - p, 4) + 0
+                 AS excess
+        FROM wp ORDER BY event_type, digit
+    """
     # Heaps: exact integer cumulative points, doc-sorted ln folds, the
     # ols_trend closed-form op order.
     sql["heaps_docs"] = """
@@ -8288,6 +8357,76 @@ def oracle_sql() -> dict[str, str]:
                        * ((CAST(1 AS DOUBLE) - sp)
                           + (CAST(1 AS DOUBLE) - sq)), 4) + 0 AS jsd
         FROM g ORDER BY group_a, group_b
+    """
+    # Kendall drift matrix: zero-filled source × vocabulary spine, then
+    # the kendall_value_hour tau-b cell machinery keyed by the pair.
+    sql["kendall_matrix"] = r"""
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT g, tk, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ), grid AS (
+            SELECT g, tk FROM (SELECT DISTINCT g FROM cells)
+            CROSS JOIN (SELECT DISTINCT tk FROM cells)
+        ), filled AS (
+            SELECT grid.g, grid.tk,
+                   coalesce(cells.c, CAST(0 AS BIGINT)) AS c
+            FROM grid LEFT JOIN cells
+              ON grid.g = cells.g AND grid.tk = cells.tk
+        ), obs AS (
+            SELECT a.g AS ga, b.g AS gb, a.c AS x, b.c AS y
+            FROM filled a JOIN filled b
+              ON a.tk = b.tk AND a.g < b.g
+        ), kc AS (
+            SELECT ga, gb, x, y, CAST(count(*) AS BIGINT) AS c
+            FROM obs GROUP BY 1, 2, 3, 4
+        ), cd AS (
+            SELECT a.ga, a.gb,
+                   sum(CASE WHEN a.y < b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE CAST(0 AS HUGEINT) END) AS cc,
+                   sum(CASE WHEN a.y > b.y
+                       THEN CAST(a.c AS HUGEINT) * b.c
+                       ELSE CAST(0 AS HUGEINT) END) AS dd
+            FROM kc a JOIN kc b
+              ON a.ga = b.ga AND a.gb = b.gb AND a.x < b.x
+            GROUP BY 1, 2
+        ), xm AS (
+            SELECT ga, gb, x, CAST(sum(c) AS BIGINT) AS tx
+            FROM kc GROUP BY 1, 2, 3
+        ), ym AS (
+            SELECT ga, gb, y, CAST(sum(c) AS BIGINT) AS ty
+            FROM kc GROUP BY 1, 2, 3
+        ), t1 AS (
+            SELECT ga, gb, sum(CAST(tx AS HUGEINT) * (tx - 1)) // 2 AS n1
+            FROM xm GROUP BY 1, 2
+        ), t2 AS (
+            SELECT ga, gb, sum(CAST(ty AS HUGEINT) * (ty - 1)) // 2 AS n2
+            FROM ym GROUP BY 1, 2
+        ), nn AS (
+            SELECT ga, gb, CAST(sum(c) AS BIGINT) AS n
+            FROM kc GROUP BY 1, 2
+        ), j AS (
+            SELECT nn.ga, nn.gb, n,
+                   coalesce(cc, CAST(0 AS HUGEINT)) AS cc,
+                   coalesce(dd, CAST(0 AS HUGEINT)) AS dd,
+                   (CAST(n AS HUGEINT) * (n - 1)) // 2 AS n0, n1, n2
+            FROM nn LEFT JOIN cd ON cd.ga = nn.ga AND cd.gb = nn.gb
+            JOIN t1 ON t1.ga = nn.ga AND t1.gb = nn.gb
+            JOIN t2 ON t2.ga = nn.ga AND t2.gb = nn.gb
+        )
+        SELECT ga AS group_a, gb AS group_b, n AS n_tokens,
+               CAST(cc AS BIGINT) AS concordant,
+               CAST(dd AS BIGINT) AS discordant,
+               round(CASE WHEN n0 > n1 AND n0 > n2 THEN
+                     CAST(cc - dd AS DOUBLE)
+                     / sqrt(CAST(n0 - n1 AS DOUBLE)
+                            * CAST(n0 - n2 AS DOUBLE)) END, 4) + 0 AS tau
+        FROM j ORDER BY group_a, group_b
     """
     # Cross-group daily correlation on the shared gap-filled spine:
     # exact decimal moments, the acf_daily Pearson shape per pair.

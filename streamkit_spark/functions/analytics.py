@@ -42,6 +42,8 @@ __all__ = [
     "ols_trend",
     "cusum_changepoint",
     "cusum_from_daily",
+    "benford_by_group",
+    "benford_from_cells",
     "benford_profile",
     "ab_test_report",
     "frequent_sequences",
@@ -1599,6 +1601,87 @@ def benford_profile(
             ),
         )
         .orderBy("digit")
+    )
+
+
+def benford_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Benford first-digit audit — :func:`benford_profile`
+    segmented by ``group_col`` so one synthetic/capped segment can't
+    hide inside a Benford-clean corpus total.  Output ``(group, digit,
+    n_obs, share, benford_p, excess)``.
+
+    Built on the shared (grp, v, c) value-cell table so the SAME
+    monotone sketch that serves the rank/CDF family also answers the
+    Benford question live (streaming/rankstats.finalize_benford)."""
+    return benford_from_cells(
+        value_cells(df, group_col, value_col), group_col, round_digits
+    )
+
+
+def benford_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`benford_by_group` over a prebuilt
+    (grp, v, c) cell table — the value-cell sketch's Benford report.
+
+    Determinism contract: the leading digit comes from the INTEGER cent
+    count's string head via the monotone double→DECIMAL(18,2) cast (the
+    winsorized_from_cells precedent), never from a double repr; digit
+    counts are exact integer sums of cell counts; the Benford constants
+    are repr literals (CAST('<repr>' AS DOUBLE) rule).  Non-positive
+    cents are filtered here, so the shared sketch needs no pre-filter.
+
+    Scale: one 9-row-per-group aggregate over the cell table — bounded
+    by group × value cardinality, never rows."""
+    import math as _math
+
+    cents = (F.col("v").cast("decimal(18,2)") * 100).cast("long")
+    obs = (
+        cells.select("grp", cents.alias("cents"), "c")
+        .filter(F.col("cents") > 0)
+        .select(
+            "grp",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+            "c",
+        )
+        .groupBy("grp", "digit")
+        .agg(F.sum("c").cast("long").alias("n_obs"))
+        .localCheckpoint(eager=False)  # fanned into totals + the join
+    )
+    tot = obs.groupBy("grp").agg(F.sum("n_obs").cast("long").alias("tn"))
+    p_map = F.create_map(
+        *[
+            c
+            for d in range(1, 10)
+            for c in (
+                F.lit(d),
+                F.expr(f"CAST('{_math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"),
+            )
+        ]
+    )
+    share = F.col("n_obs").cast("double") / F.col("tn").cast("double")
+    return (
+        obs.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "digit",
+            "n_obs",
+            F.round(share, round_digits).alias("share"),
+            F.round(p_map[F.col("digit")], round_digits).alias("benford_p"),
+            F.round(share - p_map[F.col("digit")], round_digits).alias(
+                "excess"
+            ),
+        )
+        .orderBy(group_col, "digit")
     )
 
 

@@ -884,6 +884,81 @@ def jsd_by_group_pairs(
     )
 
 
+def kendall_profile_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Kendall tau-b between every two groups' unigram
+    FREQUENCY PROFILES over the union vocabulary (tokens a side lacks
+    count 0), ``(group_a, group_b, n_tokens, concordant, discordant,
+    tau)`` — the rank-correlation drift matrix: where
+    :func:`jsd_by_group_pairs` measures how much probability MASS two
+    sources disagree on, tau measures whether they RANK the vocabulary
+    the same way (robust to one source simply being larger).  tau near
+    1 = same usage ordering; near 0 = unrelated; negative = inverted.
+
+    Determinism contract: counts on the zero-filled groups × vocabulary
+    spine are exact integers; tau-b comes from the quantized-cell
+    machinery (``analytics.kendall_tau_binned`` — exact C/D/tie counts
+    in DECIMAL(38,0), one final double ratio), with integer counts AS
+    the quantization, so the statistic is exact, not binned.
+
+    Scale: one (group, token) count (the full-data shuffle), a
+    |groups| × |vocabulary| spine, and in-row pair enumeration per
+    token (``pairs_from_sorted_groups`` — no derived-table self-join);
+    the tau cell stage is O(distinct (x, y) cells² per pair), bounded
+    by vocabulary size.  For open vocabularies cut the spine with
+    ``min_count`` (corpus-total df-cut) or shingle upstream; group
+    cardinality bounds the pair count as in the jsd matrix.
+    """
+    from streamkit_spark.functions.analytics import kendall_tau_binned
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    cells = (
+        tok.groupBy("g", "tk")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # fans into groups/vocab/the join
+    )
+    vocab = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("tot"))
+    if min_count > 0:
+        vocab = vocab.filter(F.col("tot") >= min_count)
+    grid = (
+        cells.select("g")
+        .distinct()
+        .crossJoin(F.broadcast(vocab.select("tk")))
+    )
+    filled = grid.join(cells, ["g", "tk"], "left").select(
+        "g", "tk", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    per_tk = filled.groupBy("tk").agg(
+        F.array_sort(F.collect_list(F.struct("g", "c"))).alias("ds")
+    )
+    obs = pairs_from_sorted_groups(
+        per_tk, "ds", carry=("tk",), distinct=False
+    ).select(
+        F.struct(
+            F.col("id_a.g").alias("a"), F.col("id_b.g").alias("b")
+        ).alias("pair"),
+        F.col("id_a.c").alias("x"),
+        F.col("id_b.c").alias("y"),
+    )
+    t = kendall_tau_binned(obs, "pair", "x", "y", round_digits)
+    return t.select(
+        F.col("pair.a").alias("group_a"),
+        F.col("pair.b").alias("group_b"),
+        F.col("n").alias("n_tokens"),
+        "concordant",
+        "discordant",
+        "tau",
+    ).orderBy("group_a", "group_b")
+
+
 def burstiness_by_token(
     df: DataFrame,
     id_col: str = "doc_id",

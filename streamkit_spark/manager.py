@@ -160,9 +160,16 @@ class EngineManager:
             in_progress.wait()
         try:
             handle = self.factory(store_id)
-        except Exception:
+        except BaseException as exc:
+            # BaseException, not Exception: a KeyboardInterrupt/SystemExit
+            # escaping the factory must still pop the _creating marker and
+            # set the Event, or every later get_or_create/use for this id
+            # blocks forever at in_progress.wait().  Only Exception counts
+            # toward the circuit — an operator's Ctrl-C is not an engine
+            # failure.
             with self._lock:
-                self._record_failure_locked(store_id)
+                if isinstance(exc, Exception):
+                    self._record_failure_locked(store_id)
                 self._creating.pop(store_id, None)
             in_progress.set()
             raise

@@ -15,14 +15,15 @@ Same split as the histogram-quantile twin (``streaming/quantiles.py``):
   (``analytics.ranksum_from_cells`` / ``ks_from_cells``) so batch and
   stream cannot drift; the parity tests pin them together.
 
-One sketch, eight reports: the same live cell table answers "is this
+One sketch, nine reports: the same live cell table answers "is this
 segment's distribution SHIFTED?" (Mann-Whitney z), "is its SHAPE
 drifting?" (two-sample KS max gap, Cramér-von Mises integral gap),
 "including the TAILS?" (Anderson-Darling A²), "how STRONGLY does it
 dominate?" (Cliff's delta), "how CONCENTRATED is it?" (Gini and
-Theil), and "what's its robust location?" (winsorized means) without a
-second pass over the stream — the daily.py multi-report discipline
-applied to the value-cell family.
+Theil), "what's its robust location?" (winsorized means), and "does it
+even look ORGANIC?" (Benford first-digit excess) without a second pass
+over the stream — the daily.py multi-report discipline applied to the
+value-cell family.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ __all__ = [
     "finalize_theil",
     "finalize_ad",
     "finalize_cvm",
+    "finalize_benford",
 ]
 
 
@@ -161,3 +163,18 @@ def finalize_winsorized(
         cells, group_col, lo_pct=lo_pct, hi_pct=hi_pct,
         round_digits=round_digits,
     )
+
+
+def finalize_benford(
+    cells: DataFrame,
+    group_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Benford first-digit report from the shared cell table —
+    the shared batch finisher (``analytics.benford_from_cells``;
+    non-positive cents are filtered inside it, so the sketch needs no
+    Benford-specific pre-filter): the synthetic-segment smell test,
+    live."""
+    from streamkit_spark.functions.analytics import benford_from_cells
+
+    return benford_from_cells(cells, group_col, round_digits)

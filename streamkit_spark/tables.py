@@ -76,14 +76,34 @@ def normalize_events(df: DataFrame) -> DataFrame:
 _PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _session_alive(spark: SparkSession) -> bool:
+    """A stopped session's SparkContext has ``_jsc = None`` (set by
+    ``SparkContext.stop``); anything py4j-broken counts as dead too."""
+    try:
+        return spark.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _sweep_dead_plans() -> None:
+    """Drop cache entries whose pinned session has been stopped, so a
+    long-lived process that cycles sessions doesn't accumulate dead
+    DataFrames (each entry pins its whole session object).  Runs only on
+    the miss/fresh path — the hot hit path stays a dict lookup."""
+    for k, df in list(_PLAN_CACHE.items()):
+        if not _session_alive(df.sparkSession):
+            _PLAN_CACHE.pop(k, None)
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, fresh: bool = False
 ) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir), name)
     if not fresh:
         hit = _PLAN_CACHE.get(key)
-        if hit is not None:
+        if hit is not None and _session_alive(spark):
             return hit
+    _sweep_dead_plans()
     _prepare(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

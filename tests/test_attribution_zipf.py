@@ -169,6 +169,32 @@ class TestBenford:
         df = spark.createDataFrame([(0.19,)], "v double")
         assert benford_profile(df, "v").collect()[0]["digit"] == 1
 
+    def test_grouped_segments_independent(self, spark):
+        """benford_by_group: a Benford-ish segment and a capped segment
+        get INDEPENDENT digit profiles — the capped one's digit-1 excess
+        is large and positive while the spread one's is near zero, and
+        each group's shares sum to 1."""
+        from streamkit_spark.functions.analytics import benford_by_group
+
+        spread = [
+            ("organic", float(v))
+            for v in [1.2, 1.7, 10.0, 18.0, 2.5, 29.0, 3.1, 4.4, 5.9,
+                      6.2, 7.7, 8.1, 9.6, 1.1, 2.2]
+        ]
+        capped = [("capped", 19.99)] * 10  # every digit = 1
+        df = spark.createDataFrame(spread + capped, "g string, v double")
+        rows = benford_by_group(df, "g", "v").collect()
+        by_grp: dict = {}
+        for r in rows:
+            by_grp.setdefault(r["g"], {})[r["digit"]] = r
+        cap = by_grp["capped"]
+        assert set(cap) == {1} and cap[1]["share"] == 1.0
+        assert cap[1]["excess"] == round(1.0 - 0.30102999566398119, 4)
+        org = by_grp["organic"]
+        # shares are rounded to 4dp, so the sum carries up to 9 half-ulps
+        assert abs(sum(r["share"] for r in org.values()) - 1.0) < 5e-4
+        assert org[1]["excess"] < cap[1]["excess"]
+
 
 class TestHeaps:
     def test_growth_exponent_recovered(self, spark):

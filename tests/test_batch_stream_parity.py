@@ -489,6 +489,17 @@ def test_rankstats_stream_parity(spark, fixture_stream):
             tuple(r) for r in finalize_cvm(cells, "event_type").collect()
         }
         assert got_cvm == want_cvm and len(got_cvm) > 0
+        from streamkit_spark.functions.analytics import benford_by_group
+        from streamkit_spark.streaming.rankstats import finalize_benford
+
+        want_ben = {
+            tuple(r)
+            for r in benford_by_group(batch, "event_type", "value").collect()
+        }
+        got_ben = {
+            tuple(r) for r in finalize_benford(cells, "event_type").collect()
+        }
+        assert got_ben == want_ben and len(got_ben) > 0
     finally:
         q.stop()
 

@@ -129,3 +129,38 @@ def test_xcorr_constant_series_null(spark):
     ]
     r = xcorr_daily(_daily(spark, rows), "g", "day", "value").collect()[0]
     assert r["corr"] is None
+
+
+def test_kendall_matrix_identical_profiles_tau_one(spark):
+    """Two sources with the SAME token ranking tau = 1; a source whose
+    frequency ordering INVERTS it scores tau < 0; zero-filled union
+    vocabulary means a missing token counts as 0, not omitted."""
+    from streamkit_spark.functions.text import kendall_profile_pairs
+
+    mk = lambda words: " ".join(words)  # noqa: E731
+    rows = [
+        # a and b: same ranking (x:3, y:2, z:1), different sizes
+        ("a", mk(["x"] * 3 + ["y"] * 2 + ["z"])),
+        ("b", mk(["x"] * 6 + ["y"] * 4 + ["z"] * 2)),
+        # c: inverted ranking (z:3, y:2, x:1)
+        ("c", mk(["z"] * 3 + ["y"] * 2 + ["x"])),
+        # d: uses only a subset (w appears nowhere else -> zero-filled)
+        ("d", mk(["w"] * 4 + ["x"])),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in kendall_profile_pairs(df).collect()
+    }
+    assert len(out) == 6  # all 4C2 pairs, zero-filled spine
+    # union vocab is {w, x, y, z} for every pair
+    assert all(r["n_tokens"] == 4 for r in out.values())
+    assert out[("a", "b")]["tau"] == 1.0
+    # a vs c: the 3 (x,y,z) pairs all invert (D=3), but w=0 on BOTH
+    # sides is concordant with every positive token (C=3) — tau is
+    # exactly 0, demonstrating the zero-filled spine participates
+    ac = out[("a", "c")]
+    assert (ac["concordant"], ac["discordant"]) == (3, 3)
+    assert ac["tau"] == 0.0 < out[("a", "b")]["tau"]
+    # d shares only x with a; its w column is a's zero — still a row
+    assert ("a", "d") in out

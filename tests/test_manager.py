@@ -275,3 +275,34 @@ def test_racing_creators_of_same_id_deduplicate():
     assert len(calls) == 1  # factory ran exactly once
     assert len(got) == 4 and all(h is got[0] for h in got)
     m.close()
+
+
+def test_base_exception_in_factory_does_not_wedge_the_id():
+    """A BaseException escaping the factory (KeyboardInterrupt — e.g.
+    Ctrl-C during a slow engine build) must clear the per-id in-progress
+    marker and wake waiters; a later get_or_create for the same id must
+    run the factory again instead of blocking forever, and the interrupt
+    must NOT count toward the circuit."""
+    state = {"raise_interrupt": True}
+
+    def factory(sid):
+        if state["raise_interrupt"]:
+            state["raise_interrupt"] = False
+            raise KeyboardInterrupt()
+        return Handle(sid)
+
+    m = EngineManager(factory=factory)
+    with pytest.raises(KeyboardInterrupt):
+        m.get_or_create("a")
+    # no wedge: the retry creates normally (a hang here fails via the
+    # thread timeout rather than blocking the suite)
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(m.get_or_create("a")))
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive() and len(got) == 1
+    # interrupt did not count as a circuit failure
+    assert m.stats()["failures_tracked"] == 0
+    m.close()

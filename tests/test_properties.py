@@ -124,3 +124,34 @@ def test_misra_gries_guarantees(items, k):
     d2 = mg_update(c2, items[:half], k)
     d2 += mg_update(c2, items[half:], k)
     assert c2 == counters and d2 == dec
+
+
+def test_plan_cache_sweeps_dead_session_entries(spark):
+    """The fixture plan cache drops entries pinned to a STOPPED session
+    on the next miss, and never serves a cached plan to a dead caller
+    (stopping a real session would kill the shared test JVM, so deadness
+    is modeled with a stub whose SparkContext has _jsc = None — exactly
+    what SparkContext.stop() leaves behind)."""
+    from streamkit_spark import tables
+    from tests.conftest import SF_DIR
+
+    class _DeadSC:
+        _jsc = None
+
+    class _DeadSession:
+        sparkContext = _DeadSC()
+
+    class _DeadDF:
+        sparkSession = _DeadSession()
+
+    live = tables.load(spark, SF_DIR, "region")
+    assert tables.load(spark, SF_DIR, "region") is live  # warm hit
+    fake_key = (-1, "/nowhere", "region")
+    tables._PLAN_CACHE[fake_key] = _DeadDF()
+    # a miss (fresh=True forces the build path) sweeps the dead entry
+    tables.load(spark, SF_DIR, "region", fresh=True)
+    assert fake_key not in tables._PLAN_CACHE
+    # live entries survive the sweep and still serve warm hits
+    assert tables.load(spark, SF_DIR, "region") is not None
+    assert not tables._session_alive(_DeadSession())
+    assert tables._session_alive(spark)

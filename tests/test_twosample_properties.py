@@ -177,3 +177,228 @@ def test_cell_table_cores_match_textbook_definitions(xs, ys):
     assert math.isclose(w2_c, w2_r, rel_tol=1e-9, abs_tol=1e-12)
     assert math.isclose(a2_c, a2_r, rel_tol=1e-9, abs_tol=1e-12)
     assert math.isclose(dl_c, dl_r, abs_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# r8: the same treatment for the OLDER stat cores (VERDICT r7 item #6) —
+# pure-python mirrors of the engine's integer/cell algebra vs textbook
+# definitions.  The AD N-scaling bug proved engine==oracle==reference can
+# share one omission; these pin each formulation against an INDEPENDENT
+# derivation (mean-difference Gini, per-item Theil, Pearson-over-average-
+# ranks Spearman, the o²/(rt·ct) chi2 identity) on random tie-heavy data.
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction  # noqa: E402
+
+
+def _spearman_mirror(pts):
+    """The engine's doubled-rank integer core (spearman_by_group):
+    dr = 2·rank + ties − 1 per coordinate, five exact moments, one
+    final float divide."""
+    n = len(pts)
+
+    def doubled(vs):
+        from collections import Counter as _C
+
+        cnt = _C(vs)
+        return [
+            2 * (1 + sum(c for w, c in cnt.items() if w < v)) + cnt[v] - 1
+            for v in vs
+        ]
+
+    rx = doubled([p[0] for p in pts])
+    ry = doubled([p[1] for p in pts])
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return None
+    return num / math.sqrt(dx * dy)
+
+
+def _spearman_reference(pts):
+    """Textbook Spearman: Pearson over average (fractional) ranks,
+    exact rationals until the final float."""
+    from collections import Counter as _C
+
+    def avg_ranks(vs):
+        cnt = _C(vs)
+        return [
+            Fraction(2 * sum(c for w, c in cnt.items() if w < v) + cnt[v] + 1, 2)
+            for v in vs
+        ]
+
+    rx = avg_ranks([p[0] for p in pts])
+    ry = avg_ranks([p[1] for p in pts])
+    n = len(pts)
+    mx = sum(rx) / n
+    my = sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    if vx == 0 or vy == 0:
+        return None
+    return float(cov) / math.sqrt(float(vx) * float(vy))
+
+
+@given(pairs_lists)
+@settings(max_examples=300, deadline=None)
+def test_spearman_doubled_rank_core_matches_average_rank_pearson(pts):
+    got = _spearman_mirror(pts) if pts else None
+    want = _spearman_reference(pts) if pts else None
+    assert (got is None) == (want is None)
+    if got is not None:
+        assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_spearman_strictly_monotone_is_exactly_one(idx):
+    # strictly increasing x with y = x (distinct values, no ties)
+    pts = [(i, i) for i in range(len(idx))]
+    assert _spearman_mirror(pts) == 1.0
+
+
+def _chi2_mirror(cells):
+    """The engine's chi2_from_cells fold: Σ (o−e)²/e over the sorted
+    observed cells, e = rt·ct/n."""
+    from collections import defaultdict
+
+    rt: dict = defaultdict(int)
+    ct: dict = defaultdict(int)
+    n = 0
+    for (r, c), o in cells.items():
+        rt[r] += o
+        ct[c] += o
+        n += o
+    if n == 0:
+        return None
+    s = 0.0
+    for (r, c) in sorted(cells):
+        o = cells[(r, c)]
+        e = rt[r] * ct[c] / n
+        s += (o - e) * (o - e) / e
+    return s
+
+
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),
+        st.integers(min_value=1, max_value=20),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_chi2_cell_fold_matches_sum_identity(cells):
+    """The FULL-table chi2 equals the algebraic identity
+    n·Σ o²/(rt·ct) − n (zero cells add 0 to Σo² but e to the (o−e)²/e
+    sum), so the engine's observed-cells-only fold must satisfy
+    mirror + Σ_missing e == identity — pinning both the fold's algebra
+    and the exact amount by which structural zeros understate it (the
+    documented contingency-table contract)."""
+    from collections import defaultdict
+
+    rt: dict = defaultdict(int)
+    ct: dict = defaultdict(int)
+    n = 0
+    for (r, c), o in cells.items():
+        rt[r] += o
+        ct[c] += o
+        n += o
+    got = _chi2_mirror(cells)
+    ident = n * sum(
+        o * o / (rt[r] * ct[c]) for (r, c), o in cells.items()
+    ) - n
+    missing_e = sum(
+        rt[r] * ct[c] / n
+        for r in rt
+        for c in ct
+        if (r, c) not in cells
+    )
+    assert math.isclose(got + missing_e, ident, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(
+    st.lists(st.integers(1, 9), min_size=1, max_size=4),
+    st.lists(st.integers(1, 9), min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_chi2_outer_product_table_is_zero(rws, cls):
+    """H₀ magnitude: a perfectly independent table (counts = the outer
+    product of the margins) scores chi2 exactly 0."""
+    cells = {
+        (i, j): a * b for i, a in enumerate(rws) for j, b in enumerate(cls)
+    }
+    assert math.isclose(_chi2_mirror(cells), 0.0, abs_tol=1e-9)
+
+
+def _gini_mirror_cells(cents):
+    """The engine's gini_from_cells algebra on integer cent values:
+    per distinct value, w = c·cum_prev + c(c+1)/2; G = (2Σx·w −
+    (n+1)Σx·c) / (n·Σx·c) — exact rationals."""
+    n = len(cents)
+    cnt = Counter(cents)
+    cum = 0
+    six = 0
+    sx = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        w = c * cum + c * (c + 1) // 2
+        six += v * w
+        sx += v * c
+        cum += c
+    if sx <= 0:
+        return None
+    return Fraction(2 * six - (n + 1) * sx, n * sx)
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_gini_rank_weight_equals_mean_difference_form(cents):
+    """The tie-stable Lorenz rank-weight Gini equals the textbook
+    mean-absolute-difference form Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) — exactly, in
+    rationals."""
+    got = _gini_mirror_cells(cents)
+    n = len(cents)
+    sx = sum(cents)
+    if sx == 0:
+        assert got is None
+        return
+    mad = sum(abs(a - b) for a in cents for b in cents)  # ordered pairs
+    want = Fraction(mad * n, 2 * n * n * sx)
+    assert got == want
+
+
+def _theil_mirror_cells(cents):
+    """The engine's theil_from_cells fold: ascending-cent cells,
+    term = c·(x/μ)·ln(x/μ), divided by n."""
+    pos = [v for v in cents if v > 0]
+    if not pos:
+        return None
+    n = len(pos)
+    cnt = Counter(pos)
+    mu = sum(pos) / n
+    acc = 0.0
+    for v in sorted(cnt):
+        acc = acc + (cnt[v] * (v / mu)) * math.log(v / mu)
+    return acc / n
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_theil_cell_fold_matches_per_item_definition(cents):
+    got = _theil_mirror_cells(cents)
+    n = len(cents)
+    total = sum(cents)
+    mu = total / n
+    want = math.fsum((v / total) * math.log(v / mu) for v in cents)
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+    # Theil T is non-negative (Jensen) and 0 iff all values equal
+    assert got >= -1e-12
+    if len(set(cents)) == 1:
+        assert got == 0.0
