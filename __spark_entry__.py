@@ -6833,7 +6833,9 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
                       / CAST(tn AS DOUBLE))
                  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                    / CAST(tn AS DOUBLE)) AS t
+                    / CAST(tn AS DOUBLE)) AS t,
+                   CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(tn AS DOUBLE) AS e
             FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
         )
         SELECT CAST(sum(o) AS BIGINT) AS n,
@@ -6841,7 +6843,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
                CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
                     AS BIGINT) AS dof,
-               round(list_sum(list(t ORDER BY r, c)), 4) + 0 AS chi2
+               round(list_sum(list(t ORDER BY r, c))
+                     + (CAST(sum(o) AS DOUBLE)
+                        - list_sum(list(e ORDER BY r, c))), 4) + 0 AS chi2
         FROM terms
     """
     # MAD: both medians are exact order statistics (row_number selects
@@ -7822,7 +7826,9 @@ def oracle_sql() -> dict[str, str]:
                     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
                       / CAST(tn AS DOUBLE))
                  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-                    / CAST(tn AS DOUBLE)) AS t
+                    / CAST(tn AS DOUBLE)) AS t,
+                   CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                     / CAST(tn AS DOUBLE) AS e
             FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot
         ), rep AS (
             SELECT CAST(sum(o) AS BIGINT) AS n,
@@ -7830,7 +7836,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
                    CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1)
                         AS BIGINT) AS dof,
-                   round(list_sum(list(t ORDER BY r, c)), 4) + 0 AS chi2
+                   round(list_sum(list(t ORDER BY r, c))
+                         + (CAST(sum(o) AS DOUBLE)
+                            - list_sum(list(e ORDER BY r, c))), 4) + 0
+                     AS chi2
             FROM terms
         )
         SELECT n, n_rows, n_cols, dof, chi2,

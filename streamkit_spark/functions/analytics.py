@@ -1011,13 +1011,17 @@ def chi2_independence(
 
     Determinism contract: observed counts and marginals are exact
     BIGINTs; each cell's (o−e)²/e term is computed in double with ONE
-    fixed expression shape, and the cross-cell sum — the only
-    order-sensitive float reduction — runs as a left fold over the
+    fixed expression shape, and the cross-cell sums — the only
+    order-sensitive float reductions — run as left folds over the
     (row, col)-sorted cell list (the repo's array_sort+aggregate
-    pattern; the oracle's ``list_sum(list(... ORDER BY))`` replays it
-    bit-for-bit).  No p-value: a chi2 CDF needs the incomplete gamma,
-    which neither engine exposes deterministically — report (chi2, dof)
-    and let the caller look up the critical value.
+    pattern; the oracle's ``list_sum(list(... ORDER BY))`` replays them
+    bit-for-bit).  This is the FULL-table Pearson statistic: structural
+    zeros (an (r, c) combination that never occurs) each contribute
+    (0−e)²/e = e, folded in closed form as n − Σ_observed e since
+    Σ_all e = n — no r×c grid is ever materialized.  No p-value: a chi2
+    CDF needs the incomplete gamma, which neither engine exposes
+    deterministically — report (chi2, dof) and let the caller look up
+    the critical value.
 
     Scale: the fold state is the contingency table itself, bounded by
     |distinct rows|·|distinct cols| — this operator is for categorical
@@ -1072,25 +1076,43 @@ def chi2_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
         cells.join(F.broadcast(rt), "r")
         .join(F.broadcast(ct), "c")
         .crossJoin(F.broadcast(tot))
-        .select("r", "c", "o", term.alias("t"))
+        .select("r", "c", "o", term.alias("t"), e.alias("e"))
     )
-    return j.agg(
+    g = j.agg(
         F.sum("o").cast("long").alias("n"),
         F.countDistinct("r").cast("long").alias("n_rows"),
         F.countDistinct("c").cast("long").alias("n_cols"),
         (
             (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
         ).cast("long").alias("dof"),
+        F.count("*").alias("__n_cells"),
+        F.array_sort(F.collect_list(F.struct("r", "c", "t", "e"))).alias(
+            "__arr"
+        ),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731 — two same-shape folds
+        "__arr",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.getField(field),
+    )
+    return g.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        "dof",
         # NULL (not 0.0) on zero cells: the SQL mirror's list() over an
         # empty input is NULL, and the empty test has no statistic.
+        # Structural-zero (r, c) combinations contribute (0−e)²/e = e
+        # each, and Σ_all e = n exactly, so the full-table Pearson
+        # statistic is Σ_observed t + (n − Σ_observed e) — computed
+        # from observed cells only, no grid materialization.  (Caught
+        # by the H₀/textbook property layer: the observed-cells-only
+        # sum understated chi2 by exactly that mass — engine, oracle,
+        # and the test reference had shared the omission.)
         F.when(
-            F.count("*") > 0,
+            F.col("__n_cells") > 0,
             F.round(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("r", "c", "t"))),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, x: acc + x["t"],
-                ),
+                fold("t") + (F.col("n").cast("double") - fold("e")),
                 round_digits,
             ),
         ).alias("chi2"),

@@ -39,17 +39,10 @@ def _lc(text_col: str) -> Column:
     return F.lower(F.col(text_col))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a (possibly single-file) input across the cluster before
-    expression-heavy per-row work.  A small parquet lands in one partition,
-    which would serialize shingling/hashing on one core; the repartition
-    cost (shuffling raw docs once) is tiny next to the per-row compute it
-    parallelizes.  At real scale inputs arrive in many partitions and this
-    becomes a no-op-sized adjustment."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+from streamkit_spark.functions.util import spread as _spread  # noqa: E402
+# (hoisted to functions/util.py in r8 so zorder_stats and future
+# expression-heavy folds share ONE definition; dedup call sites keep
+# the historical _spread name)
 
 
 # ---------------------------------------------------------------- exact

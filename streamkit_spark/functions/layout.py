@@ -93,12 +93,19 @@ def zorder_stats(
     exactly what a reader would prune on; tight spans in EVERY dimension
     are the point of Z-order (a 1-D sort gives tight spans only in its
     leading column)."""
+    from streamkit_spark.functions.util import spread
+
     z = zorder_key(cols, bits)
     aggs = [F.count("*").alias("n")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return (
-        df.select(*cols, F.shiftright(z, bucket_shift).alias("zbucket"))
+        # spread BEFORE the 16-iteration bit fold: a single-file input
+        # would run the whole Morton expression on one core (the
+        # dedup._spread lesson); the guard makes it a no-op on
+        # already-partitioned inputs
+        spread(df.select(*cols))
+        .select(*cols, F.shiftright(z, bucket_shift).alias("zbucket"))
         .groupBy("zbucket")
         .agg(*aggs)
         .orderBy("zbucket")

@@ -40,6 +40,20 @@ def maybe_broadcast(df: DataFrame, limit: int | None = None) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a (possibly single-file) input across the cluster before
+    expression-heavy per-row work.  A small parquet lands in one
+    partition, which would serialize shingling/hashing/bit-fold work on
+    one core; the repartition cost (shuffling the projected rows once)
+    is tiny next to the per-row compute it parallelizes.  At real scale
+    inputs arrive in many partitions and the guard makes this a no-op —
+    never an extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 
 def pairs_from_sorted_groups(
     grouped: DataFrame,

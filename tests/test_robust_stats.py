@@ -98,6 +98,9 @@ class TestSpearman:
 
 
 def _chi2_ref(pairs):
+    """FULL-table Pearson chi2: the sum runs over every r×c grid cell,
+    including structural zeros (o=0 contributes e) — the textbook
+    definition, independent of the engine's observed-cells-only fold."""
     cells = defaultdict(int)
     for r, c in pairs:
         cells[(r, c)] += 1
@@ -108,10 +111,11 @@ def _chi2_ref(pairs):
         ct[c] += o
     n = sum(cells.values())
     stat = 0.0
-    for (r, c) in sorted(cells):
-        o = cells[(r, c)]
-        e = rt[r] * ct[c] / n
-        stat += (o - e) ** 2 / e
+    for r in sorted(rt):
+        for c in sorted(ct):
+            o = cells.get((r, c), 0)
+            e = rt[r] * ct[c] / n
+            stat += (o - e) ** 2 / e
     return stat, (len(rt) - 1) * (len(ct) - 1), n
 
 
@@ -129,6 +133,17 @@ class TestChi2:
         assert row["dof"] == dof
         assert row["n_rows"] == 3 and row["n_cols"] == 3
         assert row["chi2"] == pytest.approx(stat, abs=1e-4)
+
+    def test_structural_zero_cells_count(self, spark):
+        """A diagonal 2×2 table ((a,0)×5, (b,1)×5) has two structural
+        zeros; the full-table Pearson statistic is n·(ad−bc)²/(r1·r2·
+        c1·c2) = 10.0 — the observed-cells-only sum would say 5.0 (the
+        omission the H₀/textbook property layer caught)."""
+        pairs = [("a", 0)] * 5 + [("b", 1)] * 5
+        df = spark.createDataFrame(pairs, "r string, c long")
+        row = chi2_independence(df, "r", "c").collect()[0]
+        assert row["chi2"] == pytest.approx(10.0, abs=1e-6)
+        assert row["dof"] == 1
 
     def test_independent_uniform_is_zero(self, spark):
         pairs = [(r, c) for r in ("x", "y") for c in (0, 1) for _ in range(5)]

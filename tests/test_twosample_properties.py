@@ -264,8 +264,10 @@ def test_spearman_strictly_monotone_is_exactly_one(idx):
 
 
 def _chi2_mirror(cells):
-    """The engine's chi2_from_cells fold: Σ (o−e)²/e over the sorted
-    observed cells, e = rt·ct/n."""
+    """The engine's chi2_from_cells algebra: Σ (o−e)²/e over the sorted
+    OBSERVED cells plus the closed-form structural-zero mass
+    n − Σ_observed e (every zero cell contributes e and Σ_all e = n) —
+    the full-table Pearson statistic from observed cells only."""
     from collections import defaultdict
 
     rt: dict = defaultdict(int)
@@ -278,11 +280,13 @@ def _chi2_mirror(cells):
     if n == 0:
         return None
     s = 0.0
+    se = 0.0
     for (r, c) in sorted(cells):
         o = cells[(r, c)]
         e = rt[r] * ct[c] / n
         s += (o - e) * (o - e) / e
-    return s
+        se += e
+    return s + (n - se)
 
 
 @given(
@@ -295,12 +299,11 @@ def _chi2_mirror(cells):
 )
 @settings(max_examples=300, deadline=None)
 def test_chi2_cell_fold_matches_sum_identity(cells):
-    """The FULL-table chi2 equals the algebraic identity
-    n·Σ o²/(rt·ct) − n (zero cells add 0 to Σo² but e to the (o−e)²/e
-    sum), so the engine's observed-cells-only fold must satisfy
-    mirror + Σ_missing e == identity — pinning both the fold's algebra
-    and the exact amount by which structural zeros understate it (the
-    documented contingency-table contract)."""
+    """The engine's algebra (observed fold + closed-form zero-cell
+    mass) equals the independent identity n·Σ o²/(rt·ct) − n, which IS
+    the full-table Pearson statistic (zero cells add 0 to Σo² but e to
+    the (o−e)²/e sum) — two derivations that share nothing but the
+    definition."""
     from collections import defaultdict
 
     rt: dict = defaultdict(int)
@@ -314,13 +317,7 @@ def test_chi2_cell_fold_matches_sum_identity(cells):
     ident = n * sum(
         o * o / (rt[r] * ct[c]) for (r, c), o in cells.items()
     ) - n
-    missing_e = sum(
-        rt[r] * ct[c] / n
-        for r in rt
-        for c in ct
-        if (r, c) not in cells
-    )
-    assert math.isclose(got + missing_e, ident, rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(got, ident, rel_tol=1e-9, abs_tol=1e-9)
 
 
 @given(
