@@ -3319,6 +3319,71 @@ def q_classifier_auc(spark, sf_dir):
     return AN.auc_report(scored.join(labels, "doc_id"), "score", "passes")
 
 
+def _qc_gate_joined(spark, sf_dir):
+    """Shared classifier-score ⋈ rule-gate input for the agreement /
+    calibration queries (gate_kappa, calibration_ece, calibration_brier)
+    — one definition so the three stay on the same scores and labels as
+    score_calibration / classifier_auc."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = C.quality_classifier_score(docs, bias=0.1).select(
+        "doc_id", "score"
+    )
+    labels = C.quality_rules(docs).select("doc_id", "passes")
+    return scored.join(labels, "doc_id")
+
+
+def q_gate_kappa(spark, sf_dir):
+    """Cohen's kappa between the classifier gate (score ≥ 0.1) and the
+    Gopher/C4 rule gate (analytics.cohen_kappa): chance-corrected
+    agreement between the two keep decisions — raw accuracy is inflated
+    whenever one label dominates; κ is the honest number.  Exact
+    contingency/marginal/diagonal integers, chance mass in
+    DECIMAL(38,0), ONE double division — no float reduction anywhere
+    (the chi2_independence discipline)."""
+    from streamkit_spark.functions import analytics as AN
+
+    j = _qc_gate_joined(spark, sf_dir).select(
+        (F.col("score") >= F.lit(0.1)).alias("clf_keep"), "passes"
+    )
+    return AN.cohen_kappa(j, "clf_keep", "passes")
+
+
+def q_calibration_ece(spark, sf_dir):
+    """Expected / maximum calibration error of the quality classifier
+    against the rule gate (analytics.expected_calibration_error): the
+    4dp score squashed into [0, 1] by the fixed affine clamp
+    p = clamp(score + 0.5), then fixed-width decile bins compare each
+    bin's mean predicted p with its actual rule-pass rate.  Per-bin
+    terms are single double divisions of exact components (counts + the
+    exact DECIMAL(18,4) probability sum); the only cross-bin float sum
+    folds over the bucket-sorted ≤10-element bin list."""
+    from streamkit_spark.functions import analytics as AN
+
+    p = F.least(
+        F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
+    )
+    j = _qc_gate_joined(spark, sf_dir).select(p.alias("prob"), "passes")
+    return AN.expected_calibration_error(j, "prob", "passes", n_buckets=10)
+
+
+def q_calibration_brier(spark, sf_dir):
+    """Murphy reliability/resolution/uncertainty decomposition of the
+    binned Brier score for the same squashed classifier probability
+    (analytics.brier_decomposition over the SAME calibration cells as
+    calibration_ece): is the score miscalibrated (REL), or merely
+    uninformative (low RES vs UNC)?  Same determinism contract as
+    calibration_ece — two more bucket-sorted folds over ≤10 bins."""
+    from streamkit_spark.functions import analytics as AN
+
+    p = F.least(
+        F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
+    )
+    j = _qc_gate_joined(spark, sf_dir).select(p.alias("prob"), "passes")
+    return AN.brier_decomposition(j, "prob", "passes", n_buckets=10)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3609,6 +3674,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window in r9 (see the CLAUDE.md rotation ledger) ---
         "benford_value": q_benford_value,
         "kendall_matrix": q_kendall_matrix,
+        "gate_kappa": q_gate_kappa,
+        "calibration_ece": q_calibration_ece,
+        "calibration_brier": q_calibration_brier,
     }
 
 
@@ -8861,5 +8929,128 @@ def oracle_sql() -> dict[str, str]:
                      u / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) END, 4)
                  AS auc
         FROM fin
+    """
+    # Cohen's kappa between the classifier gate and the rule gate: the
+    # contingency-cell algebra with exact BIGINT counts, the chance
+    # mass Σ rt·ct in DECIMAL(38,0), and ONE double division
+    # (n·agree − pe_num)/(n² − pe_num) — the engine's kappa_from_cells
+    # shape exactly.
+    sql["gate_kappa"] = f"""
+        WITH {_qc_lab_ctes}, j AS (
+            SELECT (sc0.score >= CAST('0.1' AS DOUBLE)) AS r,
+                   lab.passes AS c
+            FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
+            WHERE sc0.score IS NOT NULL AND lab.passes IS NOT NULL
+        ), cells AS (
+            SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2
+        ), rt AS (
+            SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+        ), ct AS (
+            SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+        ), pe AS (
+            SELECT coalesce(
+                CAST(sum(CAST(rt AS DECIMAL(19,0)) * CAST(ct AS DECIMAL(19,0)))
+                     AS DECIMAL(38,0)),
+                CAST(0 AS DECIMAL(38,0))) AS pe_num
+            FROM rt JOIN ct ON rt.r = ct.c
+        ), g AS (
+            SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n,
+                   CAST(coalesce(sum(CASE WHEN r = c THEN o ELSE 0 END), 0)
+                        AS BIGINT) AS agree,
+                   CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+            FROM cells
+        )
+        SELECT n, n_rows, n_cols,
+               round(CASE WHEN n > 0 THEN
+                     CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) END, 4) + 0
+                 AS po,
+               round(CASE WHEN n > 0 THEN
+                     CAST(pe_num AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END, 4) + 0
+                 AS pe,
+               round(CASE WHEN n > 0
+                          AND (CAST(n AS DECIMAL(19,0))
+                               * CAST(n AS DECIMAL(19,0)) - pe_num) > 0 THEN
+                     CAST(CAST(n AS DECIMAL(19,0)) * CAST(agree AS DECIMAL(19,0))
+                          - pe_num AS DOUBLE)
+                     / CAST(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                            - pe_num AS DOUBLE) END, 4) + 0 AS kappa
+        FROM g CROSS JOIN pe
+    """
+    # Calibration cells shared by ECE and the Brier decomposition: the
+    # 4dp score squashed by the fixed affine clamp, fixed-width decile
+    # bins, exact counts + the exact DECIMAL(18,4) probability sum.
+    _cal_cells_ctes = f"""{_qc_lab_ctes}, cal AS (
+            SELECT least(greatest(sc0.score + CAST('0.5' AS DOUBLE),
+                                  CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS p,
+                   lab.passes AS y
+            FROM sc0 JOIN lab ON sc0.doc_id = lab.doc_id
+            WHERE sc0.score IS NOT NULL AND lab.passes IS NOT NULL
+        ), cells AS (
+            SELECT CAST(least(greatest(floor(p * CAST(10 AS DOUBLE)),
+                                       CAST(0 AS DOUBLE)),
+                              CAST(9 AS DOUBLE)) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                   sum(CAST(p AS DECIMAL(18,4))) AS psum
+            FROM cal GROUP BY 1
+        )"""
+    sql["calibration_ece"] = f"""
+        WITH {_cal_cells_ctes}, tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS tn FROM cells
+        ), terms AS (
+            SELECT bucket,
+                   abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(psum AS DOUBLE) / CAST(n AS DOUBLE)) AS gap,
+                   (CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))
+                   * abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(psum AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+            FROM cells CROSS JOIN tot
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                   CASE WHEN count(*) > 0
+                        THEN list_sum(list(term ORDER BY bucket)) END AS e,
+                   max(gap) AS m
+            FROM terms
+        )
+        SELECT tn AS n, n_bins,
+               round(e, 4) + 0 AS ece,
+               round(m, 4) + 0 AS mce
+        FROM g CROSS JOIN tot
+    """
+    sql["calibration_brier"] = f"""
+        WITH {_cal_cells_ctes}, tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(pos) AS BIGINT) AS tp
+            FROM cells
+        ), base AS (
+            SELECT bucket,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+                   CAST(psum AS DOUBLE) / CAST(n AS DOUBLE) AS conf,
+                   CAST(tn AS DOUBLE) AS tnd,
+                   CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS yb
+            FROM cells CROSS JOIN tot
+        ), terms AS (
+            SELECT bucket, yb,
+                   (nd / tnd) * (conf - acc) * (conf - acc) AS rel_t,
+                   (nd / tnd) * (acc - yb) * (acc - yb) AS res_t
+            FROM base
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                   max(yb) AS yb,
+                   CASE WHEN count(*) > 0
+                        THEN list_sum(list(rel_t ORDER BY bucket)) END AS rl,
+                   CASE WHEN count(*) > 0
+                        THEN list_sum(list(res_t ORDER BY bucket)) END AS rs
+            FROM terms
+        )
+        SELECT tn AS n, n_bins,
+               round(yb, 4) + 0 AS ybar,
+               round(rl, 4) + 0 AS rel,
+               round(rs, 4) + 0 AS res,
+               round(yb * (CAST(1 AS DOUBLE) - yb), 4) + 0 AS unc
+        FROM g CROSS JOIN tot
     """
     return sql

@@ -97,6 +97,13 @@ __all__ = [
     "holt_from_daily",
     "calibration_report",
     "auc_report",
+    "cohen_kappa",
+    "kappa_from_cells",
+    "calibration_cells",
+    "expected_calibration_error",
+    "ece_from_cells",
+    "brier_decomposition",
+    "brier_from_cells",
 ]
 
 
@@ -4051,4 +4058,315 @@ def auc_report(
         F.col("n").alias("n_pos"),
         F.col("n_rest").alias("n_neg"),
         F.round(auc, round_digits).alias("auc"),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two categorical
+    labelings of the same rows (Cohen 1960): κ = (p_o − p_e)/(1 − p_e)
+    with p_o the observed agreement rate and p_e the chance-agreement
+    rate Σ_k (rt_k/n)(ct_k/n) from the two marginals — the
+    chance-corrected answer to "do the rule gate and the classifier
+    gate actually agree?", where raw accuracy is inflated whenever one
+    label dominates.  One row
+    ``(n, n_rows, n_cols, po, pe, kappa)``; κ = 1 is perfect
+    agreement, 0 is chance level, negative is systematic DISagreement.
+
+    The two rater columns must share a comparable type/domain (they are
+    compared with ``=`` for the diagonal and joined for p_e).
+
+    Determinism contract (the chi2_independence discipline): the
+    contingency table, both marginals, the diagonal mass, and the
+    chance mass Σ rt_k·ct_k are all exact integers (products computed
+    in DECIMAL(38,0) — BIGINT² ≈ 8.5e37 always fits); κ is then ONE
+    double division of exact components,
+    (n·agree − pe_num)/(n² − pe_num) — no float reduction anywhere.
+    NULL statistics on empty input; κ NULL when p_e = 1 (both raters
+    constant and equal — agreement is undefined, not perfect).
+
+    Scale: one map-side-combined count bounded by the label-domain
+    product, then everything runs on the contingency table.
+    """
+    return kappa_from_cells(
+        contingency_cells(df, rater_a, rater_b), round_digits=round_digits
+    )
+
+
+def kappa_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`cohen_kappa` over a prebuilt (r, c, o)
+    contingency table (the contingency streaming sketch — kappa is the
+    sketch's agreement report next to chi2/V/MI's association ones)."""
+    # feeds three branches (diagonal/total agg + both marginals): the
+    # chi2_from_cells checkpoint rationale applies verbatim
+    cells = cells.localCheckpoint(eager=False)
+    rt = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("long").alias("ct"))
+    # chance mass Σ_k rt_k·ct_k over SHARED categories — a category one
+    # rater never uses contributes 0 (its missing margin is 0), so the
+    # inner join is exact; disjoint domains ⇒ empty join ⇒ p_e = 0,
+    # which the coalesce below restores (sum over empty is NULL)
+    d19 = "decimal(19,0)"
+    pe_row = (
+        rt.join(ct, rt["r"] == ct["c"])
+        .agg(
+            F.sum(
+                F.col("rt").cast(d19) * F.col("ct").cast(d19)
+            ).alias("pe_num")
+        )
+    )
+    g = cells.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == F.col("c"), F.col("o")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("agree"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+        F.countDistinct("c").cast("long").alias("n_cols"),
+    )
+    j = g.crossJoin(F.broadcast(pe_row)).select(
+        "n",
+        "agree",
+        "n_rows",
+        "n_cols",
+        F.coalesce(F.col("pe_num"), F.lit(0).cast("decimal(38,0)")).alias(
+            "pe_num"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    n2 = F.col("n").cast(d19) * F.col("n").cast(d19)
+    num = F.col("n").cast(d19) * F.col("agree").cast(d19) - F.col("pe_num")
+    den = n2 - F.col("pe_num")
+    kappa = F.when(
+        (F.col("n") > 0) & (den > 0),
+        num.cast("double") / den.cast("double"),
+    )
+    return j.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        (
+            F.round(
+                F.when(
+                    F.col("n") > 0,
+                    F.col("agree").cast("double") / nd,
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("po"),
+        (
+            F.round(
+                F.when(
+                    F.col("n") > 0,
+                    F.col("pe_num").cast("double") / (nd * nd),
+                ),
+                round_digits,
+            )
+            + F.lit(0.0)
+        ).alias("pe"),
+        (F.round(kappa, round_digits) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+def calibration_cells(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Shared (bucket, n, pos, psum) table for the calibration-drift
+    statistics (ECE / MCE / Brier decomposition): fixed-width
+    probability bins over [0, 1] with exact counts and an exact
+    DECIMAL(18,4) probability sum.
+
+    ``prob_col`` is a predicted probability (clamped into [0, 1]; the
+    top edge folds into the last bucket) and ``label_col`` a boolean
+    outcome.  The probability sum quantizes each p to 4 decimal places
+    via the monotone double→decimal cast — the quantization IS the
+    contract (the kendall_tau_binned discipline): sums are exact
+    whatever the partial-aggregation order, so the cells are MONOTONE
+    and merge by ADDITION — this aggregate is also the streaming sketch
+    (``streaming/calibration.py``).  Feed already-rounded scores (the
+    repo's classifiers emit 4dp) and the quantization is the identity.
+
+    Scale: one map-side-combined aggregate; ≤ ``n_buckets`` output
+    rows, whatever the corpus size.
+    """
+    p = F.col(prob_col).cast("double")
+    clamped = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    bucket = F.least(
+        F.greatest(F.floor(clamped * F.lit(n_buckets)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        df.filter(p.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            bucket.alias("bucket"),
+            F.col(label_col).alias("__y"),
+            clamped.cast("decimal(18,4)").alias("__p4"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+            F.sum("__p4").alias("psum"),
+        )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Expected / maximum calibration error of a probabilistic
+    classifier (Naeini et al. AAAI'15): bin predictions into
+    ``n_buckets`` fixed-width probability bins and compare each bin's
+    mean predicted probability (confidence) with its actual positive
+    rate (accuracy) — ECE = Σ_b (n_b/N)·|acc_b − conf_b| weights the
+    gaps by mass, MCE takes the worst bin.  One row
+    ``(n, n_bins, ece, mce)`` — the drift readout that says the
+    quality classifier's SCORES have stopped meaning what they say,
+    before the downstream keep-rate ever moves.
+
+    Determinism contract: per-bin accuracy and confidence are single
+    double divisions of exact components (counts; the 4dp-quantized
+    probability sum); the only cross-bin float sum (ECE) runs as a left
+    fold over the bucket-sorted bin list (≤ n_buckets elements), and
+    MCE is a max (order-independent).  NULL statistics on empty input.
+
+    Scale: everything after the one corpus aggregate runs on
+    ≤ ``n_buckets`` rows.
+    """
+    return ece_from_cells(
+        calibration_cells(df, prob_col, label_col, n_buckets),
+        round_digits=round_digits,
+    )
+
+
+def ece_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`expected_calibration_error` over a
+    prebuilt (bucket, n, pos, psum) table (the calibration streaming
+    sketch)."""
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(F.sum("n").cast("long").alias("tn"))
+    nd = F.col("n").cast("double")
+    acc = F.col("pos").cast("double") / nd
+    conf = F.col("psum").cast("double") / nd
+    gap = F.abs(acc - conf)
+    term = (nd / F.col("tn").cast("double")) * gap
+    j = cells.crossJoin(F.broadcast(tot)).select(
+        "bucket", "tn", gap.alias("gap"), term.alias("term")
+    )
+    g = j.agg(
+        F.max("tn").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.when(
+            F.count("*") > 0,
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x["term"],
+            ),
+        ).alias("__ece"),
+        F.max("gap").alias("__mce"),
+    )
+    return g.select(
+        "n",
+        "n_bins",
+        (F.round(F.col("__ece"), round_digits) + F.lit(0.0)).alias("ece"),
+        (F.round(F.col("__mce"), round_digits) + F.lit(0.0)).alias("mce"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the binned Brier score into
+    REL(iability) − RES(olution) + UNC(ertainty): REL =
+    (1/N)Σ n_b(conf_b − acc_b)² is miscalibration (0 is perfect), RES =
+    (1/N)Σ n_b(acc_b − ȳ)² is how much the bins separate outcomes
+    (bigger is better), UNC = ȳ(1−ȳ) is the outcome's own variance —
+    the companion readout to :func:`expected_calibration_error` (ECE
+    asks "how big are the gaps?", the decomposition asks "is the score
+    miscalibrated, or just uninformative?").  One row
+    ``(n, n_bins, ybar, rel, res, unc)``, conf_b taken as the bin's
+    mean predicted probability.
+
+    Determinism contract and scale: identical to
+    :func:`ece_from_cells` — same cell table, two more bucket-sorted
+    folds, everything past the corpus aggregate on ≤ n_buckets rows.
+    """
+    return brier_from_cells(
+        calibration_cells(df, prob_col, label_col, n_buckets),
+        round_digits=round_digits,
+    )
+
+
+def brier_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Finisher half of :func:`brier_decomposition` over a prebuilt
+    (bucket, n, pos, psum) table (the calibration streaming sketch)."""
+    cells = cells.localCheckpoint(eager=False)
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("pos").cast("long").alias("tp"),
+    )
+    nd = F.col("n").cast("double")
+    tnd = F.col("tn").cast("double")
+    ybar = F.col("tp").cast("double") / tnd
+    acc = F.col("pos").cast("double") / nd
+    conf = F.col("psum").cast("double") / nd
+    w = nd / tnd
+    j = cells.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "tn",
+        ybar.alias("__ybar"),
+        (w * (conf - acc) * (conf - acc)).alias("rel_t"),
+        (w * (acc - ybar) * (acc - ybar)).alias("res_t"),
+    )
+
+    def _fold(field: str) -> Column:
+        return F.when(
+            F.count("*") > 0,
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "rel_t", "res_t"))
+                ),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x[field],
+            ),
+        )
+
+    g = j.agg(
+        F.max("tn").alias("n"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.max("__ybar").alias("__yb"),
+        _fold("rel_t").alias("__rel"),
+        _fold("res_t").alias("__res"),
+    )
+    return g.select(
+        "n",
+        "n_bins",
+        (F.round(F.col("__yb"), round_digits) + F.lit(0.0)).alias("ybar"),
+        (F.round(F.col("__rel"), round_digits) + F.lit(0.0)).alias("rel"),
+        (F.round(F.col("__res"), round_digits) + F.lit(0.0)).alias("res"),
+        (
+            F.round(
+                F.col("__yb") * (F.lit(1.0) - F.col("__yb")), round_digits
+            )
+            + F.lit(0.0)
+        ).alias("unc"),
     )

@@ -214,8 +214,10 @@ def register_diagnostics_views(
     * ``{p}mi_weekday``    — mutual information / NMI of type × weekday
     * ``{p}weekday_outliers`` — seasonality-corrected daily anomalies
     * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit),
-      ``{p}heaps`` (vocabulary-growth fit), and ``{p}collocations``
-      (Dunning LLR token pairs)
+      ``{p}heaps`` (vocabulary-growth fit), ``{p}collocations``
+      (Dunning LLR token pairs), ``{p}gate_kappa`` (chance-corrected
+      classifier-vs-rule-gate agreement), and ``{p}calibration``
+      (classifier ECE/MCE against the rule gate)
 
     Views are logical plans; each inherits the underlying scan's
     pushdown.  The events frame must be normalized (``tables.load``)."""
@@ -275,6 +277,34 @@ def register_diagnostics_views(
         views[f"{p}zipf"] = T.zipf_fit(counts)
         views[f"{p}heaps"] = T.heaps_fit(documents)
         views[f"{p}collocations"] = T.llr_pairs(documents)
+        from streamkit_spark.functions import curation as C
+
+        gated = (
+            C.quality_classifier_score(documents, bias=0.1)
+            .select("doc_id", "score")
+            .join(
+                C.quality_rules(documents).select("doc_id", "passes"),
+                "doc_id",
+            )
+        )
+        views[f"{p}gate_kappa"] = A.cohen_kappa(
+            gated.select(
+                (F.col("score") >= F.lit(0.1)).alias("clf_keep"), "passes"
+            ),
+            "clf_keep",
+            "passes",
+        )
+        views[f"{p}calibration"] = A.expected_calibration_error(
+            gated.select(
+                F.least(
+                    F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)),
+                    F.lit(1.0),
+                ).alias("prob"),
+                "passes",
+            ),
+            "prob",
+            "passes",
+        )
     for name, df in views.items():
         df.createOrReplaceTempView(name)
     return sorted(views)

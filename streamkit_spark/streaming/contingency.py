@@ -17,7 +17,11 @@ report is a shared batch finisher over it.
   (chi2), "how strongly are they associated?" (Cramér's V), "how many
   nats does one tell you about the other?" (MI/NMI).
 
-One sketch, three reports — live categorical drift monitoring with no
+* ``finalize_kappa`` — when the two columns are two RATERS of one item
+  (rule gate vs classifier gate), the same table's Cohen's-kappa
+  agreement report.
+
+One sketch, four reports — live categorical drift monitoring with no
 second pass over the stream.
 """
 
@@ -30,6 +34,7 @@ __all__ = [
     "finalize_chi2",
     "finalize_mi",
     "finalize_cramers",
+    "finalize_kappa",
 ]
 
 
@@ -66,3 +71,14 @@ def finalize_cramers(cells: DataFrame, round_digits: int = 4) -> DataFrame:
     from streamkit_spark.functions.analytics import cramers_from_cells
 
     return cramers_from_cells(cells, round_digits=round_digits)
+
+
+def finalize_kappa(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Cohen's kappa agreement report from the SAME contingency table —
+    the shared batch finisher (``analytics.kappa_from_cells``): when
+    the two columns are two RATERS of one item (rule gate vs classifier
+    gate), the sketch's fourth report answers "do they still agree
+    beyond chance?" live."""
+    from streamkit_spark.functions.analytics import kappa_from_cells
+
+    return kappa_from_cells(cells, round_digits=round_digits)

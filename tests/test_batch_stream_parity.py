@@ -560,6 +560,57 @@ def test_contingency_stream_parity(spark, fixture_stream):
         q.stop()
 
 
+def test_calibration_stream_parity(spark, fixture_stream):
+    """The SAME streaming (bucket, n, pos, psum) calibration-cell table
+    feeds BOTH calibration finishers: live ECE/MCE and Brier-
+    decomposition reports equal the batch analytics operators exactly
+    (streaming/calibration.py), and state is bucket-bounded."""
+    from streamkit_spark.functions.analytics import (
+        brier_decomposition,
+        expected_calibration_error,
+    )
+    from streamkit_spark.streaming.calibration import (
+        calibration_stream,
+        finalize_brier,
+        finalize_ece,
+    )
+
+    # a deterministic probability/outcome pair from the fixture: the
+    # scaled value as the "prediction", a type flag as the outcome
+    prob = F.least(
+        F.greatest(F.col("value").cast("double") / F.lit(100.0), F.lit(0.0)),
+        F.lit(1.0),
+    ).alias("prob")
+    label = (F.col("event_type") == F.lit("click")).alias("y")
+    batch = tables.load(spark, SF_DIR, "events").select(prob, label)
+    want_ece = {
+        tuple(r)
+        for r in expected_calibration_error(batch, "prob", "y").collect()
+    }
+    want_brier = {
+        tuple(r) for r in brier_decomposition(batch, "prob", "y").collect()
+    }
+    stream = fixture_stream.select(prob, label)
+    q = (
+        calibration_stream(stream, "prob", "y")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_calibration")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cells = spark.sql("SELECT * FROM parity_calibration")
+        # state bound: occupied fixed-width bins only, never row count
+        assert 0 < cells.count() <= 10
+        got_ece = {tuple(r) for r in finalize_ece(cells).collect()}
+        assert got_ece == want_ece and len(got_ece) == 1
+        got_brier = {tuple(r) for r in finalize_brier(cells).collect()}
+        assert got_brier == want_brier and len(got_brier) == 1
+    finally:
+        q.stop()
+
+
 def test_daily_series_stream_parity(spark, fixture_stream):
     """The SAME streaming (grp, day, y) daily-total table feeds all
     three daily-series finishers: live seasonal-strength, ACF, and

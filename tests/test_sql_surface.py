@@ -155,15 +155,18 @@ def test_diagnostics_views_queryable_from_sql(spark):
     docs = tables.load(spark, SF_DIR, "documents")
     names = register_diagnostics_views(spark, ev, docs)
     assert names == [
-        "dg_benford", "dg_chi2_weekday", "dg_collocations",
-        "dg_cramers_weekday", "dg_cusum", "dg_cvm_drift",
-        "dg_effect_sizes", "dg_heaps", "dg_mad_outliers",
-        "dg_mi_weekday", "dg_quantile_sketch", "dg_shape_drift",
-        "dg_theil", "dg_value_trend", "dg_weekday_outliers", "dg_zipf",
+        "dg_benford", "dg_calibration", "dg_chi2_weekday",
+        "dg_collocations", "dg_cramers_weekday", "dg_cusum",
+        "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa", "dg_heaps",
+        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
+        "dg_shape_drift", "dg_theil", "dg_value_trend",
+        "dg_weekday_outliers", "dg_zipf",
     ]
     row = spark.sql(
         """
         SELECT (SELECT round(sum(share), 1) FROM dg_benford) AS share_mass,
+               (SELECT kappa FROM dg_gate_kappa) AS kappa,
+               (SELECT mce FROM dg_calibration) AS mce,
                (SELECT count(*) FROM dg_mad_outliers) AS mad_groups,
                (SELECT dof FROM dg_chi2_weekday) AS dof,
                (SELECT count(*) FROM dg_cusum
@@ -204,6 +207,8 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["colloc_rows"] > 0
     assert row["ad_rows"] == n_types
     assert row["cvm_rows"] == n_types
+    assert row["kappa"] is not None and -1 <= row["kappa"] <= 1
+    assert row["mce"] is not None and 0 <= row["mce"] <= 1
 
 
 def test_timeseries_views_queryable_from_sql(spark):

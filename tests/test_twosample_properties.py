@@ -399,3 +399,138 @@ def test_theil_cell_fold_matches_per_item_definition(cents):
     assert got >= -1e-12
     if len(set(cents)) == 1:
         assert got == 0.0
+
+
+def _kappa_mirror_cells(cells):
+    """The engine's kappa_from_cells algebra: exact integer contingency
+    counts, chance mass Σ rt·ct over shared categories, ONE division
+    (n·agree − pe_num)/(n² − pe_num) — mirrored on exact Fractions."""
+    n = sum(cells.values())
+    if n == 0:
+        return None
+    agree = sum(o for (r, c), o in cells.items() if r == c)
+    rt = Counter()
+    ct = Counter()
+    for (r, c), o in cells.items():
+        rt[r] += o
+        ct[c] += o
+    pe_num = sum(rt[k] * ct[k] for k in set(rt) & set(ct))
+    den = n * n - pe_num
+    if den == 0:
+        return None
+    return Fraction(n * agree - pe_num, den)
+
+
+confusion_tables = st.dictionaries(
+    st.tuples(st.integers(0, 3), st.integers(0, 3)),
+    st.integers(1, 50),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(confusion_tables)
+@settings(max_examples=300, deadline=None)
+def test_kappa_cell_algebra_matches_textbook_definition(cells):
+    """κ = (p_o − p_e)/(1 − p_e) from the Cohen 1960 definition on
+    per-item probabilities must equal the integer-core formulation."""
+    got = _kappa_mirror_cells(cells)
+    n = sum(cells.values())
+    if n == 0:
+        assert got is None
+        return
+    po = Fraction(sum(o for (r, c), o in cells.items() if r == c), n)
+    rt = Counter()
+    ct = Counter()
+    for (r, c), o in cells.items():
+        rt[r] += o
+        ct[c] += o
+    pe = sum(Fraction(rt[k], n) * Fraction(ct[k], n) for k in rt if k in ct)
+    if pe == 1:
+        assert got is None
+        return
+    assert got == (po - pe) / (1 - pe)
+    # range law: κ ∈ [−1, 1] (the H₀-magnitude class of check)
+    assert -1 <= got <= 1
+
+
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=4),
+    st.lists(st.integers(1, 40), min_size=1, max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_kappa_outer_product_table_is_zero(rws, cls):
+    """H₀ magnitude: an exact-independence table (o = outer product of
+    the margins) has p_o == p_e, so κ is exactly 0."""
+    cells = {
+        (i, j): a * b
+        for i, a in enumerate(rws)
+        for j, b in enumerate(cls)
+    }
+    got = _kappa_mirror_cells(cells)
+    if got is None:
+        # pe == 1 ⇔ single row AND single column category
+        assert len(rws) == 1 and len(cls) == 1
+        return
+    assert got == 0
+
+
+def _ece_mirror_cells(samples, n_buckets=10):
+    """The engine's calibration_cells + ece_from_cells algebra: clamp,
+    fixed-width bin, 4dp-quantized probability sums, mass-weighted
+    absolute gaps summed in bucket order."""
+    cells = {}
+    for p, y in samples:
+        pc = min(max(p, 0.0), 1.0)
+        b = min(max(math.floor(pc * n_buckets), 0), n_buckets - 1)
+        n, pos, psum = cells.get(b, (0, 0, Fraction(0)))
+        q = Fraction(round(Fraction(pc).limit_denominator(10**9) * 10000), 10000)
+        cells[b] = (n + 1, pos + (1 if y else 0), psum + q)
+    if not cells:
+        return None
+    tn = sum(c[0] for c in cells.values())
+    ece = 0.0
+    mce = 0.0
+    for b in sorted(cells):
+        n, pos, psum = cells[b]
+        gap = abs(pos / n - float(psum) / n)
+        ece = ece + (n / tn) * gap
+        mce = max(mce, gap)
+    return ece, mce
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10000).map(lambda k: k / 10000.0),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ece_cell_fold_matches_per_sample_binning(samples):
+    """ECE from the cell table must equal the direct per-sample
+    definition: bin every sample, then Σ (n_b/N)|acc_b − conf_b| —
+    and both gaps are bounded by 1 (the range law)."""
+    got = _ece_mirror_cells(samples)
+    assert got is not None
+    ece, mce = got
+    # direct: group samples by bin
+    bins = {}
+    for p, y in samples:
+        b = min(max(math.floor(min(max(p, 0.0), 1.0) * 10), 0), 9)
+        bins.setdefault(b, []).append((p, y))
+    n = len(samples)
+    want = math.fsum(
+        (len(v) / n)
+        * abs(
+            sum(1 for _, y in v if y) / len(v)
+            - sum(p for p, _ in v) / len(v)
+        )
+        for v in bins.values()
+    )
+    # 4dp probs are exact in the quantization, so only float-order slack
+    assert math.isclose(ece, want, rel_tol=1e-9, abs_tol=1e-12)
+    assert 0 <= ece <= mce <= 1
