@@ -3384,6 +3384,36 @@ def q_calibration_brier(spark, sf_dir):
     return AN.brier_decomposition(j, "prob", "passes", n_buckets=10)
 
 
+def q_hill_tail(spark, sf_dir):
+    """Per-event-type Hill tail-index over the top-100 values
+    (analytics.hill_tail_by_group): the heavy-tail exponent audit —
+    α ≤ 2 means infinite variance, so means/z-tests on that segment
+    are lies.  The (k+1)-th-largest threshold is an exact order
+    statistic from the distinct-value cell table (integer cumulative
+    counts, tie-safe); each term c·ln(v/u) is one fixed double
+    expression; the only float sum folds in ascending-value order,
+    replayed by the oracle's list_sum(list(.. ORDER BY v))."""
+    from streamkit_spark.functions import analytics as AN
+
+    return AN.hill_tail_by_group(
+        _ev(spark, sf_dir), "event_type", "value", k=100
+    )
+
+
+def q_user_novelty(spark, sf_dir):
+    """Daily new-vs-returning user profile with the running distinct-
+    user total (analytics.user_novelty): is the stream acquiring new
+    actors or re-serving the same ones?  Pure exact integer counting —
+    per-user min-day, per-day distinct, and an integer cumulative
+    window over the day-count-sized daily table."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr("ts div 86400000000000").alias("day")
+    )
+    return AN.user_novelty(ev, "user_id", "day")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3677,6 +3707,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_kappa": q_gate_kappa,
         "calibration_ece": q_calibration_ece,
         "calibration_brier": q_calibration_brier,
+        "hill_tail": q_hill_tail,
+        "user_novelty": q_user_novelty,
     }
 
 
@@ -9052,5 +9084,74 @@ def oracle_sql() -> dict[str, str]:
                round(rs, 4) + 0 AS res,
                round(yb * (CAST(1 AS DOUBLE) - yb), 4) + 0 AS unc
         FROM g CROSS JOIN tot
+    """
+    # Hill tail index: the ranksum_value distinct-value cell table,
+    # the (k+1)-th-largest threshold by descending integer cumulative
+    # count, one c·ln(v/u) term per cell above it, ascending-v fold.
+    sql["hill_tail"] = """
+        WITH cells AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
+        ), pos AS (
+            SELECT * FROM cells WHERE v > 0
+        ), ranked AS (
+            SELECT grp, v, c,
+                   CAST(sum(c) OVER (
+                        PARTITION BY grp ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cumd
+            FROM pos
+        ), thr AS (
+            SELECT grp, max(v) AS threshold
+            FROM ranked WHERE cumd >= 101 GROUP BY 1
+        ), n AS (
+            SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM pos GROUP BY 1
+        ), terms AS (
+            SELECT p.grp, p.v,
+                   CAST(p.c AS DOUBLE) * ln(p.v / t.threshold) AS t
+            FROM pos p JOIN thr t ON p.grp = t.grp
+            WHERE p.v > t.threshold
+        ), s AS (
+            SELECT grp, list_sum(list(t ORDER BY v)) AS s
+            FROM terms GROUP BY 1
+        )
+        SELECT n.grp AS event_type, n.n, CAST(100 AS BIGINT) AS k,
+               thr.threshold,
+               round(CASE WHEN s.s > 0
+                     THEN CAST(100 AS DOUBLE) / s.s END, 4) + 0 AS alpha
+        FROM n
+        LEFT JOIN thr ON n.grp = thr.grp
+        LEFT JOIN s ON n.grp = s.grp
+        ORDER BY event_type
+    """
+    # Daily new/returning users: exact integer counting — per-user
+    # min-day, per-day distinct, integer cumulative window over days.
+    sql["user_novelty"] = """
+        WITH base AS (
+            SELECT user_id AS k, epoch_ms(ts) // 86400000 AS day
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), fst AS (
+            SELECT k, min(day) AS first_day FROM base GROUP BY 1
+        ), active AS (
+            SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_active
+            FROM base GROUP BY 1
+        ), nw AS (
+            SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+            FROM fst GROUP BY 1
+        )
+        SELECT a.day, a.n_active,
+               CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new,
+               CAST(a.n_active - coalesce(nw.n_new, 0) AS BIGINT)
+                 AS n_returning,
+               CAST(sum(coalesce(nw.n_new, 0)) OVER (
+                    ORDER BY a.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM active a LEFT JOIN nw ON a.day = nw.day
+        ORDER BY a.day
     """
     return sql

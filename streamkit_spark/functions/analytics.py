@@ -99,6 +99,9 @@ __all__ = [
     "auc_report",
     "cohen_kappa",
     "kappa_from_cells",
+    "hill_tail_by_group",
+    "hill_from_cells",
+    "user_novelty",
     "calibration_cells",
     "expected_calibration_error",
     "ece_from_cells",
@@ -4370,3 +4373,159 @@ def brier_from_cells(cells: DataFrame, round_digits: int = 4) -> DataFrame:
             + F.lit(0.0)
         ).alias("unc"),
     )
+
+
+def hill_tail_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Hill (1975) tail-index estimate over the top-``k``
+    order statistics: with u the (k+1)-th largest positive value,
+    α̂ = k / Σ_{x > u} ln(x/u) — the heavy-tail exponent audit behind
+    "can I trust means/variances on this segment, or is the tail
+    Pareto?" (α ≤ 2 ⇒ infinite variance; α ≤ 1 ⇒ infinite mean).  One
+    row per group: ``(group, n, k, threshold, alpha)`` — ``n`` counts
+    POSITIVE values (Hill needs logs), ``threshold`` = u; alpha is NULL
+    when the group has fewer than k+1 positive values or the entire
+    top-(k+1) ties at one value (a degenerate tail, not a power law).
+
+    Determinism contract: u is an exact order statistic selected by an
+    integer cumulative-count rank over the DISTINCT-VALUE cell table
+    (ties inside the top-k contribute identical terms, so row_number
+    arbitrariness never arises); each term c·ln(v/u) is ONE fixed
+    double expression; the only cross-value float sum folds in
+    ascending-value order, replayed by the oracle's
+    ``list_sum(list(... ORDER BY v))``.
+
+    Scale: one (group, value) count, then everything runs on the
+    distinct-value cell table (the ranksum/value_cells contract — the
+    cumulative window is a per-group sort of that table, bounded by
+    VALUE CARDINALITY, never rows; quantize unbounded doubles upstream
+    if needed).  Also the value-cell streaming sketch's 10th report
+    (``streaming/rankstats.finalize_hill``).
+    """
+    return hill_from_cells(
+        value_cells(df, group_col, value_col),
+        group_col,
+        k=k,
+        round_digits=round_digits,
+    )
+
+
+def hill_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    k: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`hill_tail_by_group` over a prebuilt
+    (grp, v, c) cell table (the rankstats streaming sketch); the
+    positivity filter runs HERE."""
+    # positive cells fan into the threshold/count/term branches — the
+    # chi2_from_cells checkpoint rationale applies verbatim
+    pos = cells.filter(F.col("v") > 0).localCheckpoint(eager=False)
+    wd = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("v").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = pos.select(
+        "grp", "v", "c", F.sum("c").over(wd).cast("long").alias("cumd")
+    )
+    # u = the (k+1)-th largest value: in descending order the running
+    # count first reaches k+1 inside u's cell, so u is the LARGEST
+    # value whose descending cumulative count is ≥ k+1
+    thr = (
+        ranked.filter(F.col("cumd") >= F.lit(k + 1))
+        .groupBy("grp")
+        .agg(F.max("v").alias("threshold"))
+    )
+    n = pos.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        pos.join(thr, "grp")
+        .filter(F.col("v") > F.col("threshold"))
+        .select(
+            "grp",
+            "v",
+            (
+                F.col("c").cast("double")
+                * F.log(F.col("v") / F.col("threshold"))
+            ).alias("t"),
+        )
+    )
+    s = terms.groupBy("grp").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("v", "t"))),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x["t"],
+        ).alias("s")
+    )
+    alpha = F.when(
+        F.col("s") > 0, F.lit(float(k)) / F.col("s")
+    )
+    return (
+        n.join(thr, "grp", "left")
+        .join(s, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.lit(k).cast("long").alias("k"),
+            "threshold",
+            (F.round(alpha, round_digits) + F.lit(0.0)).alias("alpha"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def user_novelty(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+) -> DataFrame:
+    """Daily new-vs-returning actor profile: per day, how many distinct
+    actors were active, how many appeared for the FIRST time, how many
+    were returning, and the running total of distinct actors ever seen
+    — the growth/churn readout behind "is this stream acquiring new
+    sources or re-serving the same ones?" (for training-data pipelines:
+    is the crawl finding new domains or re-crawling?).  Output
+    ``(day, n_active, n_new, n_returning, cum_users)`` ordered by day.
+
+    Determinism contract: everything is exact integer counting — first
+    appearance is a min-day aggregate, the daily split subtracts exact
+    counts, and the cumulative total is an integer window sum.  A
+    user's first day is by construction an active day, so the left
+    join can never drop a first appearance.
+
+    Scale: two map-side-combined aggregates over the corpus (per-actor
+    min, per-day distinct) and a day-level cumulative window — the
+    window sorts ONLY the day-count-sized daily table (the
+    gap_filled_daily shape), never rows.
+    """
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(day_col).isNotNull()
+    ).select(F.col(key_col).alias("k"), F.col(day_col).alias("day"))
+    first = base.groupBy("k").agg(F.min("day").alias("first_day"))
+    active = base.groupBy("day").agg(
+        F.countDistinct("k").cast("long").alias("n_active")
+    )
+    new = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    j = active.join(new, "day", "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    return j.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("long").alias(
+            "n_returning"
+        ),
+        F.sum("n_new").over(wd).cast("long").alias("cum_users"),
+    ).orderBy("day")

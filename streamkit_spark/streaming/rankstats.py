@@ -15,15 +15,16 @@ Same split as the histogram-quantile twin (``streaming/quantiles.py``):
   (``analytics.ranksum_from_cells`` / ``ks_from_cells``) so batch and
   stream cannot drift; the parity tests pin them together.
 
-One sketch, nine reports: the same live cell table answers "is this
+One sketch, ten reports: the same live cell table answers "is this
 segment's distribution SHIFTED?" (Mann-Whitney z), "is its SHAPE
 drifting?" (two-sample KS max gap, Cramér-von Mises integral gap),
 "including the TAILS?" (Anderson-Darling A²), "how STRONGLY does it
 dominate?" (Cliff's delta), "how CONCENTRATED is it?" (Gini and
-Theil), "what's its robust location?" (winsorized means), and "does it
-even look ORGANIC?" (Benford first-digit excess) without a second pass
-over the stream — the daily.py multi-report discipline applied to the
-value-cell family.
+Theil), "what's its robust location?" (winsorized means), "does it
+even look ORGANIC?" (Benford first-digit excess), and "has its tail
+gone PARETO?" (Hill index) without a second pass over the stream —
+the daily.py multi-report discipline applied to the value-cell
+family.
 """
 
 from __future__ import annotations
@@ -41,6 +42,7 @@ __all__ = [
     "finalize_ad",
     "finalize_cvm",
     "finalize_benford",
+    "finalize_hill",
 ]
 
 
@@ -178,3 +180,18 @@ def finalize_benford(
     from streamkit_spark.functions.analytics import benford_from_cells
 
     return benford_from_cells(cells, group_col, round_digits)
+
+
+def finalize_hill(
+    cells: DataFrame,
+    group_col: str,
+    k: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Hill tail-index report from the shared cell table —
+    the shared batch finisher (``analytics.hill_from_cells``;
+    positivity filtering happens inside it): the live "has this
+    segment's tail gone Pareto?" readout."""
+    from streamkit_spark.functions.analytics import hill_from_cells
+
+    return hill_from_cells(cells, group_col, k=k, round_digits=round_digits)

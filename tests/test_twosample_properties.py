@@ -534,3 +534,51 @@ def test_ece_cell_fold_matches_per_sample_binning(samples):
     # 4dp probs are exact in the quantization, so only float-order slack
     assert math.isclose(ece, want, rel_tol=1e-9, abs_tol=1e-12)
     assert 0 <= ece <= mce <= 1
+
+
+def _hill_mirror_cells(values, k):
+    """The engine's hill_from_cells algebra: distinct-value cells,
+    (k+1)-th-largest threshold by descending cumulative count, then
+    Σ c·ln(v/u) over cells strictly above it."""
+    pos = [v for v in values if v > 0]
+    cnt = Counter(pos)
+    cum = 0
+    u = None
+    for v in sorted(cnt, reverse=True):
+        cum += cnt[v]
+        if cum >= k + 1:
+            u = v
+            break
+    if u is None:
+        return None
+    s = 0.0
+    for v in sorted(cnt):
+        if v > u:
+            s = s + cnt[v] * math.log(v / u)
+    return k / s if s > 0 else None
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=0, max_size=80),
+    st.integers(1, 20),
+)
+@settings(max_examples=300, deadline=None)
+def test_hill_cell_algebra_matches_row_definition(values, k):
+    """The cell-table Hill must equal the textbook row form: sort rows
+    descending, u = the (k+1)-th row, α = k / Σ_{i≤k} ln(x_i/u) —
+    ties at u contribute ln(1) = 0, so both forms agree exactly."""
+    got = _hill_mirror_cells(values, k)
+    rows = sorted((v for v in values if v > 0), reverse=True)
+    if len(rows) < k + 1:
+        assert got is None
+        return
+    u = rows[k]
+    s = math.fsum(math.log(x / u) for x in rows[:k])
+    if s <= 0:
+        assert got is None
+        return
+    want = k / s
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-12)
+    # scale invariance: Hill is invariant to multiplying the sample
+    scaled = _hill_mirror_cells([v * 7 for v in values], k)
+    assert math.isclose(got, scaled, rel_tol=1e-9)
