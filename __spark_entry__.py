@@ -3414,6 +3414,45 @@ def q_user_novelty(spark, sf_dir):
     return AN.user_novelty(ev, "user_id", "day")
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Pairwise diagonal-covariance Fréchet distance between the
+    embedding populations of each label (similarity.embedding_drift,
+    exact_sums fold path): d² = Σ(μa−μb)² + Σ(σa−σb)² — the
+    embedding-space drift matrix, the vector sibling of jsd_sources /
+    kendall_matrix.  Per-(label, dim) Σx/Σx² are id-ordered left folds
+    (the embedding_covariance pattern), σ is sqrt-guarded at ≤ 0, and
+    the cross-dimension sum folds in dimension order; label pairs
+    enumerate in-row per dimension (group-and-enumerate, never a
+    derived-table self-join in the engine plan)."""
+    from streamkit_spark.functions import similarity as SIM
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.embedding_drift(emb, exact_sums=True)
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-duplicate cluster-size histogram (dedup.duplicate_clusters
+    over the MinHash-LSH pair graph, then exact integer counting): how
+    much of the corpus sits in 2-doc pairs vs mega-clusters — the
+    shape that decides whether cluster-collapse dedup removes 1% or
+    30% of the data.  Oracle: the dedup_clusters recursive-CTE closure
+    plus the same two-level count."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    cl = D.duplicate_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3709,6 +3748,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_brier": q_calibration_brier,
         "hill_tail": q_hill_tail,
         "user_novelty": q_user_novelty,
+        "embedding_drift": q_embedding_drift,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
     }
 
 
@@ -9153,5 +9194,61 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS cum_users
         FROM active a LEFT JOIN nw ON a.day = nw.day
         ORDER BY a.day
+    """
+    # Embedding drift matrix: the embedding_covariance fold machinery —
+    # per-(label, dim) id-ordered Σx/Σx² folds, the identical μ/σ
+    # expression trees, pair terms summed in dimension order.
+    sql["embedding_drift"] = """
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ), ex AS (
+            SELECT label AS g, vec_id, generate_subscripts(e, 1) AS pos,
+                   unnest(e) AS x
+            FROM v
+        ), mom AS (
+            SELECT g, pos, CAST(count(*) AS BIGINT) AS n,
+                   list_sum(list(x ORDER BY vec_id)) AS s,
+                   list_sum(list(x * x ORDER BY vec_id)) AS s2
+            FROM ex GROUP BY 1, 2
+        ), st AS (
+            SELECT g, pos, n,
+                   s / CAST(n AS DOUBLE) AS mu,
+                   CASE WHEN s2 / CAST(n AS DOUBLE)
+                             - (s / CAST(n AS DOUBLE))
+                               * (s / CAST(n AS DOUBLE)) > 0
+                        THEN sqrt(s2 / CAST(n AS DOUBLE)
+                                  - (s / CAST(n AS DOUBLE))
+                                    * (s / CAST(n AS DOUBLE)))
+                        ELSE CAST(0 AS DOUBLE) END AS sd
+            FROM mom
+        ), pr AS (
+            SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb, a.pos,
+                   (a.mu - b.mu) * (a.mu - b.mu)
+                   + (a.sd - b.sd) * (a.sd - b.sd) AS t
+            FROM st a JOIN st b ON a.pos = b.pos AND a.g < b.g
+        ), agg AS (
+            SELECT ga, gb, na, nb, list_sum(list(t ORDER BY pos)) AS d2
+            FROM pr GROUP BY 1, 2, 3, 4
+        )
+        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+               round(d2, 6) + 0 AS dist2,
+               round(sqrt(d2), 6) + 0 AS dist
+        FROM agg ORDER BY group_a, group_b
+    """
+    # Cluster-size histogram over the SAME recursive closure the
+    # dedup_clusters oracle uses — exact integer two-level counting.
+    sql["dup_cluster_sizes"] = f"""
+        WITH RECURSIVE {_closure_cte}, cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        ), csz AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM cl GROUP BY 1
+        )
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM csz GROUP BY 1 ORDER BY 1
     """
     return sql

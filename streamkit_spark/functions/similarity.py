@@ -1768,3 +1768,133 @@ def ivfadc_topk(
         .select("query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_sums: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise diagonal-covariance Fréchet distance between the
+    embedding populations of each group (the FID construction of
+    Heusel et al. NeurIPS'17 restricted to diagonal Σ, where it is
+    closed-form): d² = Σ_d (μ1,d − μ2,d)² + Σ_d (σ1,d − σ2,d)² — the
+    embedding-space drift matrix answering "did this source/label's
+    representation distribution move?", the vector sibling of
+    jsd_sources/kendall_matrix.  Output one row per unordered group
+    pair: ``(group_a, group_b, n_a, n_b, dist2, dist)``.
+
+    Determinism contract (``exact_sums=True``): per-(group, dim) Σx and
+    Σx² run as id-ordered left folds (the covariance_pairs pattern —
+    oracle-replayable bit-for-bit); μ, σ² = Σx²/n − μ², and
+    σ = sqrt(σ²) guarded at ≤ 0 are ONE fixed double expression each;
+    the cross-dimension sum folds in dimension order (d-bounded).  The
+    default map-side-combined sums are the production path.
+
+    Scale: one corpus-×-d explode into a (group, dim)-keyed aggregate
+    (map-side combined on the production path; the exact path's fold
+    state is group-size-bounded per dimension — the embedding_covariance
+    contract), then everything runs on the groups × d moment table;
+    pairs enumerate IN-ROW per dimension from the sorted group structs
+    (group-and-enumerate — never a derived-table self-join), bounded by
+    groups²·d.
+    """
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    ex = base.select("grp", "vid", F.posexplode("__v").alias("pos", "x"))
+    if exact_sums:
+        mom = (
+            ex.groupBy("grp", "pos")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.array_sort(F.collect_list(F.struct("vid", "x"))).alias(
+                    "__arr"
+                ),
+            )
+            .select(
+                "grp",
+                "pos",
+                "n",
+                F.aggregate(
+                    "__arr",
+                    F.lit(0.0).cast("double"),
+                    lambda a, s: a + s["x"],
+                ).alias("s"),
+                F.aggregate(
+                    "__arr",
+                    F.lit(0.0).cast("double"),
+                    lambda a, s: a + s["x"] * s["x"],
+                ).alias("s2"),
+            )
+        )
+    else:
+        mom = ex.groupBy("grp", "pos").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+        )
+    nd = F.col("n").cast("double")
+    mu = F.col("s") / nd
+    var = F.col("s2") / nd - mu * mu
+    # exact moments can still cancel to a tiny negative double on a
+    # constant dimension — guard BEFORE the sqrt (the Welch-z rule)
+    sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    stats = mom.select("grp", "pos", "n", mu.alias("mu"), sd.alias("sd"))
+    perdim = stats.groupBy("pos").agg(
+        F.array_sort(F.collect_list(F.struct("grp", "n", "mu", "sd"))).alias(
+            "gs"
+        )
+    )
+    d = F.size("gs")
+    term = lambda a, b: (  # noqa: E731 — one fixed expression per pair
+        (a["mu"] - b["mu"]) * (a["mu"] - b["mu"])
+        + (a["sd"] - b["sd"]) * (a["sd"] - b["sd"])
+    )
+    pairs = perdim.select(
+        "pos",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("gs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("gs"), i + 2, d),
+                        lambda b: F.struct(
+                            a["grp"].alias("ga"),
+                            b["grp"].alias("gb"),
+                            a["n"].alias("na"),
+                            b["n"].alias("nb"),
+                            term(a, b).alias("t"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("pos", "p.*")
+    agg = pairs.groupBy("ga", "gb", "na", "nb").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "t"))),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x["t"],
+        ).alias("d2")
+    )
+    return (
+        agg.select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (F.round(F.col("d2"), round_digits) + F.lit(0.0)).alias("dist2"),
+            (F.round(F.sqrt(F.col("d2")), round_digits) + F.lit(0.0)).alias(
+                "dist"
+            ),
+        )
+        .orderBy("group_a", "group_b")
+    )

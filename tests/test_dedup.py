@@ -453,3 +453,34 @@ def test_jaccard_threshold_sweep_empty_thresholds_and_no_pairs(spark):
         jaccard_threshold_sweep(docs, thresholds=())
     out = jaccard_threshold_sweep(docs, thresholds=(0.5,), n=3).collect()
     assert [tuple(r) for r in out] == [(0.5, 0, 0, 0.0)]
+
+
+def test_cluster_size_histogram_accounts_for_every_clustered_doc(spark):
+    """The dup_cluster_sizes composition: the histogram's n_docs column
+    must partition exactly the docs duplicate_clusters assigns, and
+    every cluster has size >= 2 by construction (pairs input)."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    cl = duplicate_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in sizes.groupBy("cluster_size")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .collect()
+    }
+    # components: {1,2,3}, {10,11}, {20,21,22,23}
+    assert hist == {2: (1, 2), 3: (1, 3), 4: (1, 4)}
+    assert sum(d for _, d in hist.values()) == cl.count() == 9
+    assert min(hist) >= 2
