@@ -611,6 +611,48 @@ def test_calibration_stream_parity(spark, fixture_stream):
         q.stop()
 
 
+def test_novelty_stream_parity(spark, fixture_stream):
+    """The maintained distinct (actor, day) relation feeds the novelty
+    finisher: the live new/returning/cumulative report equals the batch
+    analytics.user_novelty exactly (streaming/novelty.py), and state is
+    bounded by the distinct activity-pair count, never rows."""
+    from streamkit_spark.functions.analytics import user_novelty
+    from streamkit_spark.streaming.novelty import (
+        activity_pairs_stream,
+        finalize_novelty,
+    )
+
+    day = F.expr("ts div 86400000000000").alias("day")
+    batch = tables.load(spark, SF_DIR, "events").select("user_id", day)
+    want = {tuple(r) for r in user_novelty(batch, "user_id", "day").collect()}
+    stream = fixture_stream.select("user_id", day)
+    q = (
+        activity_pairs_stream(stream, "user_id", "day")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parity_novelty")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = spark.sql("SELECT * FROM parity_novelty")
+        want_pairs = (
+            batch.filter(
+                F.col("user_id").isNotNull() & F.col("day").isNotNull()
+            )
+            .distinct()
+            .count()
+        )
+        assert pairs.count() == want_pairs < batch.count()
+        got = {
+            tuple(r)
+            for r in finalize_novelty(pairs, "user_id", "day").collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
 def test_daily_series_stream_parity(spark, fixture_stream):
     """The SAME streaming (grp, day, y) daily-total table feeds all
     three daily-series finishers: live seasonal-strength, ACF, and

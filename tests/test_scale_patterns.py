@@ -246,3 +246,27 @@ def test_r6_diagnostics_plan_shapes(spark):
         "dedup_sweep",
     ):
         assert "CartesianProduct" not in plan(q), q
+
+
+def test_r8_plan_shapes(spark):
+    """Plan contracts for the round-8 operators: no cartesian products
+    anywhere (scalar crossJoins are broadcast 1-row sides); the
+    embedding-drift and hill pair/threshold stages are in-row /
+    window work over cell tables, never a derived-table self-join
+    that re-plans the corpus scan per branch."""
+    import __spark_entry__ as E
+
+    def plan(q):
+        return plans.explain_str(E.queries()[q](spark, SF_DIR), "extended")
+
+    for q in (
+        "gate_kappa",
+        "calibration_ece",
+        "calibration_brier",
+        "hill_tail",
+        "user_novelty",
+        "embedding_drift",
+        "kendall_matrix",
+        "benford_value",
+    ):
+        assert "CartesianProduct" not in plan(q), q
