@@ -3274,15 +3274,9 @@ def q_score_calibration(spark, sf_dir):
     doc_length_deciles machinery), exact counts, one fixed double
     Wilson expression — pure composition, every guarantee inherited."""
     from streamkit_spark.functions import analytics as AN
-    from streamkit_spark.functions import curation as C
 
-    docs = tables.load(spark, sf_dir, "documents")
-    scored = C.quality_classifier_score(docs, bias=0.1).select(
-        "doc_id", "score"
-    )
-    labels = C.quality_rules(docs).select("doc_id", "passes")
     return AN.calibration_report(
-        scored.join(labels, "doc_id"), "score", "passes", n_buckets=10
+        _qc_gate_joined(spark, sf_dir), "score", "passes", n_buckets=10
     )
 
 
@@ -3309,29 +3303,20 @@ def q_classifier_auc(spark, sf_dir):
     credit, and the only float step is one division of exact
     components.  The threshold-free companion of score_calibration."""
     from streamkit_spark.functions import analytics as AN
-    from streamkit_spark.functions import curation as C
 
-    docs = tables.load(spark, sf_dir, "documents")
-    scored = C.quality_classifier_score(docs, bias=0.1).select(
-        "doc_id", "score"
-    )
-    labels = C.quality_rules(docs).select("doc_id", "passes")
-    return AN.auc_report(scored.join(labels, "doc_id"), "score", "passes")
+    return AN.auc_report(_qc_gate_joined(spark, sf_dir), "score", "passes")
 
 
 def _qc_gate_joined(spark, sf_dir):
-    """Shared classifier-score ⋈ rule-gate input for the agreement /
-    calibration queries (gate_kappa, calibration_ece, calibration_brier)
-    — one definition so the three stay on the same scores and labels as
-    score_calibration / classifier_auc."""
+    """Shared classifier-score ⋈ rule-gate input for every classifier
+    diagnostic (score_calibration, classifier_auc, gate_kappa,
+    calibration_ece, calibration_brier) — the ONE definition,
+    curation.classifier_gate_table, so a bias or rule change cannot
+    desynchronize them."""
     from streamkit_spark.functions import curation as C
 
     docs = tables.load(spark, sf_dir, "documents")
-    scored = C.quality_classifier_score(docs, bias=0.1).select(
-        "doc_id", "score"
-    )
-    labels = C.quality_rules(docs).select("doc_id", "passes")
-    return scored.join(labels, "doc_id")
+    return C.classifier_gate_table(docs, bias=0.1)
 
 
 def q_gate_kappa(spark, sf_dir):
@@ -3361,9 +3346,8 @@ def q_calibration_ece(spark, sf_dir):
     folds over the bucket-sorted ≤10-element bin list."""
     from streamkit_spark.functions import analytics as AN
 
-    p = F.least(
-        F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
-    )
+    # the affine shift only; calibration_cells clamps into [0, 1] itself
+    p = F.col("score") + F.lit(0.5)
     j = _qc_gate_joined(spark, sf_dir).select(p.alias("prob"), "passes")
     return AN.expected_calibration_error(j, "prob", "passes", n_buckets=10)
 
@@ -3377,9 +3361,8 @@ def q_calibration_brier(spark, sf_dir):
     calibration_ece — two more bucket-sorted folds over ≤10 bins."""
     from streamkit_spark.functions import analytics as AN
 
-    p = F.least(
-        F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)), F.lit(1.0)
-    )
+    # the affine shift only; calibration_cells clamps into [0, 1] itself
+    p = F.col("score") + F.lit(0.5)
     j = _qc_gate_joined(spark, sf_dir).select(p.alias("prob"), "passes")
     return AN.brier_decomposition(j, "prob", "passes", n_buckets=10)
 
@@ -9204,10 +9187,15 @@ def oracle_sql() -> dict[str, str]:
                    list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
             WHERE label IS NOT NULL AND embedding IS NOT NULL
+        ), gc AS (
+            SELECT label AS g, CAST(count(*) AS BIGINT) AS nv
+            FROM v GROUP BY 1
         ), ex AS (
-            SELECT label AS g, vec_id, generate_subscripts(e, 1) AS pos,
-                   unnest(e) AS x
-            FROM v
+            SELECT * FROM (
+                SELECT label AS g, vec_id, generate_subscripts(e, 1) AS pos,
+                       unnest(e) AS x
+                FROM v
+            ) WHERE x IS NOT NULL
         ), mom AS (
             SELECT g, pos, CAST(count(*) AS BIGINT) AS n,
                    list_sum(list(x ORDER BY vec_id)) AS s,
@@ -9225,18 +9213,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(0 AS DOUBLE) END AS sd
             FROM mom
         ), pr AS (
-            SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb, a.pos,
+            SELECT a.g AS ga, b.g AS gb, a.pos,
                    (a.mu - b.mu) * (a.mu - b.mu)
                    + (a.sd - b.sd) * (a.sd - b.sd) AS t
             FROM st a JOIN st b ON a.pos = b.pos AND a.g < b.g
         ), agg AS (
-            SELECT ga, gb, na, nb, list_sum(list(t ORDER BY pos)) AS d2
-            FROM pr GROUP BY 1, 2, 3, 4
+            SELECT ga, gb, list_sum(list(t ORDER BY pos)) AS d2
+            FROM pr GROUP BY 1, 2
         )
-        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+        SELECT ga AS group_a, gb AS group_b,
+               ca.nv AS n_a, cb.nv AS n_b,
                round(d2, 6) + 0 AS dist2,
                round(sqrt(d2), 6) + 0 AS dist
-        FROM agg ORDER BY group_a, group_b
+        FROM agg
+        JOIN gc ca ON agg.ga = ca.g
+        JOIN gc cb ON agg.gb = cb.g
+        ORDER BY group_a, group_b
     """
     # Cluster-size histogram over the SAME recursive closure the
     # dedup_clusters oracle uses — exact integer two-level counting.

@@ -1240,6 +1240,27 @@ def quality_classifier_score(
     )
 
 
+def classifier_gate_table(
+    df: DataFrame,
+    bias: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The canonical classifier-score ⋈ rule-gate table
+    ``(doc_id, score, passes)`` every classifier-diagnostic consumer
+    shares — score_calibration, classifier_auc, gate_kappa,
+    calibration_ece/brier, and the dg_gate_kappa / dg_calibration SQL
+    views all read THIS definition, so a bias or rule change can never
+    desynchronize them."""
+    scored = quality_classifier_score(
+        df, bias=bias, text_col=text_col, id_col=id_col
+    ).select("doc_id", "score")
+    labels = quality_rules(df, text_col=text_col, id_col=id_col).select(
+        "doc_id", "passes"
+    )
+    return scored.join(labels, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate segment analysis / removal (CCNet-style line dedup)
 # ---------------------------------------------------------------------------

@@ -1785,7 +1785,13 @@ def embedding_drift(
     embedding-space drift matrix answering "did this source/label's
     representation distribution move?", the vector sibling of
     jsd_sources/kendall_matrix.  Output one row per unordered group
-    pair: ``(group_a, group_b, n_a, n_b, dist2, dist)``.
+    pair: ``(group_a, group_b, n_a, n_b, dist2, dist)`` — n_a/n_b count
+    the group's VECTORS.
+
+    NULL vector elements are dropped per dimension (so the exact and
+    map-side paths agree — an unfiltered NULL would NULL the fold but
+    be skipped by F.sum); ragged dimensionalities contribute per-dim
+    moments over the vectors that HAVE that dimension.
 
     Determinism contract (``exact_sums=True``): per-(group, dim) Σx and
     Σx² run as id-ordered left folds (the covariance_pairs pattern —
@@ -1809,7 +1815,9 @@ def embedding_drift(
         F.col(id_col).alias("vid"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
-    ex = base.select("grp", "vid", F.posexplode("__v").alias("pos", "x"))
+    ex = base.select(
+        "grp", "vid", F.posexplode("__v").alias("pos", "x")
+    ).filter(F.col("x").isNotNull())
     if exact_sums:
         mom = (
             ex.groupBy("grp", "pos")
@@ -1847,50 +1855,51 @@ def embedding_drift(
     # exact moments can still cancel to a tiny negative double on a
     # constant dimension — guard BEFORE the sqrt (the Welch-z rule)
     sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
-    stats = mom.select("grp", "pos", "n", mu.alias("mu"), sd.alias("sd"))
+    stats = mom.select("grp", "pos", mu.alias("mu"), sd.alias("sd"))
     perdim = stats.groupBy("pos").agg(
-        F.array_sort(F.collect_list(F.struct("grp", "n", "mu", "sd"))).alias(
-            "gs"
-        )
+        F.array_sort(F.collect_list(F.struct("grp", "mu", "sd"))).alias("gs")
     )
-    d = F.size("gs")
-    term = lambda a, b: (  # noqa: E731 — one fixed expression per pair
-        (a["mu"] - b["mu"]) * (a["mu"] - b["mu"])
-        + (a["sd"] - b["sd"]) * (a["sd"] - b["sd"])
+    # group-and-enumerate via the ONE shared in-row pair helper; a/b are
+    # the (grp, mu, sd) structs.  n stays OUT of the pair key: with
+    # ragged dims a per-dim count would split one group pair into
+    # partial-sum rows — the vector counts join back at the end instead
+    pr = pairs_from_sorted_groups(
+        perdim, ids_col="gs", carry=("pos",), distinct=False
     )
-    pairs = perdim.select(
+    a, b = F.col("id_a"), F.col("id_b")
+    term = (a["mu"] - b["mu"]) * (a["mu"] - b["mu"]) + (
+        a["sd"] - b["sd"]
+    ) * (a["sd"] - b["sd"])
+    pairs = pr.select(
         "pos",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("gs"),
-                    lambda a, i: F.transform(
-                        F.slice(F.col("gs"), i + 2, d),
-                        lambda b: F.struct(
-                            a["grp"].alias("ga"),
-                            b["grp"].alias("gb"),
-                            a["n"].alias("na"),
-                            b["n"].alias("nb"),
-                            term(a, b).alias("t"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select("pos", "p.*")
-    agg = pairs.groupBy("ga", "gb", "na", "nb").agg(
+        a["grp"].alias("ga"),
+        b["grp"].alias("gb"),
+        term.alias("t"),
+    )
+    agg = pairs.groupBy("ga", "gb").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("pos", "t"))),
             F.lit(0.0).cast("double"),
-            lambda a, x: a + x["t"],
+            lambda acc, x: acc + x["t"],
         ).alias("d2")
     )
+    gcnt = base.groupBy("grp").agg(F.count("*").cast("long").alias("nv"))
     return (
-        agg.select(
+        agg.join(
+            F.broadcast(gcnt.select(F.col("grp").alias("ga"),
+                                    F.col("nv").alias("n_a"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(gcnt.select(F.col("grp").alias("gb"),
+                                    F.col("nv").alias("n_b"))),
+            "gb",
+        )
+        .select(
             F.col("ga").alias("group_a"),
             F.col("gb").alias("group_b"),
-            F.col("na").alias("n_a"),
-            F.col("nb").alias("n_b"),
+            "n_a",
+            "n_b",
             (F.round(F.col("d2"), round_digits) + F.lit(0.0)).alias("dist2"),
             (F.round(F.sqrt(F.col("d2")), round_digits) + F.lit(0.0)).alias(
                 "dist"

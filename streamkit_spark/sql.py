@@ -279,14 +279,8 @@ def register_diagnostics_views(
         views[f"{p}collocations"] = T.llr_pairs(documents)
         from streamkit_spark.functions import curation as C
 
-        gated = (
-            C.quality_classifier_score(documents, bias=0.1)
-            .select("doc_id", "score")
-            .join(
-                C.quality_rules(documents).select("doc_id", "passes"),
-                "doc_id",
-            )
-        )
+        # the ONE shared score ⋈ gate definition (classifier_gate_table)
+        gated = C.classifier_gate_table(documents, bias=0.1)
         views[f"{p}gate_kappa"] = A.cohen_kappa(
             gated.select(
                 (F.col("score") >= F.lit(0.1)).alias("clf_keep"), "passes"
@@ -296,11 +290,7 @@ def register_diagnostics_views(
         )
         views[f"{p}calibration"] = A.expected_calibration_error(
             gated.select(
-                F.least(
-                    F.greatest(F.col("score") + F.lit(0.5), F.lit(0.0)),
-                    F.lit(1.0),
-                ).alias("prob"),
-                "passes",
+                (F.col("score") + F.lit(0.5)).alias("prob"), "passes"
             ),
             "prob",
             "passes",

@@ -268,5 +268,6 @@ def test_r8_plan_shapes(spark):
         "embedding_drift",
         "kendall_matrix",
         "benford_value",
+        "dup_cluster_sizes",
     ):
         assert "CartesianProduct" not in plan(q), q
