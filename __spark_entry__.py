@@ -3413,6 +3413,32 @@ def q_embedding_drift(spark, sf_dir):
     return SIM.embedding_drift(emb, exact_sums=True)
 
 
+def q_rbo_sources(spark, sf_dir):
+    """Pairwise rank-biased overlap between source top-20 token
+    rankings (text.rbo_pairs, Webber'10 truncated RBO@k): the
+    top-weighted drift matrix — kendall_matrix compares the full
+    vocabulary ordering, RBO asks whether sources agree on what
+    matters MOST.  Exact count rankings with a total tie-break; the
+    geometric weights are python-computed floats emitted as identical
+    literals on both engines (never pow() re-derived); depth terms
+    fold in ascending-d order."""
+    from streamkit_spark.functions import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return T.rbo_pairs(docs, "source", "text", k=20, p=0.9)
+
+
+def q_oov_rates(spark, sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus top-20
+    token vocabulary (text.oov_by_group): the tokenizer-coverage audit.
+    Exact global count ranking with a total tie-break, exact BIGINT
+    occurrence counts, one double division."""
+    from streamkit_spark.functions import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return T.oov_by_group(docs, "source", "text", vocab_k=20)
+
+
 def q_dup_cluster_sizes(spark, sf_dir):
     """Near-duplicate cluster-size histogram (dedup.duplicate_clusters
     over the MinHash-LSH pair graph, then exact integer counting): how
@@ -3733,6 +3759,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_novelty": q_user_novelty,
         "embedding_drift": q_embedding_drift,
         "dup_cluster_sizes": q_dup_cluster_sizes,
+        "rbo_sources": q_rbo_sources,
+        "oov_rates": q_oov_rates,
     }
 
 
@@ -9242,5 +9270,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
                CAST(sum(cluster_size) AS BIGINT) AS n_docs
         FROM csz GROUP BY 1 ORDER BY 1
+    """
+    # RBO drift matrix: exact count rankings (count DESC, token ASC),
+    # geometric weights as PYTHON floats emitted identically on both
+    # engines (the random_projection literal discipline), depth terms
+    # summed in ascending-d order.
+    _rbo_w = ", ".join(
+        f"CAST('{(1.0 - 0.9) * 0.9 ** (d - 1)!r}' AS DOUBLE)"
+        for d in range(1, 21)
+    )
+    sql["rbo_sources"] = rf"""
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT g, tk, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ), ranked AS (
+            SELECT g, tk,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY c DESC, tk ASC) AS rn
+            FROM cells
+        ), arrs AS (
+            SELECT g, list(tk ORDER BY rn) AS arr
+            FROM ranked WHERE rn <= 20 GROUP BY 1
+        ), pr AS (
+            SELECT a.g AS ga, b.g AS gb, a.arr AS aa, b.arr AS ba
+            FROM arrs a JOIN arrs b ON a.g < b.g
+        )
+        SELECT ga AS group_a, gb AS group_b, CAST(20 AS BIGINT) AS k,
+               round(list_sum(list_transform(range(1, 21), d ->
+                   wl[d] * (CAST(len(list_intersect(aa[1:d], ba[1:d]))
+                                 AS DOUBLE) / CAST(d AS DOUBLE)))), 4) + 0
+                 AS rbo
+        FROM pr CROSS JOIN (SELECT [{_rbo_w}] AS wl)
+        ORDER BY group_a, group_b
+    """
+    # OOV rate: global top-k vocabulary by exact counts, per-source
+    # occurrence split, one double division.
+    sql["oov_rates"] = r"""
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT g, tk, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ), gtot AS (
+            SELECT tk, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+        ), vocab AS (
+            SELECT tk FROM (
+                SELECT tk, row_number() OVER (ORDER BY ct DESC, tk ASC) AS rn
+                FROM gtot
+            ) WHERE rn <= 20
+        )
+        SELECT g AS source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tk IS NULL THEN c ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(CAST(sum(CASE WHEN v.tk IS NULL THEN c ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE), 4) + 0 AS oov_rate
+        FROM cells LEFT JOIN vocab v USING (tk)
+        GROUP BY 1 ORDER BY 1
     """
     return sql

@@ -1034,3 +1034,139 @@ def burstiness_by_token(
         )
         .orderBy("token")
     )
+
+
+def rbo_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 20,
+    p: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise rank-biased overlap (Webber et al. TOIS 2010, the
+    truncated prefix sum RBO@k) between every two groups' TOP-``k``
+    token rankings: rbo = Σ_{d=1..k} (1−p)·p^{d−1}·|A_d ∩ B_d|/d —
+    the top-weighted drift matrix.  Where :func:`kendall_profile_pairs`
+    compares the FULL vocabulary ordering, RBO asks "do the sources
+    agree about what matters MOST?" — depth-d prefixes are
+    geometrically discounted, so head churn dominates and tail noise
+    is ignored.  Output ``(group_a, group_b, k, rbo)``; rbo = 1−p^k for
+    identical rankings, → 0 for disjoint heads.
+
+    Determinism contract: rankings are exact counts with a total
+    tie-break (count DESC, token ASC); the geometric weights are
+    PYTHON-computed floats emitted as identical literals on both
+    engines (the random_projection CAST('repr') discipline — never
+    re-derive a float trajectory with pow() on two engines); each
+    depth term is one fixed double expression and the depth sum folds
+    in ascending-d order.  Rankings shorter than k contribute their
+    actual prefix.
+
+    Scale: one (group, token) count, per-group top-k via a partitioned
+    window over the distinct-token cells (vocabulary-bounded), then ONE
+    row of (group, top-k array) structs enumerating pairs in-row
+    (``pairs_from_sorted_groups``); per-pair work is O(k²) intersects —
+    groups² · k² total, corpus-size-independent after the first count.
+    """
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    cells = tok.groupBy("g", "tk").agg(F.count("*").cast("long").alias("c"))
+    w = Window.partitionBy("g").orderBy(
+        F.col("c").desc(), F.col("tk").asc()
+    )
+    ranked = cells.select(
+        "g", "tk", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    arrs = (
+        ranked.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "tk"))).alias("sr"))
+        .select(
+            "g", F.transform("sr", lambda s: s["tk"]).alias("arr")
+        )
+    )
+    one = arrs.agg(F.array_sort(F.collect_list(F.struct("g", "arr"))).alias("gs"))
+    pr = pairs_from_sorted_groups(one, ids_col="gs", distinct=False)
+    weights = [(1.0 - p) * p ** (d - 1) for d in range(1, k + 1)]
+    wlit = F.array(*[F.lit(x) for x in weights])
+    a_arr, b_arr = F.col("id_a")["arr"], F.col("id_b")["arr"]
+    rbo = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda d: F.element_at(wlit, d)
+            * (
+                F.size(
+                    F.array_intersect(
+                        F.slice(a_arr, F.lit(1), d),
+                        F.slice(b_arr, F.lit(1), d),
+                    )
+                ).cast("double")
+                / d.cast("double")
+            ),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return pr.select(
+        F.col("id_a")["g"].alias("group_a"),
+        F.col("id_b")["g"].alias("group_b"),
+        F.lit(k).cast("long").alias("k"),
+        (F.round(rbo, round_digits) + F.lit(0.0)).alias("rbo"),
+    ).orderBy("group_a", "group_b")
+
+
+def oov_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the CORPUS top-``k``
+    token vocabulary: what fraction of each group's token occurrences
+    fall outside the head vocabulary — the tokenizer/coverage audit
+    ("will a vocab trained on the whole corpus serve this source?").
+    Output ``(group, n_tokens, n_oov, oov_rate)``.
+
+    Determinism contract: the vocabulary is the exact global count
+    ranking with a total tie-break (count DESC, token ASC); counts are
+    exact BIGINTs and the rate is one double division.
+
+    Scale: one (group, token) count; the global ranking is a
+    single-partition sort of the DISTINCT-token table (vocabulary-
+    bounded, the ranksum cumulative-window contract); membership joins
+    back as a broadcast ≤``vocab_k``-row table.
+    """
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    cells = (
+        tok.groupBy("g", "tk")
+        .agg(F.count("*").cast("long").alias("c"))
+        # fans into the global ranking AND the per-group aggregate
+        .localCheckpoint(eager=False)
+    )
+    gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
+    wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
+    vocab = (
+        gtot.select("tk", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") <= vocab_k)
+        .select("tk", F.lit(True).alias("__in_vocab"))
+    )
+    j = cells.join(F.broadcast(vocab), "tk", "left")
+    out = j.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_oov",
+        (F.round(rate, round_digits) + F.lit(0.0)).alias("oov_rate"),
+    ).orderBy(group_col)

@@ -269,5 +269,7 @@ def test_r8_plan_shapes(spark):
         "kendall_matrix",
         "benford_value",
         "dup_cluster_sizes",
+        "rbo_sources",
+        "oov_rates",
     ):
         assert "CartesianProduct" not in plan(q), q
