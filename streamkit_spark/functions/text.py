@@ -698,6 +698,27 @@ def heaps_fit(
     )
 
 
+def token_cells(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared (g, tk, c) token-count table for the text-drift family
+    (KL, pairwise JSD, Kendall profile matrix, RBO matrix, OOV rates):
+    null-group-filtered exact BIGINT counts over whitespace tokens.
+    Counts are MONOTONE and merge by ADDITION, so this aggregate is
+    also the streaming sketch for those statistics
+    (``streaming/tokens.py``) — the value_cells discipline applied to
+    the token family.  The finishers localCheckpoint it where they fan
+    it into multiple branches."""
+    tok = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    )
+    return tok.groupBy("g", "tk").agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+
 def kl_by_group(
     df: DataFrame,
     group_col: str = "source",
@@ -726,14 +747,20 @@ def kl_by_group(
     vocabulary-sized global count joined back by token, and a per-group
     fold whose state is vocabulary-sized.  No collect, no self-join.
     """
-    tok = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    return kl_from_cells(
+        token_cells(df, group_col, text_col), group_col, round_digits
     )
-    cells = (
-        tok.groupBy("g", "tk")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+
+
+def kl_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`kl_by_group` over a prebuilt (g, tk, c)
+    token-count table (the token streaming sketch)."""
+    # fans into the global count, the total, and the per-group fold
+    cells = cells.localCheckpoint(eager=False)
     glob = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
     tot = cells.agg(F.sum("c").cast("long").alias("nn"))
     joined = cells.join(glob, "tk").crossJoin(F.broadcast(tot))
@@ -814,16 +841,22 @@ def jsd_by_group_pairs(
     is vocabulary × co-occurring-pairs, bounded by group cardinality²,
     never by rows.  For open-ended group columns, pre-bucket upstream.
     """
+    return jsd_from_cells(
+        token_cells(df, group_col, text_col), group_col, round_digits
+    )
+
+
+def jsd_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`jsd_by_group_pairs` over a prebuilt
+    (g, tk, c) token-count table (the token streaming sketch)."""
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
-    tok = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
-    )
-    cells = (
-        tok.groupBy("g", "tk")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
+    # fans into the totals and the per-token pair stage
+    cells = cells.localCheckpoint(eager=False)
     totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
     per_tk = cells.groupBy("tk").agg(
         F.array_sort(F.collect_list(F.struct("g", "c"))).alias("ds")
@@ -914,17 +947,27 @@ def kendall_profile_pairs(
     ``min_count`` (corpus-total df-cut) or shingle upstream; group
     cardinality bounds the pair count as in the jsd matrix.
     """
+    return kendall_profile_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col,
+        min_count=min_count,
+        round_digits=round_digits,
+    )
+
+
+def kendall_profile_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    min_count: int = 0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`kendall_profile_pairs` over a prebuilt
+    (g, tk, c) token-count table (the token streaming sketch)."""
     from streamkit_spark.functions.analytics import kendall_tau_binned
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
-    tok = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
-    )
-    cells = (
-        tok.groupBy("g", "tk")
-        .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # fans into groups/vocab/the join
-    )
+    # fans into groups/vocab/the join
+    cells = cells.localCheckpoint(eager=False)
     vocab = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("tot"))
     if min_count > 0:
         vocab = vocab.filter(F.col("tot") >= min_count)
@@ -1069,12 +1112,27 @@ def rbo_pairs(
     (``pairs_from_sorted_groups``); per-pair work is O(k²) intersects —
     groups² · k² total, corpus-size-independent after the first count.
     """
+    return rbo_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col,
+        k=k,
+        p=p,
+        round_digits=round_digits,
+    )
+
+
+def rbo_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    k: int = 20,
+    p: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`rbo_pairs` over a prebuilt (g, tk, c)
+    token-count table (the token streaming sketch); single consumer
+    chain, so no checkpoint needed."""
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
-    tok = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
-    )
-    cells = tok.groupBy("g", "tk").agg(F.count("*").cast("long").alias("c"))
     w = Window.partitionBy("g").orderBy(
         F.col("c").desc(), F.col("tk").asc()
     )
@@ -1140,15 +1198,24 @@ def oov_by_group(
     bounded, the ranksum cumulative-window contract); membership joins
     back as a broadcast ≤``vocab_k``-row table.
     """
-    tok = df.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
+    return oov_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col,
+        vocab_k=vocab_k,
+        round_digits=round_digits,
     )
-    cells = (
-        tok.groupBy("g", "tk")
-        .agg(F.count("*").cast("long").alias("c"))
-        # fans into the global ranking AND the per-group aggregate
-        .localCheckpoint(eager=False)
-    )
+
+
+def oov_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    vocab_k: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`oov_by_group` over a prebuilt (g, tk, c)
+    token-count table (the token streaming sketch)."""
+    # fans into the global ranking AND the per-group aggregate
+    cells = cells.localCheckpoint(eager=False)
     gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
     wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
     vocab = (

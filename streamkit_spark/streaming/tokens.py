@@ -1,0 +1,118 @@
+"""Streaming token-distribution drift — the stream twin of the
+``functions.text`` drift family (KL, pairwise JSD, Kendall profile
+matrix, RBO matrix, OOV rates).
+
+The value_cells/contingency/calibration discipline applied to the
+token family: per-(group, token) counts are MONOTONE and merge by
+ADDITION, so one streaming count aggregate is the sketch and every
+report is a shared batch finisher over it.
+
+* ``token_cells_stream`` — streaming per-(group, token) COUNT over the
+  exploded whitespace tokens; state is one integer per occupied
+  (group, token) cell, bounded by GROUPS × VOCABULARY (never stream
+  length), converging to the exact batch table under replay/restart.
+  Delegated to ``text.token_cells`` so the paths cannot drift.  For
+  open vocabularies, shingle/df-cut upstream exactly as the batch
+  contract requires.
+* ``finalize_kl`` / ``finalize_jsd`` / ``finalize_kendall_profile`` /
+  ``finalize_rbo`` / ``finalize_oov`` — the batch finishers: live
+  "which source drifted from the corpus mixture?" (KL), "which source
+  PAIRS diverged, by mass / by full-vocabulary ordering / by what
+  matters most?" (JSD, Kendall tau, RBO), and "does the head
+  vocabulary still cover every source?" (OOV).
+
+One sketch, five reports — live domain-mixture monitoring with no
+second pass over the stream, the daily/rank-stats multi-report
+discipline applied to text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "token_cells_stream",
+    "finalize_kl",
+    "finalize_jsd",
+    "finalize_kendall_profile",
+    "finalize_rbo",
+    "finalize_oov",
+]
+
+
+def token_cells_stream(
+    stream: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming (g, tk, c) token-count aggregate.  Works unchanged on
+    a batch DataFrame — the aggregate IS ``text.token_cells``."""
+    from streamkit_spark.functions.text import token_cells
+
+    return token_cells(stream, group_col, text_col)
+
+
+def finalize_kl(
+    cells: DataFrame, group_col: str = "source", round_digits: int = 4
+) -> DataFrame:
+    """Per-group KL-from-corpus report from the maintained token cells
+    — the shared batch finisher (``text.kl_from_cells``)."""
+    from streamkit_spark.functions.text import kl_from_cells
+
+    return kl_from_cells(cells, group_col, round_digits)
+
+
+def finalize_jsd(
+    cells: DataFrame, group_col: str = "source", round_digits: int = 4
+) -> DataFrame:
+    """Pairwise JSD matrix from the SAME token cells — the shared
+    batch finisher (``text.jsd_from_cells``)."""
+    from streamkit_spark.functions.text import jsd_from_cells
+
+    return jsd_from_cells(cells, group_col, round_digits)
+
+
+def finalize_kendall_profile(
+    cells: DataFrame,
+    group_col: str = "source",
+    min_count: int = 0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Kendall tau-b profile matrix from the SAME token cells
+    — the shared batch finisher (``text.kendall_profile_from_cells``)."""
+    from streamkit_spark.functions.text import kendall_profile_from_cells
+
+    return kendall_profile_from_cells(
+        cells, group_col, min_count=min_count, round_digits=round_digits
+    )
+
+
+def finalize_rbo(
+    cells: DataFrame,
+    group_col: str = "source",
+    k: int = 20,
+    p: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise top-k rank-biased-overlap matrix from the SAME token
+    cells — the shared batch finisher (``text.rbo_from_cells``)."""
+    from streamkit_spark.functions.text import rbo_from_cells
+
+    return rbo_from_cells(
+        cells, group_col, k=k, p=p, round_digits=round_digits
+    )
+
+
+def finalize_oov(
+    cells: DataFrame,
+    group_col: str = "source",
+    vocab_k: int = 20,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group OOV-rate report from the SAME token cells — the shared
+    batch finisher (``text.oov_from_cells``)."""
+    from streamkit_spark.functions.text import oov_from_cells
+
+    return oov_from_cells(
+        cells, group_col, vocab_k=vocab_k, round_digits=round_digits
+    )

@@ -611,6 +611,74 @@ def test_calibration_stream_parity(spark, fixture_stream):
         q.stop()
 
 
+@pytest.fixture(scope="module")
+def docs_stream(spark, tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "documents.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+    return spark.readStream.schema(raw).parquet(str(d))
+
+
+def test_token_cells_stream_parity(spark, docs_stream):
+    """The SAME streaming (g, tk, c) token-cell table feeds ALL FIVE
+    text-drift finishers: live KL, pairwise JSD, Kendall profile, RBO,
+    and OOV reports equal the batch text operators exactly
+    (streaming/tokens.py), and state is (group, token)-bounded."""
+    from streamkit_spark.functions.text import (
+        jsd_by_group_pairs,
+        kendall_profile_pairs,
+        kl_by_group,
+        oov_by_group,
+        rbo_pairs,
+    )
+    from streamkit_spark.streaming.tokens import (
+        finalize_jsd,
+        finalize_kendall_profile,
+        finalize_kl,
+        finalize_oov,
+        finalize_rbo,
+        token_cells_stream,
+    )
+
+    batch = tables.load(spark, SF_DIR, "documents")
+    want_kl = {tuple(r) for r in kl_by_group(batch).collect()}
+    want_jsd = {tuple(r) for r in jsd_by_group_pairs(batch).collect()}
+    want_tau = {tuple(r) for r in kendall_profile_pairs(batch).collect()}
+    want_rbo = {tuple(r) for r in rbo_pairs(batch, k=10).collect()}
+    want_oov = {tuple(r) for r in oov_by_group(batch, vocab_k=10).collect()}
+    q = (
+        token_cells_stream(docs_stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_token_cells")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        cells = spark.sql("SELECT * FROM parity_token_cells")
+        # state bound: occupied (group, token) cells, never rows × tokens
+        from streamkit_spark.functions.text import token_cells
+
+        want_cells = token_cells(batch).count()
+        assert cells.count() == want_cells
+        assert {tuple(r) for r in finalize_kl(cells).collect()} == want_kl
+        assert {tuple(r) for r in finalize_jsd(cells).collect()} == want_jsd
+        got_tau = {
+            tuple(r) for r in finalize_kendall_profile(cells).collect()
+        }
+        assert got_tau == want_tau and len(got_tau) > 0
+        got_rbo = {tuple(r) for r in finalize_rbo(cells, k=10).collect()}
+        assert got_rbo == want_rbo and len(got_rbo) > 0
+        got_oov = {
+            tuple(r) for r in finalize_oov(cells, vocab_k=10).collect()
+        }
+        assert got_oov == want_oov and len(got_oov) > 0
+    finally:
+        q.stop()
+
+
 def test_novelty_stream_parity(spark, fixture_stream):
     """The maintained distinct (actor, day) relation feeds the novelty
     finisher: the live new/returning/cumulative report equals the batch
