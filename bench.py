@@ -101,6 +101,13 @@ HEADLINE = [
     "jsd_sources",
     # round 7: the applyInPandas exact-stat family (Knight tau-b)
     "kendall_exact",
+    # round 8: one per new machinery family — the calibration sketch,
+    # the embedding moment folds, the top-k prefix-intersect matrix.
+    # gate_kappa/hill/benford/kendall_matrix share contingency /
+    # value-cell / kendall machinery already benched and stay out.
+    "calibration_ece",
+    "embedding_drift",
+    "rbo_sources",
 ]
 
 
