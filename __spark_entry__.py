@@ -3439,6 +3439,35 @@ def q_oov_rates(spark, sf_dir):
     return T.oov_by_group(docs, "source", "text", vocab_k=20)
 
 
+def q_burrows_delta(spark, sf_dir):
+    """Pairwise Burrows' Delta stylometry distance between sources
+    (text.burrows_delta_pairs): z-scored top-50 token frequencies,
+    mean |Δz| per pair — every head token weighted equally after
+    variance normalization, the style-drift matrix next to JSD (mass),
+    Kendall (ordering), RBO (head).  Relative frequencies are single
+    divisions of exact counts on the zero-filled spine; mean/sd folds
+    in group order, sd sqrt-guarded; the pair sum folds in token
+    order."""
+    from streamkit_spark.functions import text as T
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return T.burrows_delta_pairs(docs, "source", "text", vocab_k=50)
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Exact n-gram max-containment near-dup pairs
+    (dedup.containment_pairs): |A∩B|/min(|A|,|B|) ≥ 0.6 — the
+    asymmetric detector for quote-inclusion/subset duplication that
+    Jaccard misses when sizes differ.  Candidates via the PPJoin
+    prefix bound on the SMALLER side's rarest shingles (exact recall;
+    the containing side emits its full set); the threshold compare is
+    exact integer arithmetic."""
+    from streamkit_spark.functions.dedup import containment_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.6)
+
+
 def q_dup_cluster_sizes(spark, sf_dir):
     """Near-duplicate cluster-size histogram (dedup.duplicate_clusters
     over the MinHash-LSH pair graph, then exact integer counting): how
@@ -3761,6 +3790,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": q_dup_cluster_sizes,
         "rbo_sources": q_rbo_sources,
         "oov_rates": q_oov_rates,
+        "burrows_delta": q_burrows_delta,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -9336,5 +9367,99 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(c) AS DOUBLE), 4) + 0 AS oov_rate
         FROM cells LEFT JOIN vocab v USING (tk)
         GROUP BY 1 ORDER BY 1
+    """
+    # Burrows' Delta: zero-filled spine frequencies, group-ordered
+    # mean/sd folds with the sqrt guard, token-ordered pair folds —
+    # the engine's expression trees written out verbatim.
+    sql["burrows_delta"] = r"""
+        WITH toks AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT g, tk, CAST(count(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ), gtot AS (
+            SELECT tk, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+        ), vocab AS (
+            SELECT tk FROM (
+                SELECT tk, row_number() OVER (ORDER BY ct DESC, tk ASC) AS rn
+                FROM gtot
+            ) WHERE rn <= 50
+        ), nv AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vocab
+        ), totals AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1
+        ), filled AS (
+            SELECT t.g, v.tk,
+                   CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                     AS f
+            FROM totals t
+            CROSS JOIN vocab v
+            LEFT JOIN cells c ON c.g = t.g AND c.tk = v.tk
+        ), st AS (
+            SELECT tk, CAST(count(*) AS BIGINT) AS ng,
+                   list_sum(list(f ORDER BY g)) AS s1,
+                   list_sum(list(f * f ORDER BY g)) AS s2
+            FROM filled GROUP BY 1
+        ), stat AS (
+            SELECT tk,
+                   s1 / CAST(ng AS DOUBLE) AS mu,
+                   CASE WHEN s2 / CAST(ng AS DOUBLE)
+                             - (s1 / CAST(ng AS DOUBLE))
+                               * (s1 / CAST(ng AS DOUBLE)) > 0
+                        THEN sqrt(s2 / CAST(ng AS DOUBLE)
+                                  - (s1 / CAST(ng AS DOUBLE))
+                                    * (s1 / CAST(ng AS DOUBLE)))
+                        ELSE CAST(0 AS DOUBLE) END AS sd
+            FROM st
+        ), z AS (
+            SELECT f.g, f.tk,
+                   CASE WHEN s.sd > 0 THEN (f.f - s.mu) / s.sd
+                        ELSE CAST(0 AS DOUBLE) END AS z
+            FROM filled f JOIN stat s ON f.tk = s.tk
+        ), pr AS (
+            SELECT a.g AS ga, b.g AS gb, a.tk,
+                   abs(a.z - b.z) AS t
+            FROM z a JOIN z b ON a.tk = b.tk AND a.g < b.g
+        ), agg AS (
+            SELECT ga, gb, list_sum(list(t ORDER BY tk)) AS s
+            FROM pr GROUP BY 1, 2
+        )
+        SELECT ga AS group_a, gb AS group_b, n_vocab,
+               round(s / CAST(n_vocab AS DOUBLE), 4) + 0 AS delta
+        FROM agg CROSS JOIN nv
+        ORDER BY group_a, group_b
+    """
+    # Containment pairs: the dedup_sweep shingle/pair machinery with
+    # min-denominator containment and the exact integer threshold.
+    sql["dedup_containment"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, inter,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(least(s1.n, s2.n) AS DOUBLE), 4) AS containment
+        FROM cp
+        JOIN sizes s1 ON id_a = s1.doc_id
+        JOIN sizes s2 ON id_b = s2.doc_id
+        WHERE inter * 1000000 >= least(s1.n, s2.n) * 600000
+        ORDER BY id_a, id_b
     """
     return sql

@@ -1113,3 +1113,102 @@ def jaccard_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram MAX-CONTAINMENT pairs: C_max(A, B) =
+    |A∩B| / min(|A|, |B|) ≥ threshold, with id_a < id_b — the
+    asymmetric near-dup detector Jaccard misses when sizes differ: a
+    short document quoted whole inside a long one has tiny
+    inter/union but containment 1 (Broder's "containment" from the
+    original resemblance paper, SEQUENCES'97).  Output
+    ``(id_a, id_b, inter, containment)``.
+
+    Candidate generation with EXACT recall, no self-join: if
+    C_max ≥ t then the smaller side A shares ≥ ⌈t·|A|⌉ shingles, so
+    its ``|A| − ⌈t·|A|⌉ + 1`` globally-RAREST shingles cannot all
+    avoid the intersection (the PPJoin prefix bound applied to the
+    overlap ⌈t·|A|⌉) — but the CONTAINING side can be arbitrarily
+    large, so the partner emits its full shingle set: candidates =
+    prefix(doc) × full(doc') grouped per shingle.  Prefix shingles are
+    the rare ones by construction, so the per-shingle fan-out is
+    df-of-a-rare-shingle sized — the same skew-removal argument as
+    :func:`ngram_jaccard_pairs` (there is no length filter: containment
+    permits any size ratio).  The threshold compare in the verify is
+    exact integer arithmetic (inter·t_den ≥ min·t_num), never a float
+    ceil.
+
+    Scale: one shingle explode + df count (shared shape with the
+    jaccard path), one shuffle keyed by PREFIX shingles, exact
+    verification over map-only shingle arrays with the un-hinted
+    maybe_broadcast candidate side (AQE decides from measured size).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "o"
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform("o", lambda x: x.getField("shingle")).alias(
+                "sh_all"
+            ),
+        )
+    )
+    plen = F.expr(
+        f"cast(size(sh_all) - ((size(sh_all) * {t_num} + {t_den - 1})"
+        f" div {t_den}) + 1 as int)"
+    )
+    prefix = ordered.select(
+        F.col("doc_id").alias("p_doc"),
+        F.explode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("shingle"),
+    )
+    psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
+    cand = (
+        sh.join(psh, "shingle")
+        .select(F.col("doc_id").alias("f_doc"), F.explode("ps").alias("p_doc"))
+        .filter(F.col("p_doc") != F.col("f_doc"))
+        .select(
+            F.least("p_doc", "f_doc").alias("id_a"),
+            F.greatest("p_doc", "f_doc").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrays = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
+    )
+    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
+    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
+    mins = F.least(F.size("__sa"), F.size("__sb")).cast("long")
+    return (
+        va.join(maybe_broadcast(cand), "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), mins.alias("__min"))
+        .filter(
+            (F.col("__min") > 0)
+            & (F.col("inter") * t_den >= F.col("__min") * t_num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.round(
+                F.col("inter").cast("double") / F.col("__min").cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1237,3 +1237,137 @@ def oov_from_cells(
         "n_oov",
         (F.round(rate, round_digits) + F.lit(0.0)).alias("oov_rate"),
     ).orderBy(group_col)
+
+
+def burrows_delta_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 50,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Burrows' Delta (Burrows LLC 2002) between groups:
+    z-score each group's relative frequency of the corpus top-``k``
+    tokens against the across-group mean/sd, then Delta(a, b) =
+    (1/|V|)·Σ_tk |z_a − z_b| — the classic stylometry distance (small
+    Delta = same "authorial hand"), here the style-drift matrix next
+    to the mass (JSD) / ordering (Kendall) / head (RBO) ones: Delta
+    weights every head token EQUALLY after variance normalization, so
+    one dominant token cannot mask drift in the quieter ones.  Output
+    ``(group_a, group_b, n_vocab, delta)``.
+
+    Determinism contract: relative frequencies are single double
+    divisions of exact counts on the zero-filled groups × vocabulary
+    spine; the across-group mean/sd per token fold in GROUP order; sd
+    is sqrt-guarded at ≤ 0 (a token with identical frequency everywhere
+    contributes 0, the lim of |Δz| as σ→0 under equal values); the
+    per-pair sum folds in TOKEN order.  Vocabulary = exact global
+    counts with a (count DESC, token ASC) total tie-break.
+
+    Scale: one (group, token) count, a groups × k spine, in-row pair
+    enumeration per token (``pairs_from_sorted_groups``) — groups² · k
+    bounded, corpus-size-independent after the first count.  Also the
+    token streaming sketch's 6th report
+    (``streaming/tokens.finalize_burrows``).
+    """
+    return burrows_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col,
+        vocab_k=vocab_k,
+        round_digits=round_digits,
+    )
+
+
+def burrows_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    vocab_k: int = 50,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`burrows_delta_pairs` over a prebuilt
+    (g, tk, c) token-count table (the token streaming sketch)."""
+    from streamkit_spark.functions.util import pairs_from_sorted_groups
+
+    # fans into vocab / totals / the spine join
+    cells = cells.localCheckpoint(eager=False)
+    gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
+    wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
+    vocab = (
+        gtot.select("tk", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") <= vocab_k)
+        .select("tk")
+    )
+    totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    grid = totals.select("g", "n").crossJoin(F.broadcast(vocab))
+    filled = grid.join(cells, ["g", "tk"], "left").select(
+        "g",
+        "tk",
+        (
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("n").cast("double")
+        ).alias("f"),
+    )
+    # across-group mean/sd per token: folds in group order
+    per_tk = filled.groupBy("tk").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.array_sort(F.collect_list(F.struct("g", "f"))).alias("gs"),
+    )
+    fold = lambda expr: F.aggregate(  # noqa: E731 — two same-shape folds
+        "gs", F.lit(0.0).cast("double"), expr
+    )
+    ngd = F.col("ng").cast("double")
+    s1 = fold(lambda a, x: a + x["f"])
+    s2 = fold(lambda a, x: a + x["f"] * x["f"])
+    mu = s1 / ngd
+    var = s2 / ngd - mu * mu
+    sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    st = per_tk.select("tk", "gs", mu.alias("mu"), sd.alias("sd"))
+    # z rows back on the spine (σ = 0 tokens contribute 0 to Delta)
+    z = st.select(
+        "tk",
+        "mu",
+        "sd",
+        F.explode("gs").alias("e"),
+    ).select(
+        "tk",
+        F.col("e.g").alias("g"),
+        F.when(
+            F.col("sd") > 0,
+            (F.col("e.f") - F.col("mu")) / F.col("sd"),
+        ).otherwise(F.lit(0.0)).alias("z"),
+    )
+    per_token_pairs = z.groupBy("tk").agg(
+        F.array_sort(F.collect_list(F.struct("g", "z"))).alias("ds")
+    )
+    pr = pairs_from_sorted_groups(
+        per_token_pairs, "ds", carry=("tk",), distinct=False
+    ).select(
+        "tk",
+        F.col("id_a.g").alias("a"),
+        F.col("id_b.g").alias("b"),
+        F.abs(F.col("id_a.z") - F.col("id_b.z")).alias("t"),
+    )
+    nvrow = vocab.agg(F.count("*").cast("long").alias("n_vocab"))
+    agg = pr.groupBy("a", "b").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tk", "t"))),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x["t"],
+        ).alias("s")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nvrow))
+        .select(
+            F.col("a").alias("group_a"),
+            F.col("b").alias("group_b"),
+            "n_vocab",
+            (
+                F.round(
+                    F.col("s") / F.col("n_vocab").cast("double"),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("delta"),
+        )
+        .orderBy("group_a", "group_b")
+    )

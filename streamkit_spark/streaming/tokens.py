@@ -37,6 +37,7 @@ __all__ = [
     "finalize_kendall_profile",
     "finalize_rbo",
     "finalize_oov",
+    "finalize_burrows",
 ]
 
 
@@ -114,5 +115,20 @@ def finalize_oov(
     from streamkit_spark.functions.text import oov_from_cells
 
     return oov_from_cells(
+        cells, group_col, vocab_k=vocab_k, round_digits=round_digits
+    )
+
+
+def finalize_burrows(
+    cells: DataFrame,
+    group_col: str = "source",
+    vocab_k: int = 50,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairwise Burrows' Delta stylometry matrix from the SAME token
+    cells — the shared batch finisher (``text.burrows_from_cells``)."""
+    from streamkit_spark.functions.text import burrows_from_cells
+
+    return burrows_from_cells(
         cells, group_col, vocab_k=vocab_k, round_digits=round_digits
     )

@@ -675,6 +675,16 @@ def test_token_cells_stream_parity(spark, docs_stream):
             tuple(r) for r in finalize_oov(cells, vocab_k=10).collect()
         }
         assert got_oov == want_oov and len(got_oov) > 0
+        from streamkit_spark.functions.text import burrows_delta_pairs
+        from streamkit_spark.streaming.tokens import finalize_burrows
+
+        want_bd = {
+            tuple(r) for r in burrows_delta_pairs(batch, vocab_k=10).collect()
+        }
+        got_bd = {
+            tuple(r) for r in finalize_burrows(cells, vocab_k=10).collect()
+        }
+        assert got_bd == want_bd and len(got_bd) > 0
     finally:
         q.stop()
 

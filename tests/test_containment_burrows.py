@@ -1,0 +1,130 @@
+"""Containment dedup (asymmetric near-dup) + Burrows' Delta stylometry:
+subset-detection fixed points, brute-force recall, z-score edges."""
+
+from __future__ import annotations
+
+import itertools
+
+from streamkit_spark.functions.dedup import containment_pairs
+from streamkit_spark.functions.text import burrows_delta_pairs
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_containment_finds_full_subset_that_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = _docs(spark, [(1, short), (2, long)])
+    rows = containment_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # every shingle of the short doc appears in the long one
+    assert r["containment"] == 1.0
+    # and jaccard would have rejected this pair at the same threshold
+    from streamkit_spark.functions.dedup import ngram_jaccard_pairs
+
+    assert ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_containment_threshold_boundary_is_exact(spark):
+    # A has 5 shingles, 3 shared -> containment exactly 0.6 (>= passes)
+    a = "a b c d e f g"            # shingles: ab c, bcd, cde, def, efg (5)
+    b = "a b c d e x1 x2 x3 q r s t u v w"  # shares abc, bcd, cde = 3
+    df = _docs(spark, [(1, a), (2, b)])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): 0.6}
+    assert containment_pairs(df, threshold=0.61).count() == 0
+
+
+def test_containment_matches_brute_force(spark):
+    # brute-force oracle over a small mixed corpus: exact recall AND
+    # precision at t=0.5
+    texts = {
+        1: "w1 w2 w3 w4 w5 w6",
+        2: "w1 w2 w3 w4 zz yy",
+        3: "w4 w5 w6 w1 w2 w3",
+        4: "aa bb cc dd ee",
+        5: "aa bb cc dd ee ff gg hh",
+        6: "totally different words here now",
+    }
+    df = _docs(spark, list(texts.items()), "doc_id long, text string")
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for i, j in itertools.combinations(sorted(texts), 2):
+        a, b = sh(texts[i]), sh(texts[j])
+        inter = len(a & b)
+        m = min(len(a), len(b))
+        if m and inter / m >= 0.5:
+            want[(i, j)] = (inter, round(inter / m, 4))
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["containment"])
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_burrows_two_group_fixed_point(spark):
+    # 2 groups, 2-token vocab, mirrored frequencies: z = ±1 per token,
+    # delta = mean |Δz| = 2
+    df = _docs(
+        spark,
+        [("g1", "x x y"), ("g2", "x y y")],
+        "source string, text string",
+    )
+    row = burrows_delta_pairs(df, vocab_k=10).collect()[0]
+    assert row["n_vocab"] == 2
+    assert row["delta"] == 2.0
+
+
+def test_burrows_identical_usage_scores_zero(spark):
+    df = _docs(
+        spark,
+        [("a", "x x y"), ("b", "x x y"), ("c", "y y x")],
+        "source string, text string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in burrows_delta_pairs(df, vocab_k=10).collect()
+    }
+    # a and b have identical profiles; both differ from c symmetrically
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] == got[("b", "c")] > 0.0
+
+
+def test_burrows_constant_token_contributes_zero(spark):
+    # every group uses 'x' identically -> sigma 0 -> the token adds 0,
+    # so the delta equals the 1-token matrix over 'y'/'z' scaled by 1/|V|
+    df = _docs(
+        spark,
+        [("a", "x y"), ("b", "x y"), ("c", "x z")],
+        "source string, text string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["delta"]
+        for r in burrows_delta_pairs(df, vocab_k=10).collect()
+    }
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] > 0.0
+
+
+def test_burrows_vocab_cut_limits_tokens(spark):
+    # vocab_k=1 keeps only the global top token; groups that differ
+    # ONLY in tail tokens score 0
+    df = _docs(
+        spark,
+        [("a", "x x x tail1"), ("b", "x x x tail2")],
+        "source string, text string",
+    )
+    row = burrows_delta_pairs(df, vocab_k=1).collect()[0]
+    assert row["n_vocab"] == 1
+    assert row["delta"] == 0.0

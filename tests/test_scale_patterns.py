@@ -271,5 +271,7 @@ def test_r8_plan_shapes(spark):
         "dup_cluster_sizes",
         "rbo_sources",
         "oov_rates",
+        "burrows_delta",
+        "dedup_containment",
     ):
         assert "CartesianProduct" not in plan(q), q
