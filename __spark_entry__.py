@@ -9406,12 +9406,19 @@ def oracle_sql() -> dict[str, str]:
         ), stat AS (
             SELECT tk,
                    s1 / CAST(ng AS DOUBLE) AS mu,
-                   CASE WHEN s2 / CAST(ng AS DOUBLE)
-                             - (s1 / CAST(ng AS DOUBLE))
-                               * (s1 / CAST(ng AS DOUBLE)) > 0
-                        THEN sqrt(s2 / CAST(ng AS DOUBLE)
+                   CASE WHEN ng > 1
+                             AND (s2 / CAST(ng AS DOUBLE)
                                   - (s1 / CAST(ng AS DOUBLE))
                                     * (s1 / CAST(ng AS DOUBLE)))
+                                 * (CAST(ng AS DOUBLE)
+                                    / (CAST(ng AS DOUBLE)
+                                       - CAST(1 AS DOUBLE))) > 0
+                        THEN sqrt((s2 / CAST(ng AS DOUBLE)
+                                   - (s1 / CAST(ng AS DOUBLE))
+                                     * (s1 / CAST(ng AS DOUBLE)))
+                                  * (CAST(ng AS DOUBLE)
+                                     / (CAST(ng AS DOUBLE)
+                                        - CAST(1 AS DOUBLE))))
                         ELSE CAST(0 AS DOUBLE) END AS sd
             FROM st
         ), z AS (

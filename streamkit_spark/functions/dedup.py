@@ -89,6 +89,30 @@ def shingle_table(
     )
 
 
+def _verified_pair_arrays(
+    df: DataFrame, cand: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exact-verification join shared by the jaccard / overlap /
+    containment pair operators: candidate (id_a, id_b) pairs joined to
+    the map-only distinct shingle arrays recomputed straight from the
+    docs scan (cheap — no dfreq pipeline), returning
+    ``(id_a, id_b, __sa, __sb)``.
+
+    cand is normally tiny next to the shingle arrays, but its size is
+    corpus-dependent (a boilerplate-heavy corpus can explode it) and
+    its pipeline is too expensive for a count probe — it stays
+    un-hinted (maybe_broadcast) so AQE broadcasts from the measured
+    runtime size and the pathological case shuffles instead of OOMing.
+    ONE copy: the r6 review found three dedup oracles diverging on
+    tokenization that only the shared-helper discipline prevents."""
+    arrays = _spread(df).select(
+        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
+    )
+    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
+    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    return va.join(maybe_broadcast(cand), "id_a").join(vb, "id_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -194,21 +218,9 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # exact-jaccard verify on candidates against map-only shingle arrays
-    # recomputed straight from the docs scan (cheap — no dfreq pipeline)
-    arrays = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
-    )
-    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
-    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
-    # cand is normally tiny next to the shingle arrays, but its size is
-    # corpus-dependent (a boilerplate-heavy corpus can explode it) and its
-    # pipeline is too expensive for a count probe — leave it un-hinted and
-    # let AQE broadcast from the measured runtime size (maybe_broadcast
-    # rationale), so the pathological case shuffles instead of OOMing.
+    # exact-jaccard verify on candidates (shared helper)
     return (
-        va.join(maybe_broadcast(cand), "id_a")
-        .join(vb, "id_b")
+        _verified_pair_arrays(df, cand, text_col, id_col, n)
         .select(
             "id_a",
             "id_b",
@@ -256,16 +268,10 @@ def overlap_coefficient_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= max_df))
     )
-    arrays = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
-    )
-    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
-    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     denom = F.least(F.size("__sa"), F.size("__sb"))  # arrays are distinct
     return (
-        va.join(maybe_broadcast(cand), "id_a")
-        .join(vb, "id_b")
+        _verified_pair_arrays(df, cand, text_col, id_col, n)
         .select("id_a", "id_b", (inter / denom).alias("overlap"))
         .filter(F.col("overlap") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
@@ -1121,6 +1127,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram MAX-CONTAINMENT pairs: C_max(A, B) =
     |A∩B| / min(|A|, |B|) ≥ threshold, with id_a < id_b — the
@@ -1136,18 +1143,22 @@ def containment_pairs(
     avoid the intersection (the PPJoin prefix bound applied to the
     overlap ⌈t·|A|⌉) — but the CONTAINING side can be arbitrarily
     large, so the partner emits its full shingle set: candidates =
-    prefix(doc) × full(doc') grouped per shingle.  Prefix shingles are
-    the rare ones by construction, so the per-shingle fan-out is
-    df-of-a-rare-shingle sized — the same skew-removal argument as
-    :func:`ngram_jaccard_pairs` (there is no length filter: containment
-    permits any size ratio).  The threshold compare in the verify is
-    exact integer arithmetic (inter·t_den ≥ min·t_num), never a float
-    ceil.
+    prefix(doc) × full(doc') grouped per shingle.  The threshold
+    compare in the verify is exact integer arithmetic
+    (inter·t_den ≥ min·t_num), never a float ceil.
 
-    Scale: one shingle explode + df count (shared shape with the
-    jaccard path), one shuffle keyed by PREFIX shingles, exact
-    verification over map-only shingle arrays with the un-hinted
-    maybe_broadcast candidate side (AQE decides from measured size).
+    Scale, honestly: the per-shingle fan-out is df(shingle) ×
+    |prefix-docs(shingle)| — "rare" is relative to each DOC, so a
+    boilerplate-only document puts globally-common shingles in its
+    prefix and each such shingle emits df (corpus-scale) candidate rows
+    on one shuffle key.  On corpora where that bites, pass ``max_df``
+    to drop shingles with global df > max_df from CANDIDATE GENERATION
+    — then a pair sharing ONLY boilerplate shingles is missed (the
+    :func:`substring_dup_pairs` ``max_df`` recall trade, documented
+    there); verification stays exact either way.  The df-cut HEURISTIC
+    sibling of this operator is :func:`overlap_coefficient_pairs`
+    (same statistic, blocking on all shingles with df ≤ max_df);
+    this one is the exact-recall path.
     """
     sh = shingle_table(df, text_col, id_col, n)
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
@@ -1175,6 +1186,10 @@ def containment_pairs(
         F.col("doc_id").alias("p_doc"),
         F.explode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("shingle"),
     )
+    if max_df is not None:
+        prefix = prefix.join(
+            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
     psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
     cand = (
         sh.join(psh, "shingle")
@@ -1186,16 +1201,10 @@ def containment_pairs(
         )
         .distinct()
     )
-    arrays = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
-    )
-    va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
-    vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     mins = F.least(F.size("__sa"), F.size("__sb")).cast("long")
     return (
-        va.join(maybe_broadcast(cand), "id_a")
-        .join(vb, "id_b")
+        _verified_pair_arrays(df, cand, text_col, id_col, n)
         .select("id_a", "id_b", inter.alias("inter"), mins.alias("__min"))
         .filter(
             (F.col("__min") > 0)

@@ -1133,6 +1133,13 @@ def rbo_from_cells(
     chain, so no checkpoint needed."""
     from streamkit_spark.functions.util import pairs_from_sorted_groups
 
+    # eager validation (the quantiles_from_histogram discipline):
+    # k = 0 would build sequence(1, 0) — which runs DESCENDING — and
+    # die deep in Catalyst on element_at(weights, 0)
+    if k < 1:
+        raise ValueError(f"rbo: k must be >= 1, got {k}")
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"rbo: p must be in (0, 1), got {p}")
     w = Window.partitionBy("g").orderBy(
         F.col("c").desc(), F.col("tk").asc()
     )
@@ -1206,6 +1213,23 @@ def oov_by_group(
     )
 
 
+def _top_k_vocab(cells: DataFrame, k: int) -> DataFrame:
+    """Global top-k token table from a (g, tk, c) cell table — exact
+    counts with the (count DESC, token ASC) total tie-break.  ONE
+    definition shared by :func:`oov_from_cells` and
+    :func:`burrows_from_cells` so their vocabularies can never
+    desynchronize.  The row_number window is a single-partition sort of
+    the DISTINCT-token table (vocabulary-bounded, the ranksum
+    cumulative-window contract)."""
+    gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
+    wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
+    return (
+        gtot.select("tk", F.row_number().over(wv).alias("rn"))
+        .filter(F.col("rn") <= k)
+        .select("tk")
+    )
+
+
 def oov_from_cells(
     cells: DataFrame,
     group_col: str = "source",
@@ -1216,12 +1240,8 @@ def oov_from_cells(
     token-count table (the token streaming sketch)."""
     # fans into the global ranking AND the per-group aggregate
     cells = cells.localCheckpoint(eager=False)
-    gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
-    wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
-    vocab = (
-        gtot.select("tk", F.row_number().over(wv).alias("rn"))
-        .filter(F.col("rn") <= vocab_k)
-        .select("tk", F.lit(True).alias("__in_vocab"))
+    vocab = _top_k_vocab(cells, vocab_k).select(
+        "tk", F.lit(True).alias("__in_vocab")
     )
     j = cells.join(F.broadcast(vocab), "tk", "left")
     out = j.groupBy("g").agg(
@@ -1255,6 +1275,13 @@ def burrows_delta_pairs(
     weights every head token EQUALLY after variance normalization, so
     one dominant token cannot mask drift in the quieter ones.  Output
     ``(group_a, group_b, n_vocab, delta)``.
+
+    Convention: the z-score uses the SAMPLE standard deviation across
+    groups (ddof = 1 — the convention of the stylo package and the
+    Evert et al. 2017 Delta survey), so values are comparable with
+    published Delta thresholds; a population-sd Delta would be
+    uniformly sqrt(g/(g−1)) smaller.  Pinned by the two-group fixed
+    point Delta = √2 (z = ±1/√2 per differing token).
 
     Determinism contract: relative frequencies are single double
     divisions of exact counts on the zero-filled groups × vocabulary
@@ -1290,13 +1317,7 @@ def burrows_from_cells(
 
     # fans into vocab / totals / the spine join
     cells = cells.localCheckpoint(eager=False)
-    gtot = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
-    wv = Window.orderBy(F.col("ct").desc(), F.col("tk").asc())
-    vocab = (
-        gtot.select("tk", F.row_number().over(wv).alias("rn"))
-        .filter(F.col("rn") <= vocab_k)
-        .select("tk")
-    )
+    vocab = _top_k_vocab(cells, vocab_k)
     totals = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
     grid = totals.select("g", "n").crossJoin(F.broadcast(vocab))
     filled = grid.join(cells, ["g", "tk"], "left").select(
@@ -1319,8 +1340,14 @@ def burrows_from_cells(
     s1 = fold(lambda a, x: a + x["f"])
     s2 = fold(lambda a, x: a + x["f"] * x["f"])
     mu = s1 / ngd
-    var = s2 / ngd - mu * mu
-    sd = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    # SAMPLE sd (ddof = 1, the stylo convention — see the wrapper's
+    # docstring); population sd would shrink every Delta by
+    # sqrt(g/(g-1)) uniformly, self-consistently wrong vs published
+    # thresholds (the AD N-scaling bug class)
+    var = (s2 / ngd - mu * mu) * (ngd / (ngd - F.lit(1.0)))
+    sd = F.when(
+        (F.col("ng") > 1) & (var > 0), F.sqrt(var)
+    ).otherwise(F.lit(0.0))
     st = per_tk.select("tk", "gs", mu.alias("mu"), sd.alias("sd"))
     # z rows back on the spine (σ = 0 tokens contribute 0 to Delta)
     z = st.select(

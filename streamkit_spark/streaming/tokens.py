@@ -15,13 +15,14 @@ report is a shared batch finisher over it.
   open vocabularies, shingle/df-cut upstream exactly as the batch
   contract requires.
 * ``finalize_kl`` / ``finalize_jsd`` / ``finalize_kendall_profile`` /
-  ``finalize_rbo`` / ``finalize_oov`` — the batch finishers: live
-  "which source drifted from the corpus mixture?" (KL), "which source
-  PAIRS diverged, by mass / by full-vocabulary ordering / by what
-  matters most?" (JSD, Kendall tau, RBO), and "does the head
-  vocabulary still cover every source?" (OOV).
+  ``finalize_rbo`` / ``finalize_oov`` / ``finalize_burrows`` — the
+  batch finishers: live "which source drifted from the corpus
+  mixture?" (KL), "which source PAIRS diverged, by mass /
+  full-vocabulary ordering / what matters most / style?" (JSD,
+  Kendall tau, RBO, Burrows' Delta), and "does the head vocabulary
+  still cover every source?" (OOV).
 
-One sketch, five reports — live domain-mixture monitoring with no
+One sketch, six reports — live domain-mixture monitoring with no
 second pass over the stream, the daily/rank-stats multi-report
 discipline applied to text.
 """

@@ -74,8 +74,13 @@ def test_containment_matches_brute_force(spark):
 
 
 def test_burrows_two_group_fixed_point(spark):
-    # 2 groups, 2-token vocab, mirrored frequencies: z = ±1 per token,
-    # delta = mean |Δz| = 2
+    # 2 groups, 2-token vocab, mirrored frequencies.  With the SAMPLE
+    # sd (ddof=1, the stylo convention) over g=2 values at ±1/6 around
+    # the mean: sd = (1/6)·sqrt(2), z = ±1/sqrt(2), so each differing
+    # token contributes |dz| = sqrt(2) and delta = sqrt(2) — an
+    # independent closed-form derivation, not a mirror of the code
+    import math
+
     df = _docs(
         spark,
         [("g1", "x x y"), ("g2", "x y y")],
@@ -83,7 +88,7 @@ def test_burrows_two_group_fixed_point(spark):
     )
     row = burrows_delta_pairs(df, vocab_k=10).collect()[0]
     assert row["n_vocab"] == 2
-    assert row["delta"] == 2.0
+    assert row["delta"] == round(math.sqrt(2.0), 4)
 
 
 def test_burrows_identical_usage_scores_zero(spark):
@@ -115,6 +120,18 @@ def test_burrows_constant_token_contributes_zero(spark):
     }
     assert got[("a", "b")] == 0.0
     assert got[("a", "c")] > 0.0
+
+
+def test_rbo_rejects_degenerate_parameters(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.text import rbo_pairs
+
+    df = _docs(spark, [("a", "x"), ("b", "x")], "source string, text string")
+    with _pt.raises(ValueError, match="k must be"):
+        rbo_pairs(df, k=0)
+    with _pt.raises(ValueError, match="p must be"):
+        rbo_pairs(df, k=5, p=1.0)
 
 
 def test_burrows_vocab_cut_limits_tokens(spark):
