@@ -130,3 +130,25 @@ def test_graph_and_plan_ops_on_empty_inputs(spark, empty_docs, empty_events):
         empty_events, "click", "purchase", ts_ms=F.col("ts")
     ).first()
     assert (ft["n_start"], ft["n_converted"], ft["conv_rate"]) == (0, 0, 0.0)
+
+
+def test_r8_ops_on_empty_inputs(spark, empty_docs, empty_events, empty_vecs):
+    """Round-8 operators on empty frames: one NULL-stat row where the
+    contract is a global report, zero rows where it is per-group/pair."""
+    from streamkit_spark.functions import analytics as A
+    from streamkit_spark.functions import text as T
+    from streamkit_spark.functions.dedup import containment_pairs
+    from streamkit_spark.functions.similarity import embedding_drift
+
+    # global reports: ONE row of NULL statistics (kappa / ECE / Brier
+    # covered in test_calibration_kappa) — per-group/pair ops: 0 rows
+    assert A.hill_tail_by_group(empty_events, "event_type", "value").count() == 0
+    ev = empty_events.select("user_id", F.expr("ts").alias("day"))
+    assert A.user_novelty(ev, "user_id", "day").count() == 0
+    assert T.kl_by_group(empty_docs).count() == 0
+    assert T.rbo_pairs(empty_docs).count() == 0
+    assert T.oov_by_group(empty_docs).count() == 0
+    assert T.burrows_delta_pairs(empty_docs).count() == 0
+    assert containment_pairs(empty_docs).count() == 0
+    emb = empty_vecs.withColumn("label", F.lit(0))
+    assert embedding_drift(emb).count() == 0

@@ -582,3 +582,49 @@ def test_hill_cell_algebra_matches_row_definition(values, k):
     # scale invariance: Hill is invariant to multiplying the sample
     scaled = _hill_mirror_cells([v * 7 for v in values], k)
     assert math.isclose(got, scaled, rel_tol=1e-9)
+
+
+def _containment_candidates_mirror(docs, t_num, t_den):
+    """The engine's containment_pairs candidate generation: per-doc
+    prefix = the |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles (integer
+    ceil, (df, shingle)-ordered), candidates = prefix(doc) × any other
+    doc containing that shingle."""
+    df_ = Counter(s for ss in docs.values() for s in ss)
+    cands = set()
+    for d, ss in docs.items():
+        n = len(ss)
+        if n == 0:
+            continue
+        plen = n - (n * t_num + t_den - 1) // t_den + 1
+        ordered = sorted(ss, key=lambda s: (df_[s], s))
+        for s in ordered[:plen]:
+            for d2, ss2 in docs.items():
+                if d2 != d and s in ss2:
+                    cands.add((min(d, d2), max(d, d2)))
+    return cands
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(0, 12), min_size=1, max_size=10),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(5, 10),
+)
+@settings(max_examples=300, deadline=None)
+def test_containment_prefix_candidates_have_exact_recall(sets, t10):
+    """The PPJoin-prefix recall argument behind containment_pairs: any
+    pair with C_max = |A∩B|/min ≥ t MUST appear among the prefix×full
+    candidates — the smaller side's ⌈t·|A|⌉ shared shingles cannot all
+    hide outside its |A|−⌈t·|A|⌉+1 rarest."""
+    docs = dict(enumerate(sets))
+    t_num, t_den = t10, 10
+    cands = _containment_candidates_mirror(docs, t_num, t_den)
+    for i, j in itertools.combinations(docs, 2):
+        a, b = docs[i], docs[j]
+        inter = len(a & b)
+        m = min(len(a), len(b))
+        # the engine's exact integer threshold compare
+        if m > 0 and inter * t_den >= m * t_num:
+            assert (i, j) in cands, (docs[i], docs[j], t10)
