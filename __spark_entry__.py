@@ -3474,7 +3474,15 @@ def q_dup_cluster_sizes(spark, sf_dir):
     much of the corpus sits in 2-doc pairs vs mega-clusters — the
     shape that decides whether cluster-collapse dedup removes 1% or
     30% of the data.  Oracle: the dedup_clusters recursive-CTE closure
-    plus the same two-level count."""
+    plus the same two-level count.
+
+    NOTE: the engine's pairs come from minhash_lsh_pairs (16x4 banding,
+    per-pair candidate recall ~0.89 at j ~= 0.6) while the oracle closure
+    is brute-force exact Jaccard >= 0.6 — equality relies on the fixture's
+    duplicates sitting well above the banding knee (same dependence as
+    the long-green dedup_clusters query).  If a future fixture plants
+    j ~= 0.6 pairs, derive the histogram from an exact-verified pair
+    source (ngram_jaccard_pairs) instead."""
     docs = tables.load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
     cl = D.duplicate_clusters(pairs)
@@ -3491,6 +3499,34 @@ def q_dup_cluster_sizes(spark, sf_dir):
     )
 
 
+def q_containment_split(spark, sf_dir):
+    """Leakage-safe split over the UNION near-dup graph
+    (dedup.union_pair_edges ∘ curation.cluster_safe_split): exact
+    Jaccard pairs AND exact max-containment pairs feed ONE cluster
+    graph, so the quote-inclusion duplication Jaccard misses (the
+    subset pair dedup_containment pins) can no longer straddle the
+    train/test boundary (VERDICT r8 item #6; Lee et al. 2022 §5 — a
+    leaked pair is a leaked pair whichever detector found it).  Both
+    pair sources are exact-verified, so unlike leakage_safe_split's
+    LSH graph the oracle closure has no banding-recall dependence.
+    Oracle: one shingle/size/co-occurrence CTE chain, pairs kept on
+    (jaccard OR containment) via exact integer threshold compares,
+    recursive closure, then the identical md5 bucket CASE on
+    coalesce(cluster_id, doc_id)."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    edges = D.union_pair_edges(
+        D.ngram_jaccard_pairs(docs, threshold=0.6),
+        D.containment_pairs(docs, threshold=0.6),
+    )
+    return (
+        C.cluster_safe_split(docs, edges)
+        .select("doc_id", "split_key", "split")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3502,64 +3538,62 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-8 window (VERDICT r7 item #1, per the
-# CLAUDE.md rotation ledger): the 34 remaining r4 entries, then the 12
-# never-driver-checked r7 adds, then the 4 oldest r5 entries
-# (alphabetical) = exactly 50.
+# its literal order below.  Round-9 window (VERDICT r8 item #1, per the
+# CLAUDE.md rotation ledger): the 13 never-driver-checked r8 adds, then
+# 37 r5-era entries (the 9 remaining r5 entries queue for r10) = 50.
 _DRIVER_WINDOW_FRONT = [
-    # --- the 34 r4 entries (driver rows last seen r4) ---
-    "dedup_clusters",
-    "dedup_overlap",
-    "dedup_substring",
-    "dedup_substring_fast_recall",
-    "dedup_substring_maxdf",
-    "doc_chunks",
-    "doc_quality",
-    "dsir_weights",
-    "embedding_covariance",
-    "embedding_near_dups",
-    "embedding_norms",
-    "key_skew",
-    "lang_id_confusion",
-    "math_funcs",
-    "median_quantity",
-    "mixing_plan",
-    "orders_above_avg",
-    "pack_sequences",
-    "pii_report",
-    "pmi_top_pairs",
-    "quality_rules",
-    "repetition_stats",
-    "semantic_dedup",
-    "source_balance",
-    "split_assignment",
-    "stratified_sample",
-    "string_funcs",
-    "temperature_sample",
-    "top_tokens_per_lang",
-    "unigram_logprob",
-    "vocab_spectrum",
-    "weekly_growth",
-    "weighted_sample",
-    "zorder_stats",
-    # --- never driver-checked: round-7 adds ---
-    "kendall_exact",
-    "cliffs_value",
-    "ad_value",
-    "cvm_value",
-    "cramers_weekday",
-    "mi_weekday",
-    "theil_value",
-    "llr_top_pairs",
-    "weekday_outliers",
-    "leakage_safe_split",
-    "split_leakage",
-    "ks_daily",
-    # --- 4 oldest r5 entries (alphabetical) ---
-    "a1_segment_status",
-    "a2_spaces",
-    "ann_topk_bruteforce",
-    "asof_purchase_click",
+    # --- never driver-checked: round-8 adds ---
+    "benford_value",
+    "kendall_matrix",
+    "gate_kappa",
+    "calibration_ece",
+    "calibration_brier",
+    "hill_tail",
+    "user_novelty",
+    "embedding_drift",
+    "dup_cluster_sizes",
+    "rbo_sources",
+    "oov_rates",
+    "burrows_delta",
+    "dedup_containment",
+    # --- 37 r5 entries (driver rows last seen r5) ---
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprints",
+    "doc_token_stats",
+    "event_pagerank",
+    "f2_ts_filter_count",
+    "gap_filled_daily",
+    "gap_filled_ffill",
+    "label_centroids",
+    "lang_summary",
+    "monthly_revenue",
+    "part_brand_stats",
+    "pivot_user_events",
+    "range_join_nearby",
+    "rollup_event_counts",
+    "s1_consume_segment",
+    "s1_tail_window",
+    "s2_consume_space",
+    "s2_cursor_resume",
+    "s3_consume_merge",
+    "s4_peek",
+    "session_stats",
+    "set_click_no_purchase",
+    "tfidf_top_terms",
+    "topk_orders_per_customer",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
 ]
 
 
@@ -3792,6 +3826,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rates": q_oov_rates,
         "burrows_delta": q_burrows_delta,
         "dedup_containment": q_dedup_containment,
+        # --- round-9 ops (queued for the r10 driver window) ---
+        "containment_split": q_containment_split,
     }
 
 
@@ -5627,6 +5663,57 @@ def oracle_sql() -> dict[str, str]:
                     0) AS BIGINT) AS leaked_cluster_hash
         FROM jp JOIN assigned a ON jp.id_a = a.doc_id
                 JOIN assigned b ON jp.id_b = b.doc_id
+    """
+    # containment_split: closure over the UNION of exact-Jaccard and
+    # exact-containment pair sets (both detectors' engine compares
+    # mirrored exactly: float-division jaccard >= t like the engine's
+    # verify, integer inter*t_den >= min*t_num for containment), then
+    # the identical bucket CASE on the cluster representative.  No LSH
+    # banding anywhere, so no recall dependence.
+    sql["containment_split"] = f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), up AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
+               OR inter * 1000000 >= least(s1.n, s2.n) * 600000
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM up
+            UNION
+            SELECT id_b, id_a FROM up
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
+        ), cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        ), keyed AS (
+            SELECT d.doc_id,
+                   coalesce(cl.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        )
+        SELECT doc_id, split_key,
+               CASE {' '.join(_cases)} ELSE '{_last}' END AS split
+        FROM (SELECT doc_id, split_key,
+                     {_sbs("split_key", "split")} AS bucket
+              FROM keyed)
+        ORDER BY doc_id
     """
     # weighted_sample: Efraimidis-Spirakis keys, log domain (ln + division
     # only — no pow), md5-bucket uniform draw

@@ -166,8 +166,51 @@ EXTRA = {
 }
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
-    """Median-of-3 timings for every headline query at one scale factor."""
+def _cotenant_jvms() -> int:
+    """Count java processes that are NOT this bench's own gateway JVM.
+
+    Self-certification (VERDICT r8 item #2): the box shows 18x timing
+    swings under co-tenant load with zero code change, so an artifact
+    that can't show whether another JVM was running cannot distinguish
+    contention from regression.  Our own py4j JVM is a direct child of
+    this python process; everything else java-shaped is a co-tenant."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["ps", "-eo", "pid,ppid,comm"], capture_output=True, text=True
+        ).stdout
+    except OSError:
+        return -1  # unknown — still honest in the artifact
+    me = os.getpid()
+    n = 0
+    for line in out.splitlines()[1:]:
+        parts = line.split()
+        if len(parts) >= 3 and "java" in parts[2]:
+            if int(parts[1]) != me:
+                n += 1
+    return n
+
+
+def _env_snapshot() -> dict:
+    """Machine-state stamp for the artifact: 1/5/15-min loadavg plus the
+    co-tenant JVM count, taken at suite start and end by the callers."""
+    try:
+        la = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        la = None
+    return {"loadavg": la, "cotenant_jvms": _cotenant_jvms()}
+
+
+def run_suite(
+    spark, sf_dir: str, all_runs: dict[str, list[float]] | None = None
+) -> dict[str, float]:
+    """Median-of-3 timings for every headline query at one scale factor.
+
+    When ``all_runs`` is passed, the sorted per-run triple for each query
+    is recorded into it — the artifact then carries the raw evidence (a
+    bimodal triple like [6.1, 6.3, 74.3] is the contention signature;
+    three tight runs certify the median)."""
     queries = entry.queries()
     # warm-up: touch each input table so FS cache + codegen are warm
     from streamkit_spark import tables
@@ -192,6 +235,8 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
             n = df.count()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        if all_runs is not None:
+            all_runs[name] = [round(r, 3) for r in sorted(runs)]
         print(
             f"# {name}: {n} rows, median {timings[name]}s "
             f"(runs {[round(r, 3) for r in sorted(runs)]})",
@@ -206,7 +251,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.0
     spark = get_spark(app_name="streamkit_spark_bench")
 
-    timings = run_suite(spark, sf_dir)
+    env_start = _env_snapshot()
+    all_runs: dict[str, list[float]] = {}
+    timings = run_suite(spark, sf_dir, all_runs)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -217,6 +264,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "stat": "median_of_3",
+                # self-certification: raw triples + machine state, so
+                # contention vs regression is decidable from the artifact
+                "runs": all_runs,
+                "env_start": env_start,
+                "env_end": _env_snapshot(),
             }
         )
     )
@@ -232,13 +284,18 @@ def scaling() -> None:
     scan headroom; a ratio at/above the 10× data growth flags a
     superlinear plan to investigate."""
     spark = get_spark(app_name="streamkit_spark_bench_scaling")
-    lo = run_suite(spark, "/root/testdata/sf0.01")
-    hi = run_suite(spark, "/root/testdata/sf0.1")
+    env_start = _env_snapshot()
+    lo_runs: dict[str, list[float]] = {}
+    hi_runs: dict[str, list[float]] = {}
+    lo = run_suite(spark, "/root/testdata/sf0.01", lo_runs)
+    hi = run_suite(spark, "/root/testdata/sf0.1", hi_runs)
     out = {
         q: {
             "sf0.01": lo[q],
             "sf0.1": hi[q],
             "ratio": round(hi[q] / lo[q], 2) if lo[q] > 0 else None,
+            "sf0.01_runs": lo_runs[q],
+            "sf0.1_runs": hi_runs[q],
         }
         for q in lo
     }
@@ -246,6 +303,8 @@ def scaling() -> None:
         "metric": "headline_scaling_medians_sec",
         "data_ratio": 10.0,
         "stat": "median_of_3",
+        "env_start": env_start,
+        "env_end": _env_snapshot(),
         "queries": out,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -160,9 +160,11 @@ def ngram_jaccard_pairs(
     )
     # prefix = first n - ceil(t*n) + 1 shingles; carry set size and prefix
     # position for the PPJoin length/position filters
+    # ceil multiply in BIGINT: size() is INT32 and n * t_num overflows past
+    # ~⌈2^31/t_num⌉ ≈ 3.6k distinct shingles (ANSI crash / silent wrap)
     plen = F.expr(
-        f"cast(size(sh_all) - ((size(sh_all) * {t_num} + {t_den - 1}) div {t_den})"
-        " + 1 as int)"
+        f"cast(size(sh_all) - ((cast(size(sh_all) as bigint) * {t_num}"
+        f" + {t_den - 1}) div {t_den}) + 1 as int)"
     )
     prefix = ordered.select(
         "doc_id",
@@ -545,6 +547,34 @@ def simhash_pairs(
 
 
 # ------------------------------------------------- duplicate clusters
+
+def union_pair_edges(*pair_tables: DataFrame) -> DataFrame:
+    """Union several near-dup pair tables into ONE (id_a, id_b) edge set
+    for :func:`duplicate_clusters` / ``curation.cluster_safe_split`` —
+    the detectors are complementary (Jaccard misses quote-inclusion
+    pairs containment catches; containment misses interleaved rewrites
+    Jaccard catches), so the cluster graph should see the union of
+    their edges (VERDICT r8 item #6; Lee et al. 2022 §5 semantics —
+    a leaked pair is a leaked pair whichever detector found it).
+
+    Each input needs ``id_a``/``id_b`` columns (extra columns such as
+    ``jaccard``/``containment`` are dropped); endpoints are normalized
+    to id_a < id_b and the union deduplicated, so a pair found by two
+    detectors contributes one edge."""
+    if not pair_tables:
+        raise ValueError("union_pair_edges needs at least one pair table")
+    norm = [
+        p.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        for p in pair_tables
+    ]
+    out = norm[0]
+    for p in norm[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
 
 def duplicate_clusters(
     pairs: DataFrame,
@@ -1178,9 +1208,11 @@ def containment_pairs(
             ),
         )
     )
+    # BIGINT ceil multiply — see ngram_jaccard_pairs: INT32 n * t_num
+    # overflows past ~3.6k distinct shingles
     plen = F.expr(
-        f"cast(size(sh_all) - ((size(sh_all) * {t_num} + {t_den - 1})"
-        f" div {t_den}) + 1 as int)"
+        f"cast(size(sh_all) - ((cast(size(sh_all) as bigint) * {t_num}"
+        f" + {t_den - 1}) div {t_den}) + 1 as int)"
     )
     prefix = ordered.select(
         F.col("doc_id").alias("p_doc"),

@@ -36,6 +36,18 @@ class CurationConfig:
     # transitive policy of Lee et al. 2022, "Deduplicating Training Data
     # Makes Language Models Better") via dedup.duplicate_clusters.
     cluster_dedup: bool = False
+    # additionally treat exact n-gram MAX-CONTAINMENT pairs
+    # (|A∩B|/min(|A|,|B|) >= containment_threshold) as near-dup edges —
+    # the asymmetric quote-inclusion duplication Jaccard misses when
+    # sizes differ (dedup.containment_pairs; Broder SEQUENCES'97).
+    # Edges union into the SAME pair graph (dedup.union_pair_edges), so
+    # with cluster_dedup the whole mixed component collapses to one
+    # representative and cluster_safe_split keys see containment links
+    # too.  None disables.  containment_max_df is the documented
+    # boilerplate-shingle candidate cut (recall trade, see
+    # containment_pairs).
+    containment_threshold: float | None = None
+    containment_max_df: int | None = None
     # additionally drop docs sharing long verbatim substrings (winnowing
     # pairs with >= substring_min_shared agreeing fingerprints — the
     # ExactSubstr stage of Lee et al. 2022; 0 disables)
@@ -90,6 +102,16 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
     else:
         near_pairs = D.ngram_jaccard_pairs(
             exact, n=cfg.ngram, threshold=cfg.jaccard_threshold
+        )
+    if cfg.containment_threshold is not None:
+        near_pairs = D.union_pair_edges(
+            near_pairs,
+            D.containment_pairs(
+                exact,
+                n=cfg.ngram,
+                threshold=cfg.containment_threshold,
+                max_df=cfg.containment_max_df,
+            ),
         )
     if cfg.cluster_dedup:
         clusters = D.duplicate_clusters(near_pairs)

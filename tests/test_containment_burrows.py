@@ -145,3 +145,57 @@ def test_burrows_vocab_cut_limits_tokens(spark):
     row = burrows_delta_pairs(df, vocab_k=1).collect()[0]
     assert row["n_vocab"] == 1
     assert row["delta"] == 0.0
+
+
+def test_union_pair_edges_dedups_and_normalizes(spark):
+    from streamkit_spark.functions.dedup import union_pair_edges
+
+    ja = _docs(
+        spark,
+        [(1, 2), (3, 4)],
+        "id_a long, id_b long",
+    )
+    # same (3,4) edge reversed, plus a containment-only pair
+    co = _docs(
+        spark,
+        [(4, 3), (2, 5)],
+        "id_a long, id_b long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in union_pair_edges(ja, co).collect()
+    )
+    assert got == [(1, 2), (2, 5), (3, 4)]
+
+
+def test_containment_edges_make_the_split_leakage_safe(spark):
+    """The VERDICT r8 #6 composition: a quote-inclusion pair (containment
+    1.0, jaccard below threshold) must share a split_key once containment
+    edges join the cluster graph — and demonstrably does NOT under the
+    jaccard-only graph."""
+    from streamkit_spark.functions.curation import cluster_safe_split
+    from streamkit_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        union_pair_edges,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = _docs(spark, [(1, short), (2, long), (3, "unrelated text entirely here")])
+    jac = ngram_jaccard_pairs(df, threshold=0.9)
+    cont = containment_pairs(df, threshold=0.9)
+    assert jac.count() == 0 and cont.count() == 1
+
+    keys_union = {
+        r["doc_id"]: r["split_key"]
+        for r in cluster_safe_split(df, union_pair_edges(jac, cont)).collect()
+    }
+    # the pair collapses onto the min-id representative; the bystander
+    # keeps its own id
+    assert keys_union[1] == keys_union[2] == 1
+    assert keys_union[3] == 3
+
+    keys_jac = {
+        r["doc_id"]: r["split_key"]
+        for r in cluster_safe_split(df, jac).collect()
+    }
+    assert keys_jac[1] != keys_jac[2]

@@ -132,3 +132,32 @@ def test_pipeline_classifier_gate_filters(spark):
     )
     nb, ng = base.count(), gated.count()
     assert 0 < ng < nb  # the gate bites but doesn't wipe the corpus
+
+
+def test_pipeline_containment_stage_drops_quote_inclusion(spark):
+    """containment_threshold unions containment edges into the near-dup
+    graph: a short doc quoted whole inside a longer one (jaccard far
+    below threshold) is deduped only when the stage is on."""
+    short = "alpha beta gamma delta epsilon"
+    long = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, long, "en", "s", len(long)),
+        (3, "a completely different corpus document here", "en", "s", 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    base = CurationConfig(
+        use_lsh=False, jaccard_threshold=0.9, min_quality=0.0, min_tokens=1
+    )
+    kept_off = sorted(r["doc_id"] for r in curate(df, base).collect())
+    assert kept_off == [1, 2, 3]  # jaccard alone misses the subset pair
+    from dataclasses import replace
+
+    kept_on = sorted(
+        r["doc_id"]
+        for r in curate(df, replace(base, containment_threshold=0.9)).collect()
+    )
+    # (1, 2) becomes an edge; the default policy drops id_b
+    assert kept_on == [1, 3]
