@@ -3527,6 +3527,60 @@ def q_containment_split(spark, sf_dir):
     )
 
 
+def q_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (dedup.pair_source_matrix over
+    exact n-gram Jaccard pairs): near-dup PAIR counts by the
+    (source_a, source_b) of their endpoints — which crawl copies from
+    which (off-diagonal) vs within-source boilerplate (diagonal).
+    dup_rate_by_source says how much; this says where the duplicates
+    point.  Exact pair predicate, exact integer counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    return D.pair_source_matrix(pairs, docs)
+
+
+def q_effective_tokens(spark, sf_dir):
+    """Dedup-adjusted token contribution per source
+    (curation.effective_token_report): collapse each exact-Jaccard
+    near-dup component to its min-id representative (Lee et al. 2022
+    cluster-collapse), then per source report raw vs EFFECTIVE token
+    mass — the honest input to token-budget mixture planning.  Counts
+    and token sums exact integers; one double division rounded 4dp.
+    Oracle: the dedup_clusters closure + the tokens() mirror + the
+    same kept-representative CASE."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6)
+    return C.effective_token_report(docs, pairs)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source vocabulary coverage curve (text.coverage_by_group,
+    the token-cell sketch's 7th report): how many top-ranked token
+    TYPES cover 50/90/99% of each source's token occurrences — the
+    head-heaviness readout that sizes tokenizer vocabularies and
+    explains OOV rates.  Exact integer rank/cumsum arithmetic with the
+    (count DESC, token ASC) total tie-break; the threshold compare is
+    cum·100 ≥ pct·n, never a float ceil."""
+    from streamkit_spark.functions import text as TX
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.coverage_by_group(docs, "source", "text")
+
+
+def q_memorization_risk(spark, sf_dir):
+    """Per-document memorization-risk exposure
+    (dedup.substring_exposure): for every doc in at least one
+    winnowing pair (Lee et al. 2022 ExactSubstr semantics, k=16 w=8
+    min_shared=2), the number of partner docs sharing long verbatim
+    substrings and the total fingerprint agreements — the ranking a
+    regurgitation audit acts on.  hash_fn='md5' pins DuckDB parity
+    (the dedup_substring convention; production runs xxhash64)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.substring_exposure(docs, hash_fn="md5")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3828,6 +3882,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         # --- round-9 ops (queued for the r10 driver window) ---
         "containment_split": q_containment_split,
+        "source_dup_matrix": q_source_dup_matrix,
+        "effective_tokens": q_effective_tokens,
+        "memorization_risk": q_memorization_risk,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -5635,6 +5693,41 @@ def oracle_sql() -> dict[str, str]:
                      {_sbs("split_key", "split")} AS bucket
               FROM keyed)
         ORDER BY doc_id
+    """
+    # effective_tokens: the dedup_clusters closure (exact jaccard 0.6),
+    # kept = unclustered or min-id representative, tokens() mirror
+    # (un-lowercased whitespace split), exact integer sums, one double
+    # division rounded 4dp
+    sql["effective_tokens"] = f"""
+        WITH RECURSIVE {_closure_cte}, cl AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        ), tkc AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                                             x -> x <> '')) END AS ntok
+            FROM documents
+        ), keyed AS (
+            SELECT d.doc_id, d.source, tkc.ntok,
+                   (cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id) AS kept
+            FROM documents d
+            JOIN tkc ON tkc.doc_id = d.doc_id
+            LEFT JOIN cl ON cl.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(ntok) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+                   AS effective_tokens,
+               CASE WHEN sum(ntok) > 0 THEN
+                    round(CAST(sum(CASE WHEN kept THEN ntok ELSE 0 END)
+                               AS DOUBLE)
+                          / CAST(sum(ntok) AS DOUBLE), 4)
+               END AS effective_ratio
+        FROM keyed
+        GROUP BY source
+        ORDER BY source
     """
     # split_leakage: both assignments over the same closure; the pair
     # join counts split-straddling endpoints under each keying
@@ -9555,5 +9648,110 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes s2 ON id_b = s2.doc_id
         WHERE inter * 1000000 >= least(s1.n, s2.n) * 600000
         ORDER BY id_a, id_b
+    """
+    # source_dup_matrix: exact-Jaccard pairs at 0.5 (float compare
+    # mirrors the engine's verify), endpoints mapped to sources,
+    # (least, greatest) normalization, integer pair counts
+    sql["source_dup_matrix"] = r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.5
+        )
+        SELECT least(da.source, db.source) AS group_a,
+               greatest(da.source, db.source) AS group_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM jp
+        JOIN documents da ON jp.id_a = da.doc_id
+        JOIN documents db ON jp.id_b = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY group_a, group_b
+    """
+    # memorization_risk: the dedup_substring winnowing pair table (md5
+    # path), both directions unioned, per-doc partner/agreement counts
+    sql["memorization_risk"] = """
+        WITH g AS (
+            SELECT doc_id, i AS pos,
+                   md5(substr(lower(text), i, 16)) AS h,
+                   greatest(length(lower(text)) - 15, 1) AS ng
+            FROM documents,
+                 unnest(generate_series(1,
+                        greatest(length(lower(text)) - 15, 1))) AS u(i)
+        ), wm AS (
+            SELECT doc_id, pos, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+            FROM g
+        ), fp AS (
+            SELECT DISTINCT doc_id, fp FROM wm
+            WHERE pos <= greatest(ng - 8, 0) + 1
+        ), prs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ), both_dirs AS (
+            SELECT doc_a AS doc_id, shared_fps FROM prs
+            UNION ALL
+            SELECT doc_b, shared_fps FROM prs
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_partners,
+               CAST(sum(shared_fps) AS BIGINT) AS shared_fps_total
+        FROM both_dirs
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+    # vocab_coverage: per-group rank/cumsum over the (count DESC,
+    # token ASC) total order, exact integer threshold cum*100 >= pct*n
+    sql["vocab_coverage"] = r"""
+        WITH tk AS (
+            SELECT source,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), cells AS (
+            SELECT source, tk, CAST(count(*) AS BIGINT) AS c
+            FROM tk GROUP BY 1, 2
+        ), ranked AS (
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, tk ASC) AS rk,
+                   sum(c) OVER (PARTITION BY source
+                                ORDER BY c DESC, tk ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM cells
+        ), tot AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM cells GROUP BY 1
+        ), px AS (SELECT unnest([50, 90, 99]) AS pct)
+        SELECT r.source AS source, CAST(px.pct AS BIGINT) AS pct,
+               CAST(min(r.rk) AS BIGINT) AS tokens_needed,
+               t.vocab_size, t.total_tokens
+        FROM ranked r
+        JOIN tot t ON r.source = t.source
+        CROSS JOIN px
+        WHERE r.cum * 100 >= px.pct * t.total_tokens
+        GROUP BY r.source, px.pct, t.vocab_size, t.total_tokens
+        ORDER BY source, pct
     """
     return sql

@@ -108,6 +108,12 @@ HEADLINE = [
     "calibration_ece",
     "embedding_drift",
     "rbo_sources",
+    # round 9: the PPJoin-on-the-smaller-side containment machinery and
+    # the cluster-collapse composition (duplicate_clusters wasn't in any
+    # headline entry before).  containment_split / source_dup_matrix /
+    # memorization_risk share pair machinery already benched and stay out.
+    "dedup_containment",
+    "effective_tokens",
 ]
 
 

@@ -790,6 +790,73 @@ def cluster_safe_split(
     return assign_split(keyed, weights, id_col="split_key", salt=salt)
 
 
+def effective_token_report(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-adjusted token contribution per group: after collapsing
+    each near-dup connected component to its min-id representative
+    (Lee et al. 2022 cluster-collapse semantics via
+    ``dedup.duplicate_clusters``), how many tokens does each source
+    ACTUALLY contribute?  ``(group, n_docs, n_kept, total_tokens,
+    effective_tokens, effective_ratio)`` — the honest input to
+    mixture planning: a source whose effective_ratio is 0.5 delivers
+    half the unique mass its raw token count claims, and a
+    token-budget mixture built on raw counts over-weights it.
+
+    Counts and token sums are exact integers; the ratio is one double
+    division rounded 4dp.  A cluster representative keeps its own
+    group, so a cross-source cluster credits the representative's
+    source (the same canonical-doc semantics dedup_keep_canonical
+    applies to the corpus itself).
+
+    Scale: one corpus scan for token counts, the cluster computation
+    (|pairs|-bounded), one broadcast-size left join, one group
+    aggregate."""
+    from streamkit_spark.functions.dedup import duplicate_clusters
+    from streamkit_spark.functions.text import token_count
+
+    id_type = dict(df.dtypes)[id_col]
+    cl = duplicate_clusters(pairs).select(
+        F.col("doc_id").cast(id_type).alias(id_col),
+        F.col("cluster_id").cast(id_type).alias("__cl"),
+    )
+    keyed = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        token_count(text_col).cast("long").alias("__tok"),
+    ).join(cl, id_col, "left")
+    kept = F.col("__cl").isNull() | (F.col("__cl") == F.col(id_col))
+    ratio = F.col("effective_tokens").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    return (
+        keyed.groupBy("__g")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum("__tok").cast("long").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("__tok")).otherwise(0))
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_kept",
+            "total_tokens",
+            "effective_tokens",
+            F.round(
+                F.when(F.col("total_tokens") > 0, ratio), 4
+            ).alias("effective_ratio"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def split_leakage_report(
     df: DataFrame,
     pairs: DataFrame,
@@ -1251,7 +1318,17 @@ def classifier_gate_table(
     shares — score_calibration, classifier_auc, gate_kappa,
     calibration_ece/brier, and the dg_gate_kappa / dg_calibration SQL
     views all read THIS definition, so a bias or rule change can never
-    desynchronize them."""
+    desynchronize them.
+
+    The input is ``spread`` first: a single-file corpus would run BOTH
+    expression-heavy branches (per-token md5 scoring; the rule metrics
+    + bigram explode) on one core (the zorder_stats/brute-kNN lesson —
+    measured 1.8x on calibration_ece at sf0.1).  Results are unchanged:
+    every expression is per-row deterministic and every aggregate
+    exact."""
+    from streamkit_spark.functions.util import spread
+
+    df = spread(df)
     scored = quality_classifier_score(
         df, bias=bias, text_col=text_col, id_col=id_col
     ).select("doc_id", "score")

@@ -548,6 +548,98 @@ def simhash_pairs(
 
 # ------------------------------------------------- duplicate clusters
 
+def pair_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-group duplication matrix: count near-dup PAIRS by the
+    (group_a, group_b) of their endpoints — "which crawl copies from
+    which?"  ``dup_rate_by_source`` answers how much of EACH source is
+    duplicated; this answers WHERE the duplicates point: a hot
+    off-diagonal cell is one source mirroring another (or a shared
+    upstream), a hot diagonal cell is within-source boilerplate.
+    Output ``(group_a, group_b, n_pairs)`` with group_a <= group_b.
+
+    Scale: two broadcast-size joins of the pair table against the
+    (id, group) projection (|pairs| ≪ corpus after blocking), then a
+    groups²-bounded aggregate."""
+    g = docs.select(
+        F.col(id_col).alias("__pid"), F.col(group_col).alias("__pg")
+    )
+    j = (
+        pairs.select("id_a", "id_b")
+        .join(
+            g.select(
+                F.col("__pid").alias("id_a"), F.col("__pg").alias("__ga")
+            ),
+            "id_a",
+        )
+        .join(
+            g.select(
+                F.col("__pid").alias("id_b"), F.col("__pg").alias("__gb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("__ga", "__gb").alias("group_a"),
+            F.greatest("__ga", "__gb").alias("group_b"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("group_a", "group_b")
+    )
+
+
+def substring_exposure(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document memorization-risk exposure from the winnowing pair
+    table (:func:`substring_dup_pairs`): for every document in at least
+    one qualifying pair, how many OTHER documents share long verbatim
+    substrings with it and how many fingerprint agreements in total —
+    ``(doc_id, n_partners, shared_fps_total)``.  The ranking Lee et
+    al. 2022's memorization analysis acts on: a doc whose spans recur
+    across many partners is the one a model will regurgitate.
+
+    Scale: the pair table is the expensive part and is built once; the
+    exposure report is one union (both pair directions) + one doc-keyed
+    aggregate over |pairs| rows."""
+    pairs = substring_dup_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        w=w,
+        min_shared=min_shared,
+        max_df=max_df,
+        hash_fn=hash_fn,
+    ).localCheckpoint(eager=False)  # feeds both direction branches
+    both = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("shared_fps")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("shared_fps"))
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_partners"),
+            F.sum("shared_fps").cast("long").alias("shared_fps_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def union_pair_edges(*pair_tables: DataFrame) -> DataFrame:
     """Union several near-dup pair tables into ONE (id_a, id_b) edge set
     for :func:`duplicate_clusters` / ``curation.cluster_safe_split`` —

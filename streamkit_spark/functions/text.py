@@ -1259,6 +1259,83 @@ def oov_from_cells(
     ).orderBy(group_col)
 
 
+def coverage_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Vocabulary coverage curve per group: the number of top-ranked
+    token TYPES needed to cover each given percent of the group's token
+    OCCURRENCES — the "how head-heavy is this source?" readout that
+    sizes tokenizer vocabularies and explains OOV rates (a source whose
+    99% point needs 10x more types than the corpus is the one a shared
+    vocab will shortchange).  Output ``(group, pct, tokens_needed,
+    vocab_size, total_tokens)``, one row per (group, percent).
+
+    Determinism contract: ranks use the exact global-count ordering
+    with a total tie-break (count DESC, token ASC — the _top_k_vocab
+    convention, per group); the threshold compare is exact integer
+    arithmetic, cum·100 ≥ pct·n — no float ceil anywhere.
+
+    Scale: one (group, token) count, then a per-group cumulative window
+    over the DISTINCT-token table (vocabulary-bounded, the ranksum
+    cumulative-window contract); the percent explode multiplies only
+    the cell table.
+    """
+    return coverage_from_cells(
+        token_cells(df, group_col, text_col), group_col, percents
+    )
+
+
+def coverage_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Finisher half of :func:`coverage_by_group` over a prebuilt
+    (g, tk, c) token-count table (the token streaming sketch's 7th
+    report)."""
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    if any(p < 1 or p > 100 for p in percents):
+        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    # fans into the window table and the per-group totals
+    cells = cells.localCheckpoint(eager=False)
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("tk").asc())
+    ranked = cells.select(
+        "g",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    tot = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    px = F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("pct")
+    return (
+        ranked.join(F.broadcast(tot), "g")
+        .select("g", "rk", "cum", "total_tokens", "vocab_size", px)
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("total_tokens"))
+        .groupBy("g", "pct")
+        .agg(
+            F.min("rk").cast("long").alias("tokens_needed"),
+            F.first("vocab_size").alias("vocab_size"),
+            F.first("total_tokens").alias("total_tokens"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("pct").cast("long").alias("pct"),
+            "tokens_needed",
+            "vocab_size",
+            "total_tokens",
+        )
+        .orderBy(group_col, "pct")
+    )
+
+
 def burrows_delta_pairs(
     df: DataFrame,
     group_col: str = "source",

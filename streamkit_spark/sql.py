@@ -216,8 +216,11 @@ def register_diagnostics_views(
     * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit),
       ``{p}heaps`` (vocabulary-growth fit), ``{p}collocations``
       (Dunning LLR token pairs), ``{p}gate_kappa`` (chance-corrected
-      classifier-vs-rule-gate agreement), and ``{p}calibration``
-      (classifier ECE/MCE against the rule gate)
+      classifier-vs-rule-gate agreement), ``{p}calibration``
+      (classifier ECE/MCE against the rule gate), ``{p}vocab_coverage``
+      (types needed per coverage percent), ``{p}source_dup_matrix``
+      (cross-source near-dup pair counts), and ``{p}effective_tokens``
+      (dedup-adjusted token mass per source)
 
     Views are logical plans; each inherits the underlying scan's
     pushdown.  The events frame must be normalized (``tables.load``)."""
@@ -294,6 +297,17 @@ def register_diagnostics_views(
             ),
             "prob",
             "passes",
+        )
+        views[f"{p}vocab_coverage"] = T.coverage_by_group(documents)
+        from streamkit_spark.functions import dedup as D
+
+        # one exact pair table feeds both duplication audits
+        _pairs = D.ngram_jaccard_pairs(documents, threshold=0.6)
+        views[f"{p}source_dup_matrix"] = D.pair_source_matrix(
+            _pairs, documents
+        )
+        views[f"{p}effective_tokens"] = C.effective_token_report(
+            documents, _pairs
         )
     for name, df in views.items():
         df.createOrReplaceTempView(name)

@@ -15,14 +15,15 @@ report is a shared batch finisher over it.
   open vocabularies, shingle/df-cut upstream exactly as the batch
   contract requires.
 * ``finalize_kl`` / ``finalize_jsd`` / ``finalize_kendall_profile`` /
-  ``finalize_rbo`` / ``finalize_oov`` / ``finalize_burrows`` — the
-  batch finishers: live "which source drifted from the corpus
-  mixture?" (KL), "which source PAIRS diverged, by mass /
-  full-vocabulary ordering / what matters most / style?" (JSD,
-  Kendall tau, RBO, Burrows' Delta), and "does the head vocabulary
-  still cover every source?" (OOV).
+  ``finalize_rbo`` / ``finalize_oov`` / ``finalize_burrows`` /
+  ``finalize_coverage`` — the batch finishers: live "which source
+  drifted from the corpus mixture?" (KL), "which source PAIRS
+  diverged, by mass / full-vocabulary ordering / what matters most /
+  style?" (JSD, Kendall tau, RBO, Burrows' Delta), "does the head
+  vocabulary still cover every source?" (OOV), and "how many types
+  cover each percent of a source's occurrences?" (coverage).
 
-One sketch, six reports — live domain-mixture monitoring with no
+One sketch, seven reports — live domain-mixture monitoring with no
 second pass over the stream, the daily/rank-stats multi-report
 discipline applied to text.
 """
@@ -133,3 +134,17 @@ def finalize_burrows(
     return burrows_from_cells(
         cells, group_col, vocab_k=vocab_k, round_digits=round_digits
     )
+
+
+def finalize_coverage(
+    cells: DataFrame,
+    group_col: str = "source",
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group vocabulary coverage curve from the SAME token cells —
+    the shared batch finisher (``text.coverage_from_cells``): how many
+    top token types cover each percent of a source's occurrences,
+    live."""
+    from streamkit_spark.functions.text import coverage_from_cells
+
+    return coverage_from_cells(cells, group_col, percents)

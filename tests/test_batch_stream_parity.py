@@ -685,6 +685,12 @@ def test_token_cells_stream_parity(spark, docs_stream):
             tuple(r) for r in finalize_burrows(cells, vocab_k=10).collect()
         }
         assert got_bd == want_bd and len(got_bd) > 0
+        from streamkit_spark.functions.text import coverage_by_group
+        from streamkit_spark.streaming.tokens import finalize_coverage
+
+        want_cov = {tuple(r) for r in coverage_by_group(batch).collect()}
+        got_cov = {tuple(r) for r in finalize_coverage(cells).collect()}
+        assert got_cov == want_cov and len(got_cov) > 0
     finally:
         q.stop()
 

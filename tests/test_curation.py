@@ -732,3 +732,39 @@ def test_apply_mixture_plan_tracks_token_targets(spark):
         assert abs(kept[s] - p["target_tokens"]) <= 0.35 * p["available_tokens"], (
             s, kept[s], p["target_tokens"],
         )
+
+
+def test_effective_token_report_collapses_clusters(spark):
+    rows = [
+        # s1: docs 1, 2, 3 form one near-dup component (rep = 1);
+        # s2: doc 4 unclustered, doc 5 clustered with rep in s1
+        (1, "a b c d e", "s1"),
+        (2, "a b c d e f", "s1"),
+        (3, "a b c d e g", "s1"),
+        (4, "x y z", "s2"),
+        (5, "a b c d e h", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 5)], "id_a long, id_b long"
+    )
+    got = {r["source"]: r for r in C.effective_token_report(df, pairs).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    # s1: 3 docs, only rep 1 kept (5 tokens of 5+6+6)
+    assert (s1["n_docs"], s1["n_kept"]) == (3, 1)
+    assert (s1["total_tokens"], s1["effective_tokens"]) == (17, 5)
+    assert s1["effective_ratio"] == round(5 / 17, 4)
+    # s2: doc 4 kept (unclustered), doc 5 dropped (cluster rep is 1)
+    assert (s2["n_docs"], s2["n_kept"]) == (2, 1)
+    assert (s2["total_tokens"], s2["effective_tokens"]) == (9, 3)
+    assert s2["effective_ratio"] == round(3 / 9, 4)
+
+
+def test_effective_token_report_no_pairs_is_identity(spark):
+    rows = [(1, "a b", "s1"), (2, "c d e", "s1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    r = C.effective_token_report(df, pairs).collect()[0]
+    assert (r["n_docs"], r["n_kept"]) == (2, 2)
+    assert r["total_tokens"] == r["effective_tokens"] == 5
+    assert r["effective_ratio"] == 1.0

@@ -484,3 +484,45 @@ def test_cluster_size_histogram_accounts_for_every_clustered_doc(spark):
     assert hist == {2: (1, 2), 3: (1, 3), 4: (1, 4)}
     assert sum(d for _, d in hist.values()) == cl.count() == 9
     assert min(hist) >= 2
+
+
+def test_pair_source_matrix_normalizes_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s1"), (4, "s2"), (5, "s3")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        # (1,2): s1-s2; (2,3): s2-s1 (reversed groups -> same cell);
+        # (1,3): s1-s1 diagonal; (4,5): s2-s3
+        [(1, 2), (2, 3), (1, 3), (4, 5)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r["n_pairs"]
+        for r in D.pair_source_matrix(pairs, docs).collect()
+    }
+    assert got == {("s1", "s2"): 2, ("s1", "s1"): 1, ("s2", "s3"): 1}
+
+
+def test_substring_exposure_counts_partners_both_directions(spark):
+    # one 40+-char sentence shared verbatim by docs 1, 2, 3; doc 4 clean
+    shared = "the identical long sentence that repeats verbatim across documents"
+    rows = [
+        (1, shared + " plus some unique tail for document one"),
+        (2, shared + " and a different unique tail for two"),
+        (3, shared + " closing with a third distinct ending"),
+        (4, "a wholly unrelated document with none of that material"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exp = {r["doc_id"]: r for r in D.substring_exposure(df, hash_fn="md5").collect()}
+    # every doc in the trio is exposed to the other two; doc 4 absent
+    assert set(exp) == {1, 2, 3}
+    assert all(exp[d]["n_partners"] == 2 for d in (1, 2, 3))
+    assert all(exp[d]["shared_fps_total"] >= 2 for d in (1, 2, 3))
+    # exposure rows must agree with the pair table unioned both ways
+    pairs = D.substring_dup_pairs(df, hash_fn="md5").collect()
+    want_partners = {d: 0 for d in (1, 2, 3)}
+    for p in pairs:
+        want_partners[p["doc_a"]] += 1
+        want_partners[p["doc_b"]] += 1
+    assert {d: exp[d]["n_partners"] for d in exp} == want_partners

@@ -87,3 +87,47 @@ def test_oov_vocab_ties_break_by_token_ascending(spark):
     df = _docs(spark, [("a", "x y"), ("b", "y x")])
     rows = {r["source"]: r for r in oov_by_group(df, vocab_k=1).collect()}
     assert rows["a"]["n_oov"] == 1 and rows["b"]["n_oov"] == 1
+
+
+def test_coverage_curve_hand_counts_and_exact_boundary(spark):
+    from streamkit_spark.functions.text import coverage_by_group
+
+    # s1: a x6, b x3, c x1 (n=10).  50% -> rank 1 (cum 6); 90% -> rank 2
+    # (cum 9, EXACT boundary: 9*100 == 90*10); 99% -> rank 3.
+    rows = [
+        ("s1", "a a a a a a b b b c"),
+        # s2: four equal-count tokens -> tie-break is (count DESC, token
+        # ASC); 50% needs 2 types, 90% needs 4 (cum 3*100 < 90*4)
+        ("s2", "w x y z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source"], r["pct"]): (
+            r["tokens_needed"], r["vocab_size"], r["total_tokens"]
+        )
+        for r in coverage_by_group(df).collect()
+    }
+    assert got == {
+        ("s1", 50): (1, 3, 10),
+        ("s1", 90): (2, 3, 10),
+        ("s1", 99): (3, 3, 10),
+        ("s2", 50): (2, 4, 4),
+        ("s2", 90): (4, 4, 4),
+        ("s2", 99): (4, 4, 4),
+    }
+
+
+def test_coverage_curve_rejects_bad_percents(spark):
+    import pytest as _pytest
+
+    from streamkit_spark.functions.text import coverage_from_cells
+
+    cells = spark.createDataFrame(
+        [("s", "a", 1)], "g string, tk string, c long"
+    )
+    with _pytest.raises(ValueError):
+        coverage_from_cells(cells, percents=())
+    with _pytest.raises(ValueError):
+        coverage_from_cells(cells, percents=(0, 50))
+    with _pytest.raises(ValueError):
+        coverage_from_cells(cells, percents=(50, 101))

@@ -275,3 +275,16 @@ def test_r8_plan_shapes(spark):
         "dedup_containment",
     ):
         assert "CartesianProduct" not in plan(q), q
+
+
+def test_classifier_gate_table_is_spread(spark):
+    """classifier_gate_table must fan a single-file corpus out before
+    its two expression-heavy branches (per-token md5 scoring + the rule
+    metrics/bigram explode) — the zorder_stats/brute-kNN 1-core trap,
+    measured 1.8x on calibration_ece at sf0.1."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    gate = C.classifier_gate_table(docs, bias=0.1)
+    p = plans.explain_str(gate, "extended")
+    assert "RoundRobinPartitioning" in p

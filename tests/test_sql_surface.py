@@ -157,9 +157,10 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert names == [
         "dg_benford", "dg_calibration", "dg_chi2_weekday",
         "dg_collocations", "dg_cramers_weekday", "dg_cusum",
-        "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa", "dg_heaps",
-        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
-        "dg_shape_drift", "dg_theil", "dg_value_trend",
+        "dg_cvm_drift", "dg_effect_sizes", "dg_effective_tokens",
+        "dg_gate_kappa", "dg_heaps", "dg_mad_outliers", "dg_mi_weekday",
+        "dg_quantile_sketch", "dg_shape_drift", "dg_source_dup_matrix",
+        "dg_theil", "dg_value_trend", "dg_vocab_coverage",
         "dg_weekday_outliers", "dg_zipf",
     ]
     row = spark.sql(
@@ -186,7 +187,14 @@ def test_diagnostics_views_queryable_from_sql(spark):
                (SELECT count(*) FROM dg_shape_drift
                 WHERE a2 IS NOT NULL) AS ad_rows,
                (SELECT count(*) FROM dg_cvm_drift
-                WHERE w2 >= 0) AS cvm_rows
+                WHERE w2 >= 0) AS cvm_rows,
+               (SELECT count(*) FROM dg_vocab_coverage
+                WHERE pct IN (50, 90, 99)
+                  AND tokens_needed <= vocab_size) AS cov_rows,
+               (SELECT count(*) FROM dg_source_dup_matrix
+                WHERE group_a <= group_b AND n_pairs > 0) AS dupm_rows,
+               (SELECT count(*) FROM dg_effective_tokens
+                WHERE effective_tokens <= total_tokens) AS efft_rows
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -209,6 +217,10 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["cvm_rows"] == n_types
     assert row["kappa"] is not None and -1 <= row["kappa"] <= 1
     assert row["mce"] is not None and 0 <= row["mce"] <= 1
+    n_sources = docs.select("source").distinct().count()
+    assert row["cov_rows"] == 3 * n_sources
+    assert row["dupm_rows"] >= 0
+    assert row["efft_rows"] == n_sources
 
 
 def test_timeseries_views_queryable_from_sql(spark):
