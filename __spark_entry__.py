@@ -3889,6 +3889,71 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _shingle_cp_cte() -> str:
+    """The toks/sh/sizes/cp CTE prefix shared by EVERY exact-shingle
+    pair oracle (dedup_containment, containment_split,
+    source_dup_matrix, and via :func:`_shingle_pair_cte` the whole
+    closure family) — ONE tokenization/shingling definition, so a
+    tokenization tweak can't silently fork a hand-copied block (the r7
+    _closure_cte extraction discipline)."""
+    return r"""toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ), cp AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )"""
+
+
+def _shingle_pair_cte(jp_where: str) -> str:
+    """:func:`_shingle_cp_cte` plus the qualifying-pair CTE ``jp`` —
+    the pair predicate is the ONLY variation between the exact-pair
+    oracles (jaccard 0.6 for the closure family, jaccard 0.5 for
+    source_dup_matrix, jaccard-OR-containment for containment_split)."""
+    return f"""{_shingle_cp_cte()}, jp AS (
+            SELECT id_a, id_b
+            FROM cp
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE {jp_where}
+        )"""
+
+
+# winnowing fingerprint table (k=16, w=8) + qualifying-pair select —
+# shared verbatim by dedup_substring and memorization_risk (mirrors
+# dedup.winnow_fingerprints exactly; grams at 1-based pos 1..max(len-15,
+# 1); window start positions 1..max(ng-8, 0)+1, each the min gram hash
+# of the w following rows)
+_WINNOW_FP_CTE = """g AS (
+            SELECT doc_id, i AS pos,
+                   md5(substr(lower(text), i, 16)) AS h,
+                   greatest(length(lower(text)) - 15, 1) AS ng
+            FROM documents,
+                 unnest(generate_series(1,
+                        greatest(length(lower(text)) - 15, 1))) AS u(i)
+        ), wm AS (
+            SELECT doc_id, pos, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+            FROM g
+        ), fp AS (
+            SELECT DISTINCT doc_id, fp FROM wm
+            WHERE pos <= greatest(ng - 8, 0) + 1
+        )"""
+
+_WINNOW_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {}
     sql["s1_consume_segment"] = f"""
@@ -4842,28 +4907,9 @@ def oracle_sql() -> dict[str, str]:
     # winnowing (k=16, w=8): grams at 1-based pos 1..max(len-15,1); window
     # start positions 1..max(ng-8,0)+1, each the min gram hash of the w
     # following rows — mirrors dedup.winnow_fingerprints exactly
-    sql["dedup_substring"] = """
-        WITH g AS (
-            SELECT doc_id, i AS pos,
-                   md5(substr(lower(text), i, 16)) AS h,
-                   greatest(length(lower(text)) - 15, 1) AS ng
-            FROM documents,
-                 unnest(generate_series(1,
-                        greatest(length(lower(text)) - 15, 1))) AS u(i)
-        ), wm AS (
-            SELECT doc_id, pos, ng,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-            FROM g
-        ), fp AS (
-            SELECT DISTINCT doc_id, fp FROM wm
-            WHERE pos <= greatest(ng - 8, 0) + 1
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS shared_fps
-        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING count(*) >= 2
+    sql["dedup_substring"] = f"""
+        WITH {_WINNOW_FP_CTE}
+        {_WINNOW_PAIRS_SELECT}
         ORDER BY 1, 2
     """
     # fast-path recall: DuckDB cannot run xxhash64; the contract is the
@@ -5108,25 +5154,9 @@ def oracle_sql() -> dict[str, str]:
     # shingling/threshold/closure can't silently fork (the r6
     # raw-vs-lowercased tokenization lesson).  Same recall argument as
     # dedup_minhash_lsh.  Consumers append their own `cl` + final select.
-    _closure_cte = """toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jp AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
-        ), edges AS (
+    _closure_cte = f"""{_shingle_pair_cte(
+        "inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6"
+    )}, edges AS (
             SELECT id_a AS a, id_b AS b FROM jp
             UNION
             SELECT id_b, id_a FROM jp
@@ -5764,32 +5794,13 @@ def oracle_sql() -> dict[str, str]:
     # the identical bucket CASE on the cluster representative.  No LSH
     # banding anywhere, so no recall dependence.
     sql["containment_split"] = f"""
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                       x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(count(*) AS BIGINT) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), up AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6
-               OR inter * 1000000 >= least(s1.n, s2.n) * 600000
-        ), edges AS (
-            SELECT id_a AS a, id_b AS b FROM up
+        WITH RECURSIVE {_shingle_pair_cte(
+            "inter::DOUBLE / (s1.n + s2.n - inter) >= 0.6"
+            " OR inter * 1000000 >= least(s1.n, s2.n) * 600000"
+        )}, edges AS (
+            SELECT id_a AS a, id_b AS b FROM jp
             UNION
-            SELECT id_b, id_a FROM up
+            SELECT id_b, id_a FROM jp
         ), reach(id, r) AS (
             SELECT a, a FROM edges
             UNION
@@ -9621,28 +9632,12 @@ def oracle_sql() -> dict[str, str]:
     """
     # Containment pairs: the dedup_sweep shingle/pair machinery with
     # min-denominator containment and the exact integer threshold.
-    sql["dedup_containment"] = r"""
-        WITH toks AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '\s+'),
-                               x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(count(*) AS BIGINT) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+    sql["dedup_containment"] = f"""
+        WITH {_shingle_cp_cte()}
         SELECT id_a, id_b, inter,
                round(CAST(inter AS DOUBLE)
-                     / CAST(least(s1.n, s2.n) AS DOUBLE), 4) AS containment
+                     / CAST(least(s1.n, s2.n) AS DOUBLE), 4) AS containment,
+               CASE WHEN s1.n < s2.n THEN id_a ELSE id_b END AS contained_id
         FROM cp
         JOIN sizes s1 ON id_a = s1.doc_id
         JOIN sizes s2 ON id_b = s2.doc_id
@@ -9652,29 +9647,10 @@ def oracle_sql() -> dict[str, str]:
     # source_dup_matrix: exact-Jaccard pairs at 0.5 (float compare
     # mirrors the engine's verify), endpoints mapped to sources,
     # (least, greatest) normalization, integer pair counts
-    sql["source_dup_matrix"] = r"""
-        WITH toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
-                                       x -> x <> '') AS w
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1
-        ), cp AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(count(*) AS BIGINT) AS inter
-            FROM sh a JOIN sh b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), jp AS (
-            SELECT id_a, id_b
-            FROM cp
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.5
-        )
+    sql["source_dup_matrix"] = f"""
+        WITH {_shingle_pair_cte(
+            "inter::DOUBLE / (s1.n + s2.n - inter) >= 0.5"
+        )}
         SELECT least(da.source, db.source) AS group_a,
                greatest(da.source, db.source) AS group_b,
                CAST(count(*) AS BIGINT) AS n_pairs
@@ -9686,28 +9662,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # memorization_risk: the dedup_substring winnowing pair table (md5
     # path), both directions unioned, per-doc partner/agreement counts
-    sql["memorization_risk"] = """
-        WITH g AS (
-            SELECT doc_id, i AS pos,
-                   md5(substr(lower(text), i, 16)) AS h,
-                   greatest(length(lower(text)) - 15, 1) AS ng
-            FROM documents,
-                 unnest(generate_series(1,
-                        greatest(length(lower(text)) - 15, 1))) AS u(i)
-        ), wm AS (
-            SELECT doc_id, pos, ng,
-                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
-            FROM g
-        ), fp AS (
-            SELECT DISTINCT doc_id, fp FROM wm
-            WHERE pos <= greatest(ng - 8, 0) + 1
-        ), prs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(count(*) AS BIGINT) AS shared_fps
-            FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-            HAVING count(*) >= 2
+    sql["memorization_risk"] = f"""
+        WITH {_WINNOW_FP_CTE}, prs AS (
+            {_WINNOW_PAIRS_SELECT}
         ), both_dirs AS (
             SELECT doc_a AS doc_id, shared_fps FROM prs
             UNION ALL

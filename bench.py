@@ -183,11 +183,15 @@ def _cotenant_jvms() -> int:
     import subprocess
 
     try:
-        out = subprocess.run(
+        proc = subprocess.run(
             ["ps", "-eo", "pid,ppid,comm"], capture_output=True, text=True
-        ).stdout
+        )
     except OSError:
         return -1  # unknown — still honest in the artifact
+    if proc.returncode != 0:
+        # a failed ps must read "unknown", never the certifying 0
+        return -1
+    out = proc.stdout
     me = os.getpid()
     n = 0
     for line in out.splitlines()[1:]:

@@ -201,14 +201,18 @@ def ngram_jaccard_pairs(
     # always yields a passing row, so the filters lose no qualifying pair
     # (both filters are symmetric in x/y, so pair order is irrelevant)
     xa, ya = F.col("p.x"), F.col("p.y")
+    # every size × t_num/t_den product runs in BIGINT: INT32 nsh times a
+    # ~10^6 literal overflows at ~2.1k distinct shingles (ANSI crash /
+    # silent wrap breaking exact recall) — the plen bug class
     alpha = F.expr(
-        f"((p.x.nsh + p.y.nsh) * {t_num} + {t_num + t_den - 1}) div {t_num + t_den}"
+        f"((cast(p.x.nsh as bigint) + p.y.nsh) * {t_num}"
+        f" + {t_num + t_den - 1}) div {t_num + t_den}"
     )
     cand = (
         pair.filter(
             # length filter: t·|A| ≤ |B| ≤ |A|/t
-            (ya["nsh"] * t_den >= xa["nsh"] * t_num)
-            & (xa["nsh"] * t_den >= ya["nsh"] * t_num)
+            (ya["nsh"].cast("long") * t_den >= xa["nsh"].cast("long") * t_num)
+            & (xa["nsh"].cast("long") * t_den >= ya["nsh"].cast("long") * t_num)
             # position filter
             & (
                 F.least(xa["nsh"] - xa["rk"], ya["nsh"] - ya["rk"]) >= alpha
@@ -1161,7 +1165,12 @@ def editdist_pairs(
         .join(tb, "id_b")
         # length prefilter: (L - l) / L > (1 - t) already fails on the
         # |len| lower bound of lev — integer form, no float comparison
-        .filter((big - small) * t_den <= (t_den - t_num) * big)
+        # BIGINT products (the plen bug class): length() is INT32 and a
+        # large prefix_chars times t_den could overflow
+        .filter(
+            (big - small).cast("long") * t_den
+            <= F.lit(t_den - t_num) * big.cast("long")
+        )
         .select("id_a", "id_b", lev.alias("__lev"), sim.alias("__sim"))
         .filter((F.col("__lev") >= 0) & (F.col("__sim") >= F.lit(threshold)))
         .select("id_a", "id_b", F.round("__sim", 4).alias("editsim"))
@@ -1257,7 +1266,11 @@ def containment_pairs(
     short document quoted whole inside a long one has tiny
     inter/union but containment 1 (Broder's "containment" from the
     original resemblance paper, SEQUENCES'97).  Output
-    ``(id_a, id_b, inter, containment)``.
+    ``(id_a, id_b, inter, containment, contained_id)`` —
+    ``contained_id`` is the smaller-shingle-set endpoint (equal sizes
+    tie to id_b), the side a drop policy should remove: these pairs are
+    size-asymmetric, and dropping by id order could delete the superset
+    document's unique content.
 
     Candidate generation with EXACT recall, no self-join: if
     C_max ≥ t then the smaller side A shares ≥ ⌈t·|A|⌉ shingles, so
@@ -1327,9 +1340,22 @@ def containment_pairs(
     )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     mins = F.least(F.size("__sa"), F.size("__sb")).cast("long")
+    # the CONTAINED (smaller-shingle-set) side: containment pairs are
+    # size-asymmetric, so a drop policy must know which endpoint is the
+    # subset — dropping by id order could delete the superset document's
+    # unique content (equal sizes tie to id_b, the jaccard convention)
+    contained = F.when(
+        F.size("__sa") < F.size("__sb"), F.col("id_a")
+    ).otherwise(F.col("id_b"))
     return (
         _verified_pair_arrays(df, cand, text_col, id_col, n)
-        .select("id_a", "id_b", inter.alias("inter"), mins.alias("__min"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            mins.alias("__min"),
+            contained.alias("contained_id"),
+        )
         .filter(
             (F.col("__min") > 0)
             & (F.col("inter") * t_den >= F.col("__min") * t_num)
@@ -1342,6 +1368,7 @@ def containment_pairs(
                 F.col("inter").cast("double") / F.col("__min").cast("double"),
                 4,
             ).alias("containment"),
+            "contained_id",
         )
         .orderBy("id_a", "id_b")
     )

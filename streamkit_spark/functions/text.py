@@ -1298,8 +1298,16 @@ def coverage_from_cells(
     report)."""
     if not percents:
         raise ValueError("percents must be non-empty")
-    if any(p < 1 or p > 100 for p in percents):
-        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    # integers only: a float like 99.5 would pass a range check and then
+    # silently truncate to 99 in the literal (the int(0.99*100)==98
+    # sharp-edge class) — reject instead of mislabeling
+    if any(
+        not isinstance(p, int) or isinstance(p, bool) or p < 1 or p > 100
+        for p in percents
+    ):
+        raise ValueError(
+            f"percents must be integers in [1, 100], got {percents!r}"
+        )
     # fans into the window table and the per-group totals
     cells = cells.localCheckpoint(eager=False)
     w = Window.partitionBy("g").orderBy(F.col("c").desc(), F.col("tk").asc())

@@ -103,21 +103,34 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
         near_pairs = D.ngram_jaccard_pairs(
             exact, n=cfg.ngram, threshold=cfg.jaccard_threshold
         )
+    cont_pairs = None
     if cfg.containment_threshold is not None:
-        near_pairs = D.union_pair_edges(
-            near_pairs,
-            D.containment_pairs(
-                exact,
-                n=cfg.ngram,
-                threshold=cfg.containment_threshold,
-                max_df=cfg.containment_max_df,
-            ),
+        cont_pairs = D.containment_pairs(
+            exact,
+            n=cfg.ngram,
+            threshold=cfg.containment_threshold,
+            max_df=cfg.containment_max_df,
         )
     if cfg.cluster_dedup:
-        clusters = D.duplicate_clusters(near_pairs)
+        edges = (
+            near_pairs
+            if cont_pairs is None
+            else D.union_pair_edges(near_pairs, cont_pairs)
+        )
+        clusters = D.duplicate_clusters(edges)
         kept = D.dedup_keep_canonical(exact, clusters)
     else:
         drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        if cont_pairs is not None:
+            # drop the CONTAINED side, not id_b: containment pairs are
+            # size-asymmetric — the larger endpoint may hold unique
+            # content beyond the quoted subset, and id order says
+            # nothing about which side that is.  (cluster_dedup keeps
+            # the min-id representative regardless — the Lee et al.
+            # 2022 canonical-doc semantics.)
+            drop_ids = drop_ids.union(
+                cont_pairs.select(F.col("contained_id").alias("doc_id"))
+            ).distinct()
         kept = exact.join(drop_ids, "doc_id", "left_anti")
     if cfg.substring_min_shared > 0:
         sub_pairs = D.substring_dup_pairs(

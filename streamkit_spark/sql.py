@@ -218,9 +218,8 @@ def register_diagnostics_views(
       (Dunning LLR token pairs), ``{p}gate_kappa`` (chance-corrected
       classifier-vs-rule-gate agreement), ``{p}calibration``
       (classifier ECE/MCE against the rule gate), ``{p}vocab_coverage``
-      (types needed per coverage percent), ``{p}source_dup_matrix``
-      (cross-source near-dup pair counts), and ``{p}effective_tokens``
-      (dedup-adjusted token mass per source)
+      (types needed per coverage percent), and ``{p}source_dup_matrix``
+      (cross-source near-dup pair counts)
 
     Views are logical plans; each inherits the underlying scan's
     pushdown.  The events frame must be normalized (``tables.load``)."""
@@ -301,13 +300,12 @@ def register_diagnostics_views(
         views[f"{p}vocab_coverage"] = T.coverage_by_group(documents)
         from streamkit_spark.functions import dedup as D
 
-        # one exact pair table feeds both duplication audits
-        _pairs = D.ngram_jaccard_pairs(documents, threshold=0.6)
+        # NOTE: no effective_tokens view — its duplicate_clusters step
+        # runs eager driver-side work (edge count + union-find collect),
+        # which would break this function's views-are-logical-plans
+        # contract; use curation.effective_token_report directly.
         views[f"{p}source_dup_matrix"] = D.pair_source_matrix(
-            _pairs, documents
-        )
-        views[f"{p}effective_tokens"] = C.effective_token_report(
-            documents, _pairs
+            D.ngram_jaccard_pairs(documents, threshold=0.6), documents
         )
     for name, df in views.items():
         df.createOrReplaceTempView(name)

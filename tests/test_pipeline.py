@@ -159,5 +159,16 @@ def test_pipeline_containment_stage_drops_quote_inclusion(spark):
         r["doc_id"]
         for r in curate(df, replace(base, containment_threshold=0.9)).collect()
     )
-    # (1, 2) becomes an edge; the default policy drops id_b
-    assert kept_on == [1, 3]
+    # the CONTAINED side (the short quoted doc, id 1) is dropped — the
+    # superset keeps its unique content
+    assert kept_on == [2, 3]
+    # cluster mode keeps the min-id representative (Lee'22 canonical-doc
+    # semantics) whatever the pair asymmetry
+    kept_cl = sorted(
+        r["doc_id"]
+        for r in curate(
+            df,
+            replace(base, containment_threshold=0.9, cluster_dedup=True),
+        ).collect()
+    )
+    assert kept_cl == [1, 3]

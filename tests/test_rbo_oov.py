@@ -131,3 +131,5 @@ def test_coverage_curve_rejects_bad_percents(spark):
         coverage_from_cells(cells, percents=(0, 50))
     with _pytest.raises(ValueError):
         coverage_from_cells(cells, percents=(50, 101))
+    with _pytest.raises(ValueError):
+        coverage_from_cells(cells, percents=(99.5,))

@@ -157,11 +157,11 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert names == [
         "dg_benford", "dg_calibration", "dg_chi2_weekday",
         "dg_collocations", "dg_cramers_weekday", "dg_cusum",
-        "dg_cvm_drift", "dg_effect_sizes", "dg_effective_tokens",
-        "dg_gate_kappa", "dg_heaps", "dg_mad_outliers", "dg_mi_weekday",
-        "dg_quantile_sketch", "dg_shape_drift", "dg_source_dup_matrix",
-        "dg_theil", "dg_value_trend", "dg_vocab_coverage",
-        "dg_weekday_outliers", "dg_zipf",
+        "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa", "dg_heaps",
+        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
+        "dg_shape_drift", "dg_source_dup_matrix", "dg_theil",
+        "dg_value_trend", "dg_vocab_coverage", "dg_weekday_outliers",
+        "dg_zipf",
     ]
     row = spark.sql(
         """
@@ -191,10 +191,9 @@ def test_diagnostics_views_queryable_from_sql(spark):
                (SELECT count(*) FROM dg_vocab_coverage
                 WHERE pct IN (50, 90, 99)
                   AND tokens_needed <= vocab_size) AS cov_rows,
+               (SELECT count(*) FROM dg_source_dup_matrix) AS dupm_rows,
                (SELECT count(*) FROM dg_source_dup_matrix
-                WHERE group_a <= group_b AND n_pairs > 0) AS dupm_rows,
-               (SELECT count(*) FROM dg_effective_tokens
-                WHERE effective_tokens <= total_tokens) AS efft_rows
+                WHERE group_a <= group_b AND n_pairs > 0) AS dupm_ok
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -219,8 +218,9 @@ def test_diagnostics_views_queryable_from_sql(spark):
     assert row["mce"] is not None and 0 <= row["mce"] <= 1
     n_sources = docs.select("source").distinct().count()
     assert row["cov_rows"] == 3 * n_sources
-    assert row["dupm_rows"] >= 0
-    assert row["efft_rows"] == n_sources
+    # every matrix row must satisfy the normalization + positivity
+    # invariant (a bare >= 0 would be vacuous for any COUNT)
+    assert row["dupm_ok"] == row["dupm_rows"]
 
 
 def test_timeseries_views_queryable_from_sql(spark):
