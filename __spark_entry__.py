@@ -3555,6 +3555,21 @@ def q_effective_tokens(spark, sf_dir):
     return C.effective_token_report(docs, pairs)
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Per-stage attrition of the curation pipeline
+    (pipeline.curation_funnel, exact-pair config): how many docs
+    survive input → exact dedup → near dedup → quality, with
+    n_dropped/drop_pct against the previous stage — the "why did my
+    corpus shrink?" observability rows.  Stage frames come from the
+    SAME _curate_stages definition curate() executes.  Oracle: the
+    curation_report CTE chain (shared _CURATION_STAGES_CTE) with one
+    count per stage + the identical lag arithmetic."""
+    from streamkit_spark.pipeline import CurationConfig, curation_funnel
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return curation_funnel(docs, CurationConfig(use_lsh=False))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Per-source vocabulary coverage curve (text.coverage_by_group,
     the token-cell sketch's 7th report): how many top-ranked token
@@ -3886,6 +3901,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_tokens": q_effective_tokens,
         "memorization_risk": q_memorization_risk,
         "vocab_coverage": q_vocab_coverage,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -3952,6 +3968,55 @@ _WINNOW_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 2"""
+
+# The default-config curation pipeline's stage CTE chain (exact dedup →
+# exact-jaccard-0.8 near-dedup → quality scoring) — shared by the
+# curation_report and curation_funnel oracles so the funnel can't drift
+# from the report (mirrors pipeline._curate_stages with use_lsh=False).
+# NOTE: plain (non-raw) string — the md5 normalization regex contains
+# REAL tab/newline characters by design.
+_CURATION_STAGES_CTE = """dedup AS (
+            SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '[ \t\n]+', ' ', 'g')))
+                           ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        ), toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+            FROM dedup
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), near AS (
+            SELECT DISTINCT id_b FROM pairs
+            JOIN sizes s1 ON id_a = s1.doc_id
+            JOIN sizes s2 ON id_b = s2.doc_id
+            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8
+        ), kept AS (
+            SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM near)
+        ), scored AS (
+            SELECT lang,
+                   round(least(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) / 100.0, 1.0) * 0.3
+                         + (CASE WHEN (list_sum(list_apply(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> length(t)))::DOUBLE
+                                       / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.5 END) * 0.2
+                         + least((len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                                       t -> list_contains(['the','a','of','and','to','in','is','on','for','with','as','at'], lower(t))))::DOUBLE
+                                  / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) * 4, 1.0) * 0.3
+                         + greatest(1.0 - ((length(text) - length(regexp_replace(text,
+                                       '[^\\w \\t\\n]', '', 'g')))::DOUBLE
+                                    / length(text)) * 4, 0.0) * 0.2, 4) AS quality,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM kept
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4490,49 +4555,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         WHERE rank <= 3 ORDER BY doc_id, rank
     """
-    sql["curation_report"] = """
-        WITH dedup AS (
-            SELECT doc_id, text, lang FROM (
-                SELECT doc_id, text, lang,
-                       row_number() OVER (
-                           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n]', '', 'g'), '[ \t\n]+', ' ', 'g')))
-                           ORDER BY doc_id) AS rn
-                FROM documents)
-            WHERE rn = 1
-        ), toks AS (
-            SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
-            FROM dedup
-        ), sh AS (
-            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-            FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-        ), pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), near AS (
-            SELECT DISTINCT id_b FROM pairs
-            JOIN sizes s1 ON id_a = s1.doc_id
-            JOIN sizes s2 ON id_b = s2.doc_id
-            WHERE inter::DOUBLE / (s1.n + s2.n - inter) >= 0.8
-        ), kept AS (
-            SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM near)
-        ), scored AS (
-            SELECT lang,
-                   round(least(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) / 100.0, 1.0) * 0.3
-                         + (CASE WHEN (list_sum(list_apply(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), t -> length(t)))::DOUBLE
-                                       / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) BETWEEN 3 AND 10
-                                 THEN 1.0 ELSE 0.5 END) * 0.2
-                         + least((len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                                       t -> list_contains(['the','a','of','and','to','in','is','on','for','with','as','at'], lower(t))))::DOUBLE
-                                  / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) * 4, 1.0) * 0.3
-                         + greatest(1.0 - ((length(text) - length(regexp_replace(text,
-                                       '[^\\w \\t\\n]', '', 'g')))::DOUBLE
-                                    / length(text)) * 4, 0.0) * 0.2, 4) AS quality,
-                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-            FROM kept
-        )
+    sql["curation_report"] = f"""
+        WITH {_CURATION_STAGES_CTE}
         SELECT lang, count(*) AS n_docs,
                round(CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
                      / count(*), 4) AS avg_quality,
@@ -9710,5 +9734,30 @@ def oracle_sql() -> dict[str, str]:
         WHERE r.cum * 100 >= px.pct * t.total_tokens
         GROUP BY r.source, px.pct, t.vocab_size, t.total_tokens
         ORDER BY source, pct
+    """
+    # curation_funnel: one count per stage of the shared curation CTE
+    # chain, then the identical lag arithmetic over the 4 stage rows
+    sql["curation_funnel"] = f"""
+        WITH {_CURATION_STAGES_CTE}, counts(stage_idx, stage, n) AS (
+            SELECT 0, 'input', (SELECT count(*) FROM documents)
+            UNION ALL
+            SELECT 1, 'exact_dedup', (SELECT count(*) FROM dedup)
+            UNION ALL
+            SELECT 2, 'near_dedup', (SELECT count(*) FROM kept)
+            UNION ALL
+            SELECT 3, 'quality',
+                   (SELECT count(*) FROM scored
+                    WHERE quality >= 0.3 AND n_tokens >= 5)
+        )
+        SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(coalesce(lag(n) OVER (ORDER BY stage_idx) - n, 0)
+                    AS BIGINT) AS n_dropped,
+               CASE WHEN lag(n) OVER (ORDER BY stage_idx) > 0 THEN
+                    round((lag(n) OVER (ORDER BY stage_idx) - n)::DOUBLE
+                          / lag(n) OVER (ORDER BY stage_idx), 4)
+               END AS drop_pct
+        FROM counts
+        ORDER BY stage_idx
     """
     return sql

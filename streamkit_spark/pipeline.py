@@ -79,6 +79,31 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
          each pair — i.e. drop any doc that appears as id_b);
       3. drop low-quality docs (quality < min_quality or too few tokens).
     """
+    return _curate_stages(docs, cfg)[-1][1]
+
+
+def _curate_stages(
+    docs: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    checkpoint: bool = False,
+) -> list[tuple[str, DataFrame]]:
+    """The pipeline's doc-dropping stages as an ordered
+    ``(stage_name, surviving_docs)`` list — ONE definition serving both
+    :func:`curate` (returns the last frame) and :func:`curation_funnel`
+    (counts every frame), so the funnel can never drift from the
+    pipeline it audits.
+
+    ``checkpoint=True`` localCheckpoints each stage so a consumer that
+    acts on EVERY frame (the funnel counts N stages) doesn't re-plan
+    the shared prefixes N times; :func:`curate` leaves it off — a
+    single-consumer pipeline stays one lazy Catalyst plan.
+
+    The boilerplate text transform is row-preserving and therefore not
+    a stage; the classifier gate is (it drops docs)."""
+
+    def _stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
     if cfg.boilerplate_min_df > 0:
         cleaned = C.remove_boilerplate(
             docs,
@@ -94,7 +119,9 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
             .withColumn("text", F.coalesce("__ct", F.lit("")))
             .select(*[c for c in docs.columns])
         )
-    exact = D.dedup_exact(docs)
+    stages = [("input", _stage(docs))]
+    exact = _stage(D.dedup_exact(docs))
+    stages.append(("exact_dedup", exact))
     if cfg.use_lsh:
         near_pairs = D.minhash_lsh_pairs(
             exact, ngram=cfg.ngram, threshold=cfg.jaccard_threshold
@@ -132,6 +159,8 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
                 cont_pairs.select(F.col("contained_id").alias("doc_id"))
             ).distinct()
         kept = exact.join(drop_ids, "doc_id", "left_anti")
+    kept = _stage(kept)
+    stages.append(("near_dedup", kept))
     if cfg.substring_min_shared > 0:
         sub_pairs = D.substring_dup_pairs(
             kept,
@@ -140,14 +169,18 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
             min_shared=cfg.substring_min_shared,
         )
         sub_drop = sub_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        kept = kept.join(sub_drop, "doc_id", "left_anti")
+        kept = _stage(kept.join(sub_drop, "doc_id", "left_anti"))
+        stages.append(("substring_dedup", kept))
     scored = kept.withColumn("quality", F.round(TX.quality_score("text"), 4)).withColumn(
         "n_tokens", TX.token_count("text").cast("long")
     )
-    out = scored.filter(
-        (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_tokens") >= cfg.min_tokens)
+    out = _stage(
+        scored.filter(
+            (F.col("quality") >= cfg.min_quality)
+            & (F.col("n_tokens") >= cfg.min_tokens)
+        )
     )
+    stages.append(("quality", out))
     if cfg.classifier_cutoff is not None:
         # score the CHEAP pre-dedup docs scan, not `out`: joining a branch
         # derived from `out` would re-plan the whole dedup/LSH pipeline
@@ -161,8 +194,57 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame
             .filter(F.col("keep"))
             .select("doc_id")
         )
-        out = out.join(keep, "doc_id")
-    return out
+        out = _stage(out.join(keep, "doc_id"))
+        stages.append(("classifier", out))
+    return stages
+
+
+def curation_funnel(
+    docs: DataFrame, cfg: CurationConfig = CurationConfig()
+) -> DataFrame:
+    """Per-stage attrition report of the curation pipeline — the "why
+    did my corpus shrink 40%?" observability row set: one row per
+    doc-dropping stage, ``(stage_idx, stage, n_docs, n_dropped,
+    drop_pct)``, where n_dropped/drop_pct are against the PREVIOUS
+    stage (the input row reads 0 dropped / NULL pct).
+
+    Stage frames come from the SAME ``_curate_stages`` definition
+    :func:`curate` executes, so the funnel cannot drift from the
+    pipeline it audits; each frame is localCheckpoint'ed because the
+    funnel counts every frame and the shared prefixes would otherwise
+    re-plan per stage (the derived-table hazard).
+
+    Counts are exact integers; drop_pct is one double division rounded
+    4dp.  The whole report is ONE union plan — a single action,
+    stage-count rows."""
+    stages = _curate_stages(docs, cfg, checkpoint=True)
+    rows = None
+    for i, (name, df) in enumerate(stages):
+        one = df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    from pyspark.sql import Window
+
+    # stage-count rows only: the partition-less window is fine
+    prev = F.lag("n_docs").over(Window.orderBy("stage_idx"))
+    return rows.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.coalesce(prev - F.col("n_docs"), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.round(
+            F.when(
+                prev > 0,
+                (prev - F.col("n_docs")).cast("double") / prev.cast("double"),
+            ),
+            4,
+        ).alias("drop_pct"),
+    ).orderBy("stage_idx")
 
 
 def curation_report(docs: DataFrame, cfg: CurationConfig = CurationConfig()) -> DataFrame:

@@ -172,3 +172,37 @@ def test_pipeline_containment_stage_drops_quote_inclusion(spark):
         ).collect()
     )
     assert kept_cl == [1, 3]
+
+
+def test_curation_funnel_accounts_for_every_drop(spark):
+    from streamkit_spark.pipeline import curation_funnel
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    cfg = CurationConfig(use_lsh=False)
+    rows = curation_funnel(docs, cfg).collect()
+    assert [r["stage"] for r in rows] == [
+        "input", "exact_dedup", "near_dedup", "quality"
+    ]
+    ns = [r["n_docs"] for r in rows]
+    # monotone non-increasing, input = corpus, last = curate() output
+    assert ns[0] == docs.count()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert ns[-1] == curate(docs, cfg).count()
+    # per-row accounting: dropped == prev - n; input row 0/NULL
+    assert rows[0]["n_dropped"] == 0 and rows[0]["drop_pct"] is None
+    for prev, r in zip(rows, rows[1:]):
+        assert r["n_dropped"] == prev["n_docs"] - r["n_docs"]
+
+
+def test_curation_funnel_optional_stages_appear(spark):
+    from streamkit_spark.pipeline import curation_funnel
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    cfg = CurationConfig(
+        use_lsh=False, substring_min_shared=2, classifier_cutoff=0.0
+    )
+    stages = [r["stage"] for r in curation_funnel(docs, cfg).collect()]
+    assert stages == [
+        "input", "exact_dedup", "near_dedup", "substring_dedup",
+        "quality", "classifier",
+    ]
