@@ -3555,6 +3555,44 @@ def q_effective_tokens(spark, sf_dir):
     return C.effective_token_report(docs, pairs)
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Recall@5 audit of the IVF ANN path against exact brute force —
+    measure the approximation, don't trust it (the dedup_sweep
+    discipline applied to ANN): per query vector, how many of the true
+    top-5 neighbors the IVF probe set recovers.
+    ``(query_id, n_brute, n_hit, recall)``.  Both sides use the same
+    deterministic (cos DESC, neighbor_id) tie-break, so the comparison
+    is exact; counts are integers and recall is one double division."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SIM.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, round_digits=4
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__h"))
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_brute"),
+            F.sum(F.coalesce(F.col("__h"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_brute",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_brute").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """Per-stage attrition of the curation pipeline
     (pipeline.curation_funnel, exact-pair config): how many docs
@@ -3902,6 +3940,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_risk": q_memorization_risk,
         "vocab_coverage": q_vocab_coverage,
         "curation_funnel": q_curation_funnel,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -9759,5 +9798,23 @@ def oracle_sql() -> dict[str, str]:
                END AS drop_pct
         FROM counts
         ORDER BY stage_idx
+    """
+    # ivf_recall: compose the two existing ANN oracles verbatim (one
+    # source of truth for each path), then the per-query hit count
+    sql["ivf_recall"] = f"""
+        WITH brute AS ({sql["ann_topk_bruteforce"]}),
+             ivf AS ({sql["ann_topk_ivf"]})
+        SELECT b.query_id,
+               CAST(count(*) AS BIGINT) AS n_brute,
+               CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 4) AS recall
+        FROM brute b
+        LEFT JOIN ivf i ON b.query_id = i.query_id
+                       AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+        ORDER BY b.query_id
     """
     return sql

@@ -35,9 +35,16 @@ def main() -> None:
     docs = tables.load(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1+3: dedup (exact, MinHash-LSH near-dup, winnowing substring) + quality
-    cfg = CurationConfig(substring_min_shared=3)
+    # 1+3: dedup (exact, MinHash-LSH near-dup, quote-inclusion
+    # containment, winnowing substring) + quality
+    cfg = CurationConfig(substring_min_shared=3, containment_threshold=0.8)
     clean = curate(docs, cfg)
+
+    # observability: where did the docs go?  (same stage frames
+    # curate() executes — pipeline.curation_funnel)
+    from streamkit_spark.pipeline import curation_funnel
+
+    curation_funnel(docs, cfg).show()
 
     # 2: drop anything overlapping the held-out benchmark slice
     bench = docs.filter(F.col("doc_id") % 97 == 0)

@@ -456,3 +456,23 @@ def test_ivf_pq_scores_agree_with_full_adc(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in per_q.items():
         assert ranks == sorted(ranks) and len(ranks) <= 5
+
+
+def test_ivf_full_probe_recall_is_exact(spark):
+    """nprobe == n_centroids probes every cell, so IVF must reproduce
+    the exact brute-force top-k (the ivf_recall audit's fixed point)."""
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == brute and len(brute) == 25
