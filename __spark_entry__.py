@@ -3560,9 +3560,14 @@ def q_ivf_recall(spark, sf_dir):
     measure the approximation, don't trust it (the dedup_sweep
     discipline applied to ANN): per query vector, how many of the true
     top-5 neighbors the IVF probe set recovers.
-    ``(query_id, n_brute, n_hit, recall)``.  Both sides use the same
-    deterministic (cos DESC, neighbor_id) tie-break, so the comparison
-    is exact; counts are integers and recall is one double division."""
+    ``(query_id, n_brute, n_hit, recall)``.  Both paths are
+    deterministic ((cos DESC, neighbor_id) tie-break) and the oracle
+    replays each bit-for-bit, so the report is hash-stable.  Caveat on
+    interpretation: IVF scores with float products while brute scores
+    in double (the r5 zip_with class, ~1e-8/cosine), so a near-tie AT
+    the k boundary can read as ±1 hit — part of the measured system,
+    not a probe miss; counts are integers and recall one double
+    division."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4).select(

@@ -119,7 +119,11 @@ def _curate_stages(
             .withColumn("text", F.coalesce("__ct", F.lit("")))
             .select(*[c for c in docs.columns])
         )
-    stages = [("input", _stage(docs))]
+    # the input frame is never checkpointed: nothing downstream reads it
+    # (every stage derives from the original `docs` plan), so a funnel
+    # checkpoint would materialize the whole corpus — text included —
+    # just to count rows
+    stages = [("input", docs)]
     exact = _stage(D.dedup_exact(docs))
     stages.append(("exact_dedup", exact))
     if cfg.use_lsh:

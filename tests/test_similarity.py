@@ -460,19 +460,32 @@ def test_ivf_pq_scores_agree_with_full_adc(spark):
 
 def test_ivf_full_probe_recall_is_exact(spark):
     """nprobe == n_centroids probes every cell, so IVF must reproduce
-    the exact brute-force top-k (the ivf_recall audit's fixed point)."""
-    from pyspark.sql import functions as F
-
+    the brute-force top-k (the ivf_recall audit's fixed point) — except
+    where the two paths' scoring precisions (IVF float products, brute
+    double products: the r5 zip_with class, ~1e-8/cosine) meet a
+    NEAR-TIE at the k boundary; the driver regenerates fixtures, so the
+    assert exempts only queries whose rank-5/rank-6 margin is below the
+    float-product error band."""
     emb = tables.load(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    brute = {
-        (r["query_id"], r["neighbor_id"])
-        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
-    }
+    brute6 = SIM.brute_force_topk(emb, queries, k=6).collect()
+    margins = {}
+    for r in brute6:
+        margins.setdefault(r["query_id"], {})[r["rank"]] = r["cos"]
     full = {
         (r["query_id"], r["neighbor_id"])
         for r in SIM.ivf_topk(
             emb, queries, k=5, n_centroids=8, nprobe=8
         ).collect()
     }
-    assert full == brute and len(brute) == 25
+    brute = {
+        (r["query_id"], r["neighbor_id"]) for r in brute6 if r["rank"] <= 5
+    }
+    assert len(full) == len(brute) == 25
+    for q, n in full ^ brute:
+        m = margins[q]
+        assert m[5] - m[6] < 1e-6, (
+            f"full-probe IVF diverged from brute for query {q} with a "
+            f"clear rank-5/6 margin {m[5] - m[6]} — a real probe bug, "
+            "not a float near-tie"
+        )
