@@ -3555,29 +3555,15 @@ def q_effective_tokens(spark, sf_dir):
     return C.effective_token_report(docs, pairs)
 
 
-def q_ivf_recall(spark, sf_dir):
-    """Recall@5 audit of the IVF ANN path against exact brute force —
-    measure the approximation, don't trust it (the dedup_sweep
-    discipline applied to ANN): per query vector, how many of the true
-    top-5 neighbors the IVF probe set recovers.
-    ``(query_id, n_brute, n_hit, recall)``.  Both paths are
-    deterministic ((cos DESC, neighbor_id) tie-break) and the oracle
-    replays each bit-for-bit, so the report is hash-stable.  Caveat on
-    interpretation: IVF scores with float products while brute scores
-    in double (the r5 zip_with class, ~1e-8/cosine), so a near-tie AT
-    the k boundary can read as ±1 hit — part of the measured system,
-    not a probe miss; counts are integers and recall one double
-    division."""
-    emb = tables.load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = SIM.ivf_topk(
-        emb, queries, k=5, n_centroids=8, nprobe=3, round_digits=4
-    ).select("query_id", "neighbor_id", F.lit(1).alias("__h"))
+def _ann_recall_report(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """Shared recall@k report shape for the ANN audits: per query, how
+    many of the exact top-k the approximate path recovered.  Inputs are
+    slim (query_id, neighbor_id) frames; the hit join is integer
+    equality, never a float compare."""
+    apx = approx.select("query_id", "neighbor_id", F.lit(1).alias("__h"))
     return (
-        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        brute.select("query_id", "neighbor_id")
+        .join(apx, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("n_brute"),
@@ -3596,6 +3582,50 @@ def q_ivf_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Recall@5 audit of the IVF ANN path against exact brute force —
+    measure the approximation, don't trust it (the dedup_sweep
+    discipline applied to ANN): per query vector, how many of the true
+    top-5 neighbors the IVF probe set recovers.
+    ``(query_id, n_brute, n_hit, recall)``.  Both paths are
+    deterministic ((cos DESC, neighbor_id) tie-break) and the oracle
+    replays each bit-for-bit, so the report is hash-stable.  Caveat on
+    interpretation: IVF scores with float products while brute scores
+    in double (the r5 zip_with class, ~1e-8/cosine), so a near-tie AT
+    the k boundary can read as ±1 hit — part of the measured system,
+    not a probe miss; counts are integers and recall one double
+    division."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4)
+    ivf = SIM.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, round_digits=4
+    )
+    return _ann_recall_report(brute, ivf)
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Recall@5 audit of the hyperplane-LSH ANN path against exact
+    brute force (VERDICT r9 item #6 — the ivf_recall discipline applied
+    to the OTHER approximate path, so both ANN approximations are
+    audited rather than one audited and one trusted-by-derivation).
+    Per query vector: ``(query_id, n_brute, n_hit, recall)``.  Both
+    paths are deterministic (seeded hyperplanes, (cos DESC,
+    neighbor_id) tie-break) and the oracle composes the two existing
+    ANN oracle strings verbatim, so the report is hash-stable.  Unlike
+    ivf_recall there is no float/double near-tie caveat: lsh_topk
+    scores every candidate with the exact double cosine, so a missed
+    neighbor is a genuine bucket miss — the measured counterpart of
+    the analytic recall 1-(1-p^bits)^T documented on lsh_topk."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4)
+    lsh = SIM.lsh_topk(
+        emb, queries, k=5, bits=4, n_tables=8, round_digits=4, dim=64
+    )
+    return _ann_recall_report(brute, lsh)
 
 
 def q_curation_funnel(spark, sf_dir):
@@ -3650,62 +3680,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-9 window (VERDICT r8 item #1, per the
-# CLAUDE.md rotation ledger): the 13 never-driver-checked r8 adds, then
-# 37 r5-era entries (the 9 remaining r5 entries queue for r10) = 50.
+# its literal order below.  Round-10 window (VERDICT r9 item #1, per the
+# CLAUDE.md rotation ledger): the 7 never-driver-checked r9 adds, then the
+# 9 never-driver-checked r5 leftovers, then the 34 oldest r6-era entries
+# (the remaining 16 r6 entries queue for r11) = 50.
 _DRIVER_WINDOW_FRONT = [
-    # --- never driver-checked: round-8 adds ---
-    "benford_value",
-    "kendall_matrix",
-    "gate_kappa",
-    "calibration_ece",
-    "calibration_brier",
-    "hill_tail",
-    "user_novelty",
-    "embedding_drift",
-    "dup_cluster_sizes",
-    "rbo_sources",
-    "oov_rates",
-    "burrows_delta",
-    "dedup_containment",
-    # --- 37 r5 entries (driver rows last seen r5) ---
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprints",
-    "doc_token_stats",
-    "event_pagerank",
-    "f2_ts_filter_count",
-    "gap_filled_daily",
-    "gap_filled_ffill",
-    "label_centroids",
-    "lang_summary",
-    "monthly_revenue",
-    "part_brand_stats",
-    "pivot_user_events",
-    "range_join_nearby",
-    "rollup_event_counts",
-    "s1_consume_segment",
-    "s1_tail_window",
-    "s2_consume_space",
-    "s2_cursor_resume",
-    "s3_consume_merge",
-    "s4_peek",
-    "session_stats",
-    "set_click_no_purchase",
-    "tfidf_top_terms",
-    "topk_orders_per_customer",
-    "tpch_q10_returned_items",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
+    # --- never driver-checked: round-9 adds ---
+    "containment_split",
+    "source_dup_matrix",
+    "effective_tokens",
+    "memorization_risk",
+    "vocab_coverage",
+    "curation_funnel",
+    "ivf_recall",
+    # --- never driver-checked: r5 leftovers (incl. §2 rows W1/W2/W3/X3) ---
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "transition_matrix",
+    "w1_peek_all",
+    "w2_sequence_gaps",
+    "w3_first_entry",
+    "x3_json_extract",
+    # --- 34 oldest r6-era entries (driver rows last seen r6) ---
+    "a2_segments",
+    "ab_value_ztest",
+    "apply_mixture",
+    "asof_next_view",
+    "attribution_linear",
+    "benford_values",
+    "boilerplate_blocks",
+    "chi2_weekday",
+    "cms_user_counts",
+    "compaction_bins",
+    "cube_revenue",
+    "cusum_changepoint",
+    "dedup_editdist",
+    "doc_length_deciles",
+    "dup_rate_by_source",
+    "event_assoc",
+    "ewma_daily",
+    "f5_validation_count",
+    "frequent_sequences",
+    "funnel_timing",
+    "heaps_docs",
+    "hist_quantiles",
+    "hll_daily_range",
+    "hll_distinct",
+    "ivf_pq_topk",
+    "ivfadc_topk",
+    "kcore_knn",
+    "kmv_overlap",
+    "label_propagation",
+    "mad_outliers",
+    "mixture_plan",
+    "pq_adc_topk",
+    "pq_codes",
+    "psi_drift",
 ]
 
 
@@ -3946,6 +3978,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "curation_funnel": q_curation_funnel,
         "ivf_recall": q_ivf_recall,
+        "lsh_recall": q_lsh_recall,
     }
 
 
@@ -5825,7 +5858,7 @@ def oracle_sql() -> dict[str, str]:
                END AS effective_ratio
         FROM keyed
         GROUP BY source
-        ORDER BY source
+        ORDER BY source NULLS LAST
     """
     # split_leakage: both assignments over the same closure; the pair
     # join counts split-straddling endpoints under each keying
@@ -9726,7 +9759,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON jp.id_a = da.doc_id
         JOIN documents db ON jp.id_b = db.doc_id
         GROUP BY 1, 2
-        ORDER BY group_a, group_b
+        ORDER BY group_a NULLS LAST, group_b NULLS LAST
     """
     # memorization_risk: the dedup_substring winnowing pair table (md5
     # path), both directions unioned, per-doc partner/agreement counts
@@ -9804,11 +9837,12 @@ def oracle_sql() -> dict[str, str]:
         FROM counts
         ORDER BY stage_idx
     """
-    # ivf_recall: compose the two existing ANN oracles verbatim (one
-    # source of truth for each path), then the per-query hit count
-    sql["ivf_recall"] = f"""
+    # ivf_recall / lsh_recall: compose the existing ANN oracles verbatim
+    # (one source of truth for each path), then the per-query hit count
+    def _recall_sql(approx_sql: str) -> str:
+        return f"""
         WITH brute AS ({sql["ann_topk_bruteforce"]}),
-             ivf AS ({sql["ann_topk_ivf"]})
+             apx AS ({approx_sql})
         SELECT b.query_id,
                CAST(count(*) AS BIGINT) AS n_brute,
                CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
@@ -9817,9 +9851,12 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END)::DOUBLE
                      / count(*), 4) AS recall
         FROM brute b
-        LEFT JOIN ivf i ON b.query_id = i.query_id
+        LEFT JOIN apx i ON b.query_id = i.query_id
                        AND b.neighbor_id = i.neighbor_id
         GROUP BY b.query_id
         ORDER BY b.query_id
     """
+
+    sql["ivf_recall"] = _recall_sql(sql["ann_topk_ivf"])
+    sql["lsh_recall"] = _recall_sql(sql["ann_topk_lsh"])
     return sql

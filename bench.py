@@ -197,7 +197,14 @@ def _cotenant_jvms() -> int:
     for line in out.splitlines()[1:]:
         parts = line.split()
         if len(parts) >= 3 and "java" in parts[2]:
-            if int(parts[1]) != me:
+            try:
+                ppid = int(parts[1])
+            except ValueError:
+                # unexpected ps field layout (comm with spaces shifting
+                # columns): read "unknown", never crash the bench or
+                # certify a clean 0 we didn't verify (ADVICE r9)
+                return -1
+            if ppid != me:
                 n += 1
     return n
 
@@ -265,6 +272,31 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {}
     timings = run_suite(spark, sf_dir, all_runs)
     total = round(sum(timings.values()), 3)
+    # The stdout line stays COMPACT — medians only, the shape the driver
+    # has parsed since r1.  BENCH_r09 came back "parsed": null because
+    # the triples + env blocks pushed the single line past the driver's
+    # output capture and truncated its head (VERDICT r9 item #2).  The
+    # self-certification detail (sorted per-run triples, loadavg and
+    # co-tenant JVM count at suite start/end) goes to a committed
+    # sidecar artifact instead.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_detail.json"),
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_detail",
+                "sf": sf,
+                "stat": "median_of_3",
+                "runs": all_runs,
+                "env_start": env_start,
+                "env_end": _env_snapshot(),
+            },
+            f,
+            indent=2,
+        )
     print(
         json.dumps(
             {
@@ -274,11 +306,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "stat": "median_of_3",
-                # self-certification: raw triples + machine state, so
-                # contention vs regression is decidable from the artifact
-                "runs": all_runs,
-                "env_start": env_start,
-                "env_end": _env_snapshot(),
+                "detail": os.path.basename(detail_path),
             }
         )
     )

@@ -853,7 +853,10 @@ def effective_token_report(
                 F.when(F.col("total_tokens") > 0, ratio), 4
             ).alias("effective_ratio"),
         )
-        .orderBy(group_col)
+        # NULLS LAST pinned on both engines: Spark defaults NULLS FIRST
+        # on ASC, DuckDB NULLS LAST — a NULL source would silently shift
+        # every row of the ordered report (the r5 windowed-oracle edge)
+        .orderBy(F.col(group_col).asc_nulls_last())
     )
 
 

@@ -594,7 +594,13 @@ def pair_source_matrix(
         )
         .groupBy("group_a", "group_b")
         .agg(F.count("*").cast("long").alias("n_pairs"))
-        .orderBy("group_a", "group_b")
+        # NULLS LAST on both engines (Spark defaults NULLS FIRST on ASC,
+        # DuckDB NULLS LAST): a NULL source group must not reorder rows
+        # differently per engine
+        .orderBy(
+            F.col("group_a").asc_nulls_last(),
+            F.col("group_b").asc_nulls_last(),
+        )
     )
 
 

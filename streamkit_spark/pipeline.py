@@ -151,16 +151,36 @@ def _curate_stages(
         clusters = D.duplicate_clusters(edges)
         kept = D.dedup_keep_canonical(exact, clusters)
     else:
-        drop_ids = near_pairs.select(F.col("id_b").alias("doc_id")).distinct()
         if cont_pairs is not None:
+            # near_pairs is referenced twice below (the id_b drop AND the
+            # anti-join) — checkpoint the slim projection so the LSH/pair
+            # pipeline plans once (the derived-table hazard)
+            np_slim = near_pairs.select("id_a", "id_b").localCheckpoint(
+                eager=False
+            )
+            drop_ids = np_slim.select(F.col("id_b").alias("doc_id")).distinct()
             # drop the CONTAINED side, not id_b: containment pairs are
             # size-asymmetric — the larger endpoint may hold unique
             # content beyond the quoted subset, and id order says
             # nothing about which side that is.  (cluster_dedup keeps
             # the min-id representative regardless — the Lee et al.
             # 2022 canonical-doc semantics.)
+            # Containment-ONLY pairs contribute that drop: C_max ≥ J, so
+            # every jaccard-qualifying pair reappears here, the jaccard
+            # policy already dropped its id_b, and adding contained_id
+            # (= id_a whenever id_a has the smaller shingle set) would
+            # delete BOTH endpoints with no surviving representative.
+            # Both pair tables normalize id_a < id_b, so the anti-join
+            # key is exact.
+            cont_only = cont_pairs.join(
+                np_slim, ["id_a", "id_b"], "left_anti"
+            )
             drop_ids = drop_ids.union(
-                cont_pairs.select(F.col("contained_id").alias("doc_id"))
+                cont_only.select(F.col("contained_id").alias("doc_id"))
+            ).distinct()
+        else:
+            drop_ids = near_pairs.select(
+                F.col("id_b").alias("doc_id")
             ).distinct()
         kept = exact.join(drop_ids, "doc_id", "left_anti")
     kept = _stage(kept)

@@ -174,6 +174,36 @@ def test_pipeline_containment_stage_drops_quote_inclusion(spark):
     assert kept_cl == [1, 3]
 
 
+def test_pipeline_containment_and_jaccard_pair_keeps_one_endpoint(spark):
+    """A pair qualifying under BOTH detectors must keep one endpoint:
+    C_max >= J, so a jaccard pair reappears in the containment table;
+    the jaccard policy drops id_b while containment drops contained_id
+    (= id_a when id_a has the smaller shingle set) — without the
+    containment-only anti-join the pair's content vanished entirely
+    (ADVICE r9 high)."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = short + " iota"  # jaccard 6/7, containment 6/6 over 3-grams
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, long, "en", "s", len(long)),
+        (3, "a completely different corpus document here", "en", "s", 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cfg = CurationConfig(
+        use_lsh=False,
+        jaccard_threshold=0.8,
+        containment_threshold=0.9,
+        min_quality=0.0,
+        min_tokens=1,
+    )
+    kept = sorted(r["doc_id"] for r in curate(df, cfg).collect())
+    # jaccard policy drops id_b=2; doc 1 (the contained side of the SAME
+    # pair) must survive as the pair's representative
+    assert kept == [1, 3]
+
+
 def test_curation_funnel_accounts_for_every_drop(spark):
     from streamkit_spark.pipeline import curation_funnel
 
