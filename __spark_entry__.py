@@ -3628,6 +3628,84 @@ def q_lsh_recall(spark, sf_dir):
     return _ann_recall_report(brute, lsh)
 
 
+def q_bootstrap_token_ci(spark, sf_dir):
+    """Per-source Poisson-bootstrap 95% CI of mean tokens/doc
+    (analytics.poisson_bootstrap_ci, B=200 — Chamandy et al. 2012, the
+    one-pass bootstrap for massive data): is source A's mean document
+    length actually different from source B's, or is the gap inside
+    resampling noise?  Weights are deterministic hash-derived Poisson(1)
+    counts (24-bit md5 head vs the POISSON1_T24 integer thresholds),
+    replicate sums are exact BIGINT, and the CI is an exact order
+    statistic over replicate means — the oracle replays every weight,
+    sum, and rank bit-for-bit."""
+    from streamkit_spark.functions import analytics as AN
+
+    docs = tables.load(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("long").alias("ntok"),
+    )
+    return AN.poisson_bootstrap_ci(
+        vals, "source", "ntok", id_col="doc_id", b=200, alpha=0.05
+    )
+
+
+def q_detector_agreement(spark, sf_dir):
+    """Pairwise agreement matrix between the four oracle-exact near-dup
+    detectors (dedup.detector_agreement): Jaccard of the pair SETS
+    found by exact n-gram Jaccard (0.6), overlap coefficient (0.8,
+    df≤64), Broder containment (0.6), and winnowing substring pairs —
+    the redundant-vs-complementary audit behind union_pair_edges.
+    Detector configs match the declared dedup_* queries EXACTLY, so the
+    oracle composes those four oracle strings verbatim (the ivf_recall
+    one-source-of-truth discipline)."""
+    from streamkit_spark.functions.dedup import containment_pairs
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return D.detector_agreement(
+        {
+            "jaccard": D.ngram_jaccard_pairs(docs, n=3, threshold=0.6),
+            "overlap": D.overlap_coefficient_pairs(
+                docs, n=3, threshold=0.8, max_df=64
+            ),
+            "containment": containment_pairs(docs, threshold=0.6),
+            "substring": D.substring_dup_pairs(
+                docs, k=16, w=8, min_shared=2, hash_fn="md5"
+            ).select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            ),
+        }
+    )
+
+
+def q_cluster_modularity(spark, sf_dir):
+    """Newman modularity audit (similarity.cluster_modularity) of the
+    mutual-kNN components against the FULL undirected kNN graph
+    (k=3 brute — the semantic_clusters substrate): per cluster,
+    Q_c = e_c/m − (D_c/2m)², computed as one double division of exact
+    integers.  Components are perfectly intra on their own mutual
+    edges; judging them on the denser kNN graph measures how much of
+    the neighborhood structure the partition actually explains.  The
+    kNN edge table is checkpointed — it feeds both the mutual-pair
+    symmetrization and the edge set (the derived-table hazard)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    knn = (
+        SIM.knn_graph(emb, k=3, method="brute")
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    clusters = D.duplicate_clusters(SIM.mutual_knn_pairs(knn))
+    return SIM.cluster_modularity(
+        knn,
+        clusters,
+        edge_a="src",
+        edge_b="dst",
+        node_col="doc_id",
+        cluster_col="cluster_id",
+    )
+
+
 def q_curation_funnel(spark, sf_dir):
     """Per-stage attrition of the curation pipeline
     (pipeline.curation_funnel, exact-pair config): how many docs
@@ -3979,6 +4057,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "ivf_recall": q_ivf_recall,
         "lsh_recall": q_lsh_recall,
+        "bootstrap_token_ci": q_bootstrap_token_ci,
+        "detector_agreement": q_detector_agreement,
+        "cluster_modularity": q_cluster_modularity,
     }
 
 
@@ -7085,9 +7166,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # Semantic clusters: mutual-kNN edges (same CTE as the mutual_knn
     # oracle) + recursive-CTE transitive closure with min-id canonical
-    # representative (the dedup_clusters replay).
-    sql["semantic_clusters"] = """
-        WITH RECURSIVE v AS (
+    # representative (the dedup_clusters replay).  The chain is shared
+    # with cluster_modularity (ONE copy — the _closure_cte discipline).
+    _mutual_cluster_cte = """v AS (
             SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
         ), scored AS (
@@ -7116,10 +7197,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.b, reach.r FROM edges e JOIN reach ON e.a = reach.id
         ), cl AS (
             SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1
-        )
+        )"""
+    sql["semantic_clusters"] = f"""
+        WITH RECURSIVE {_mutual_cluster_cte}
         SELECT vec_id, cluster_id,
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         FROM cl ORDER BY vec_id
+    """
+    # cluster_modularity: the same mutual-kNN components judged against
+    # the FULL (undirected, deduplicated) kNN edge set — degrees, intra
+    # counts, and the per-cluster Newman term (4·m·e_c − D_c²)/(4·m²)
+    # as ONE double division of exact integers.  NOTE: `und` must count
+    # DISTINCT undirected edges (the r5 UNION-inside-RECURSIVE lesson:
+    # never trust a bare UNION's dedup where a COUNT depends on it).
+    sql["cluster_modularity"] = f"""
+        WITH RECURSIVE {_mutual_cluster_cte}, und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn
+        ), mm AS (
+            SELECT CAST(count(*) AS BIGINT) AS m FROM und
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL
+                SELECT b FROM und
+            ) GROUP BY node
+        ), keyed AS (
+            SELECT deg.node, coalesce(cl.cluster_id, deg.node) AS ck,
+                   deg.deg
+            FROM deg LEFT JOIN cl ON cl.vec_id = deg.node
+        ), per AS (
+            SELECT ck, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(deg) AS BIGINT) AS d_sum
+            FROM keyed GROUP BY ck
+        ), intra AS (
+            SELECT ka.ck, CAST(count(*) AS BIGINT) AS intra_edges
+            FROM und
+            JOIN keyed ka ON ka.node = und.a
+            JOIN keyed kb ON kb.node = und.b
+            WHERE ka.ck = kb.ck
+            GROUP BY ka.ck
+        )
+        SELECT per.ck AS cluster_id, n_nodes, d_sum,
+               CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+               CASE WHEN m > 0 THEN
+                    round(CAST(4 * m * coalesce(intra_edges, 0)
+                               - d_sum * d_sum AS DOUBLE)
+                          / CAST(4 * m * m AS DOUBLE), 4) + 0
+               END AS contribution
+        FROM per LEFT JOIN intra ON per.ck = intra.ck
+        CROSS JOIN mm
+        ORDER BY cluster_id
     """
     # Day-range HLL: register max-merge over a date range equals the
     # registers of the range's value set (max associativity), so the
@@ -9859,4 +9987,124 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ivf_recall"] = _recall_sql(sql["ann_topk_ivf"])
     sql["lsh_recall"] = _recall_sql(sql["ann_topk_lsh"])
+
+    # bootstrap_token_ci: the Poisson-bootstrap replay — deterministic
+    # Poisson(1) weights from the 24-bit md5 head vs the PYTHON-computed
+    # integer thresholds (identical literals both engines), exact BIGINT
+    # replicate sums, exact ceil-rank order-statistic CI.  Integer sums
+    # CAST to BIGINT before use (DuckDB integer sum() -> HUGEINT).
+    from streamkit_spark.functions.analytics import POISSON1_T24
+
+    _nib6 = " + ".join(
+        f"({_hll_nib.format(s='hx', i=i + 1)}) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    _wsum = " + ".join(
+        f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in POISSON1_T24
+    )
+    sql["bootstrap_token_ci"] = f"""
+        WITH base AS (
+            SELECT doc_id AS id, source AS g,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS v
+            FROM documents WHERE source IS NOT NULL
+        ), reps AS (
+            SELECT g, id, v, i AS b
+            FROM base, unnest(range(0, 200)) AS t(i)
+        ), hashed AS (
+            SELECT g, b, v, CAST({_nib6} AS BIGINT) AS h
+            FROM (SELECT g, b, v,
+                         md5('boot:' || CAST(b AS VARCHAR) || ':'
+                             || CAST(id AS VARCHAR)) AS hx
+                  FROM reps)
+        ), weighted AS (
+            SELECT g, b, v, ({_wsum}) AS w FROM hashed
+        ), rep AS (
+            SELECT g, b,
+                   CAST(sum(w) AS BIGINT) AS n_b,
+                   CAST(sum(w * v) AS BIGINT) AS s_b
+            FROM weighted GROUP BY g, b HAVING sum(w) > 0
+        ), m AS (
+            SELECT g, b,
+                   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b
+            FROM rep
+        ), ranked AS (
+            SELECT g, mean_b,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY mean_b, b) AS rn,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM m
+        ), bounds AS (
+            SELECT g,
+                   CAST(count(*) AS BIGINT) AS b_eff,
+                   max(CASE WHEN rn = (25 * cnt + 999) // 1000
+                            THEN mean_b END) AS lo,
+                   max(CASE WHEN rn = (975 * cnt + 999) // 1000
+                            THEN mean_b END) AS hi
+            FROM ranked GROUP BY g
+        ), pt AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS mean_v
+            FROM base GROUP BY g
+        )
+        SELECT pt.g AS source, n_docs, b_eff,
+               round(mean_v, 4) AS mean,
+               round(lo, 4) AS ci_lo,
+               round(hi, 4) AS ci_hi
+        FROM pt JOIN bounds ON pt.g = bounds.g
+        ORDER BY source
+    """
+    # detector_agreement: compose the four detector oracle strings
+    # verbatim (one source of truth per detector — the ivf_recall
+    # discipline), normalize + tag the pair sets, self-join for
+    # co-occurrence (the oracle may; the engine enumerates in-row)
+    sql["detector_agreement"] = f"""
+        WITH det_j AS ({sql["dedup_ngram_jaccard"]}),
+             det_o AS ({sql["dedup_overlap"]}),
+             det_c AS ({sql["dedup_containment"]}),
+             det_s AS ({sql["dedup_substring"]}),
+        tagged AS (
+            SELECT DISTINCT least(id_a, id_b) AS id_a,
+                   greatest(id_a, id_b) AS id_b, 'jaccard' AS det
+            FROM det_j
+            UNION ALL
+            SELECT DISTINCT least(id_a, id_b), greatest(id_a, id_b),
+                   'overlap' FROM det_o
+            UNION ALL
+            SELECT DISTINCT least(id_a, id_b), greatest(id_a, id_b),
+                   'containment' FROM det_c
+            UNION ALL
+            SELECT DISTINCT least(doc_a, doc_b), greatest(doc_a, doc_b),
+                   'substring' FROM det_s
+        ), per AS (
+            SELECT det, CAST(count(*) AS BIGINT) AS n FROM tagged
+            GROUP BY det
+        ), co AS (
+            SELECT a.det AS det_a, b.det AS det_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM tagged a JOIN tagged b
+              ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.det < b.det
+            GROUP BY 1, 2
+        ), spine(det_a, det_b) AS (
+            VALUES ('containment', 'jaccard'), ('containment', 'overlap'),
+                   ('containment', 'substring'), ('jaccard', 'overlap'),
+                   ('jaccard', 'substring'), ('overlap', 'substring')
+        )
+        SELECT s.det_a, s.det_b,
+               CAST(coalesce(pa.n, 0) AS BIGINT) AS n_a,
+               CAST(coalesce(pb.n, 0) AS BIGINT) AS n_b,
+               CAST(coalesce(co.n_both, 0) AS BIGINT) AS n_both,
+               CASE WHEN coalesce(pa.n, 0) + coalesce(pb.n, 0)
+                         - coalesce(co.n_both, 0) > 0 THEN
+                    round(coalesce(co.n_both, 0)::DOUBLE
+                          / (coalesce(pa.n, 0) + coalesce(pb.n, 0)
+                             - coalesce(co.n_both, 0)), 4)
+               END AS agreement
+        FROM spine s
+        LEFT JOIN per pa ON pa.det = s.det_a
+        LEFT JOIN per pb ON pb.det = s.det_b
+        LEFT JOIN co ON co.det_a = s.det_a AND co.det_b = s.det_b
+        ORDER BY s.det_a, s.det_b
+    """
     return sql

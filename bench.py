@@ -114,6 +114,11 @@ HEADLINE = [
     # memorization_risk share pair machinery already benched and stay out.
     "dedup_containment",
     "effective_tokens",
+    # round 10: the Poisson-bootstrap machinery (B×N explode + one
+    # map-side-combined groupBy).  lsh_recall / detector_agreement /
+    # cluster_modularity compose machinery already benched and stay out
+    # (the kcore_knn policy).
+    "bootstrap_token_ci",
 ]
 
 

@@ -107,6 +107,8 @@ __all__ = [
     "ece_from_cells",
     "brier_decomposition",
     "brier_from_cells",
+    "poisson_bootstrap_ci",
+    "POISSON1_T24",
 ]
 
 
@@ -4529,3 +4531,149 @@ def user_novelty(
         ),
         F.sum("n_new").over(wd).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (Chamandy et al. 2012)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds at 24-bit hash scale, PYTHON-computed
+# once and embedded as identical integer literals on both engines (the
+# RBO weight-schedule rule: never re-derive float constants per engine).
+# weight = #{k : h >= T_k} over a uniform 24-bit h, truncated at 8
+# (P(X > 8 | lambda=1) ~ 1e-5 — deterministic and identical both engines).
+POISSON1_T24 = (
+    6171992, 12343985, 15429982, 16458647,
+    16715813, 16767247, 16775819, 16777044,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    b: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group bootstrap CI of the mean via the POISSON bootstrap
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams" — the bootstrap that works in one distributed pass): each
+    row contributes an independent Poisson(1) replicate weight, so a
+    resample never needs global coordination; replicate b's mean is
+    sum(w*v)/sum(w) over deterministic hash-derived weights.
+
+    Determinism contract: the weight is an integer derived from the
+    24-bit head of md5('<salt>:<b>:<id>') compared against the
+    POISSON1_T24 integer thresholds — exact on both engines.
+    ``value_col`` must be an EXACT column (integer or decimal): the
+    replicate sums are then partition-order independent, and the only
+    doubles are one division per (group, replicate) plus the final
+    roundings.  The CI is an exact order statistic over the replicate
+    means (rank ceil(alpha/2*B_eff), tie-broken by replicate id), never
+    an interpolated quantile.
+
+    Empty replicates (every weight 0 — only possible for tiny groups)
+    are excluded; ``b_eff`` reports how many replicates contributed.
+    NULL groups are dropped (the token_cells convention).
+
+    Output: (group_col, n_docs, b_eff, mean, ci_lo, ci_hi) ordered by
+    group.
+
+    Scale: the plan is ONE groupBy over B x N rows (map-side combined,
+    (group, replicate) shuffle keys — B-way fan-out of every group key,
+    which UNSKEWS rather than skews) + a replicate-count-bounded window
+    per group.  No collect, no driver loop; B=200 at 100 TB is 200
+    partial aggregates per mapper, not 200 passes.
+    """
+    if b < 2:
+        raise ValueError("poisson_bootstrap_ci needs b >= 2 replicates")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    lo_pm = int(round(alpha * 500))  # alpha/2 in per-mille
+    if lo_pm < 1:
+        raise ValueError("alpha too small for per-mille rank arithmetic")
+    hi_pm = 1000 - lo_pm
+
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    reps = base.withColumn(
+        "__b", F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(salt),
+                    F.col("__b").cast("string"),
+                    F.col("__id").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = None
+    for t in POISSON1_T24:
+        term = F.when(h >= F.lit(t), 1).otherwise(0)
+        w = term if w is None else w + term
+    rep = (
+        reps.groupBy("__g", "__b")
+        .agg(
+            F.sum(w).cast("long").alias("n_b"),
+            F.sum(w * F.col("__v")).alias("s_b"),
+        )
+        .filter(F.col("n_b") > 0)
+        .select(
+            "__g",
+            "__b",
+            (
+                F.col("s_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("mean_b"),
+        )
+    )
+    wnd = Window.partitionBy("__g").orderBy(
+        F.col("mean_b").asc(), F.col("__b").asc()
+    )
+    ranked = rep.withColumn("rn", F.row_number().over(wnd)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("__g"))
+    )
+    # exact ceil rank in integer arithmetic; operands positive so Spark
+    # div == DuckDB // here
+    rank_lo = F.expr(f"cast(({lo_pm} * cnt + 999) div 1000 as int)")
+    rank_hi = F.expr(f"cast(({hi_pm} * cnt + 999) div 1000 as int)")
+    bounds = ranked.groupBy("__g").agg(
+        F.count("*").cast("long").alias("b_eff"),
+        F.max(
+            F.when(F.col("rn") == rank_lo, F.col("mean_b"))
+        ).alias("__lo"),
+        F.max(
+            F.when(F.col("rn") == rank_hi, F.col("mean_b"))
+        ).alias("__hi"),
+    )
+    point = base.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum("__v").cast("double") / F.count("*").cast("double")
+        ).alias("__mean"),
+    )
+    return (
+        point.join(bounds, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "b_eff",
+            F.round("__mean", round_digits).alias("mean"),
+            F.round("__lo", round_digits).alias("ci_lo"),
+            F.round("__hi", round_digits).alias("ci_hi"),
+        )
+        .orderBy(F.col(group_col).asc_nulls_last())
+    )

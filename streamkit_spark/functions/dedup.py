@@ -1265,6 +1265,66 @@ def jaccard_threshold_sweep(
     )
 
 
+def containment_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The PPJoin-prefix candidate stage of :func:`containment_pairs`,
+    exposed so the df×prefix fan-out can be MEASURED directly
+    (tools/probe_containment_growth.py — the r6 editdist blocking-probe
+    discipline): distinct ``(id_a, id_b)`` candidate pairs BEFORE the
+    exact verify.  One source of truth — containment_pairs composes
+    this; see its docstring for the recall argument and the honest
+    scale note."""
+    sh = shingle_table(df, text_col, id_col, n)
+    t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "o"
+            )
+        )
+        .select(
+            "doc_id",
+            F.transform("o", lambda x: x.getField("shingle")).alias(
+                "sh_all"
+            ),
+        )
+    )
+    # BIGINT ceil multiply — see ngram_jaccard_pairs: INT32 n * t_num
+    # overflows past ~3.6k distinct shingles
+    plen = F.expr(
+        f"cast(size(sh_all) - ((cast(size(sh_all) as bigint) * {t_num}"
+        f" + {t_den - 1}) div {t_den}) + 1 as int)"
+    )
+    prefix = ordered.select(
+        F.col("doc_id").alias("p_doc"),
+        F.explode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("shingle"),
+    )
+    if max_df is not None:
+        prefix = prefix.join(
+            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
+    return (
+        sh.join(psh, "shingle")
+        .select(F.col("doc_id").alias("f_doc"), F.explode("ps").alias("p_doc"))
+        .filter(F.col("p_doc") != F.col("f_doc"))
+        .select(
+            F.least("p_doc", "f_doc").alias("id_a"),
+            F.greatest("p_doc", "f_doc").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1307,50 +1367,18 @@ def containment_pairs(
     sibling of this operator is :func:`overlap_coefficient_pairs`
     (same statistic, blocking on all shingles with df ≤ max_df);
     this one is the exact-recall path.
+
+    Measured (r10, tools/probe_containment_growth.py): on the synthetic
+    fixtures candidates grow ~N^2.47 — but that corpus has a CLOSED
+    shingle vocabulary (27k distinct 3-grams at 5000 docs, max df 25,
+    median 9), so every shingle's df grows ∝N and max_df has nothing to
+    cut; most of the growth tracks the answer itself (verified pairs
+    also grow ~N², candidates-per-pair drifts only ~N^0.57).  On an
+    open-vocabulary corpus (Heaps' law) median df stays O(1) and the
+    df tail — which max_df cuts — governs.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    cand = containment_candidates(df, text_col, id_col, n, threshold, max_df)
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
-                "o"
-            )
-        )
-        .select(
-            "doc_id",
-            F.transform("o", lambda x: x.getField("shingle")).alias(
-                "sh_all"
-            ),
-        )
-    )
-    # BIGINT ceil multiply — see ngram_jaccard_pairs: INT32 n * t_num
-    # overflows past ~3.6k distinct shingles
-    plen = F.expr(
-        f"cast(size(sh_all) - ((cast(size(sh_all) as bigint) * {t_num}"
-        f" + {t_den - 1}) div {t_den}) + 1 as int)"
-    )
-    prefix = ordered.select(
-        F.col("doc_id").alias("p_doc"),
-        F.explode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("shingle"),
-    )
-    if max_df is not None:
-        prefix = prefix.join(
-            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
-    psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
-    cand = (
-        sh.join(psh, "shingle")
-        .select(F.col("doc_id").alias("f_doc"), F.explode("ps").alias("p_doc"))
-        .filter(F.col("p_doc") != F.col("f_doc"))
-        .select(
-            F.least("p_doc", "f_doc").alias("id_a"),
-            F.greatest("p_doc", "f_doc").alias("id_b"),
-        )
-        .distinct()
-    )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("long")
     mins = F.least(F.size("__sa"), F.size("__sb")).cast("long")
     # the CONTAINED (smaller-shingle-set) side: containment pairs are
@@ -1384,4 +1412,83 @@ def containment_pairs(
             "contained_id",
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def detector_agreement(pair_tables: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise AGREEMENT matrix between near-dup detectors: for every
+    detector pair, the Jaccard of their normalized ``(id_a, id_b)``
+    pair SETS — the audit that tells a curation owner whether two
+    detectors are redundant (agreement ≈ 1, drop the expensive one) or
+    complementary (agreement ≈ 0, union their edges — the
+    :func:`union_pair_edges` rationale made measurable).
+
+    Input: {detector_name: pair table with id_a/id_b columns} (extra
+    columns ignored).  Output one row per unordered detector pair
+    (lexicographic det_a < det_b over ALL input names, so empty
+    detectors still appear): ``(det_a, det_b, n_a, n_b, n_both,
+    agreement)``; agreement = n_both / (n_a + n_b − n_both), NULL when
+    both sets are empty.  All counts exact integers; one double
+    division rounded 4dp.
+
+    Scale: pair endpoints are normalized and tagged in ONE union, the
+    union is checkpointed (it feeds both the per-detector counts and
+    the per-pair grouping — the derived-table hazard), and detector
+    co-occurrence is enumerated IN-ROW per pair via
+    pairs_from_sorted_groups over the ≤|detectors| tag array — never a
+    pair-table self-join."""
+    if len(pair_tables) < 2:
+        raise ValueError("detector_agreement needs at least two detectors")
+    names = sorted(pair_tables)
+    tagged = None
+    for name, p in sorted(pair_tables.items()):
+        t = p.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.lit(name).alias("det"),
+        ).distinct()
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.localCheckpoint(eager=False)
+    per = tagged.groupBy("det").agg(F.count("*").cast("long").alias("n"))
+    ds = tagged.groupBy("id_a", "id_b").agg(
+        F.array_sort(F.collect_set("det")).alias("ds")
+    )
+    both = (
+        pairs_from_sorted_groups(ds, "ds", distinct=False)
+        .groupBy(F.col("id_a").alias("det_a"), F.col("id_b").alias("det_b"))
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    spark = tagged.sparkSession
+    spine = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(names) for b in names[i + 1:]],
+        "det_a string, det_b string",
+    )
+    na = per.select(F.col("det").alias("det_a"), F.col("n").alias("n_a"))
+    nb = per.select(F.col("det").alias("det_b"), F.col("n").alias("n_b"))
+    denom = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return (
+        spine.join(maybe_broadcast(na), "det_a", "left")
+        .join(maybe_broadcast(nb), "det_b", "left")
+        .join(maybe_broadcast(both), ["det_a", "det_b"], "left")
+        .select(
+            "det_a",
+            "det_b",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+        )
+        .select(
+            "det_a",
+            "det_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.when(
+                denom > 0,
+                F.round(
+                    F.col("n_both").cast("double") / denom.cast("double"), 4
+                ),
+            ).alias("agreement"),
+        )
+        .orderBy("det_a", "det_b")
     )

@@ -1907,3 +1907,113 @@ def embedding_drift(
         )
         .orderBy("group_a", "group_b")
     )
+
+
+def cluster_modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    node_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Newman modularity audit of a graph partition: per cluster,
+    Q_c = e_c/m − (D_c/2m)² over the UNDIRECTED deduplicated edge set
+    (e_c intra-cluster edges, D_c member degree sum, m total edges) —
+    "how much better than chance does this partition explain the
+    graph's edges".  Σ_c Q_c is Newman-Girvan modularity; a partition
+    that merely tracks degree mass scores ≈ 0, dense communities score
+    toward 1.  The audit pairs naturally with
+    :func:`mutual_knn_pairs`-derived components judged against the
+    FULL kNN graph (components are perfectly intra on their own mutual
+    edges — judging them on the denser graph is what makes the number
+    informative).
+
+    Nodes absent from ``assign`` are their own singleton cluster
+    (coalesce(cluster_id, node) — the cluster_safe_split convention).
+    Output: (cluster_id, n_nodes, d_sum, intra_edges, contribution)
+    ordered by cluster_id; contribution is computed as ONE double
+    division of exact integers, (4·m·e_c − D_c²) / (4·m²), so both
+    engines see identical doubles.
+
+    Scale: the edge set is checkpointed once (referenced by m, degrees,
+    and the intra count), the assignment map is checkpointed slim, and
+    every aggregate is map-side combined on cluster keys; m rides along
+    as a broadcast scalar row.  BIGINT is safe up to m ≤ 1.4e9 edges
+    (4·m² < 2⁶³); past that the expression raises rather than silently
+    overflowing (the ols_trend discipline).
+    """
+    e = (
+        edges.select(
+            F.least(edge_a, edge_b).alias("a"),
+            F.greatest(edge_a, edge_b).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    mrow = e.agg(F.count("*").cast("long").alias("m"))
+    amap = (
+        assign.select(
+            F.col(node_col).alias("node"), F.col(cluster_col).alias("__c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    keyed = (
+        deg.join(amap, "node", "left")
+        .select(
+            "node",
+            F.coalesce("__c", F.col("node")).alias("ck"),
+            "deg",
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = keyed.groupBy("ck").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("d_sum"),
+    )
+    ka = keyed.select(F.col("node").alias("a"), F.col("ck").alias("cka"))
+    kb = keyed.select(F.col("node").alias("b"), F.col("ck").alias("ckb"))
+    intra = (
+        e.join(ka, "a")
+        .join(kb, "b")
+        .filter(F.col("cka") == F.col("ckb"))
+        .groupBy(F.col("cka").alias("ck"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    guard = F.when(
+        F.col("m") > F.lit(1_400_000_000),
+        F.raise_error(
+            F.lit("cluster_modularity: m > 1.4e9 would overflow the "
+                  "BIGINT 4*m*m term — widen to DECIMAL first")
+        ).cast("long"),
+    ).otherwise(F.col("m"))
+    return (
+        per.join(intra, "ck", "left")
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            F.col("ck").alias("cluster_id"),
+            "n_nodes",
+            "d_sum",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            F.when(
+                F.col("m") > 0,
+                F.round(
+                    (
+                        4 * guard * F.coalesce("intra_edges", F.lit(0))
+                        - F.col("d_sum") * F.col("d_sum")
+                    ).cast("double")
+                    / (4 * guard * guard).cast("double"),
+                    4,
+                ),
+            ).alias("contribution"),
+        )
+        .orderBy("cluster_id")
+    )
