@@ -3616,9 +3616,12 @@ def q_lsh_recall(spark, sf_dir):
     neighbor_id) tie-break) and the oracle composes the two existing
     ANN oracle strings verbatim, so the report is hash-stable.  Unlike
     ivf_recall there is no float/double near-tie caveat: lsh_topk
-    scores every candidate with the exact double cosine, so a missed
-    neighbor is a genuine bucket miss — the measured counterpart of
-    the analytic recall 1-(1-p^bits)^T documented on lsh_topk."""
+    pre-casts candidate vectors to double (r10 — raw float arrays
+    would multiply in FLOAT, the r5 zip_with class, while its oracle
+    scores in double), so both paths score in exact double and a
+    missed neighbor is a genuine bucket miss — the measured
+    counterpart of the analytic recall 1-(1-p^bits)^T documented on
+    lsh_topk."""
     emb = tables.load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4)
@@ -3677,6 +3680,21 @@ def q_detector_agreement(spark, sf_dir):
             ),
         }
     )
+
+
+def q_kn_logprob(spark, sf_dir):
+    """Per-doc mean bigram log-probability under interpolated
+    KNESER-NEY smoothing (curation.kn_bigram_logprob, d=0.75 — Chen &
+    Goodman 1999 eq. 4.25): the KenLM-perplexity-filter shape CCNet
+    curation actually runs, where a word's back-off mass is its
+    distinct-context novelty N1+(·,w), not its raw frequency.  Every
+    count exact, each ln(P) a fixed double expression, and the per-doc
+    sum folds in POSITION order (the r3 fold-parity family) — stricter
+    than the elder logprob ops' unordered avg."""
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return C.kn_bigram_logprob(docs)
 
 
 def q_cluster_modularity(spark, sf_dir):
@@ -4060,6 +4078,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_token_ci": q_bootstrap_token_ci,
         "detector_agreement": q_detector_agreement,
         "cluster_modularity": q_cluster_modularity,
+        "kn_logprob": q_kn_logprob,
     }
 
 
@@ -10054,6 +10073,43 @@ def oracle_sql() -> dict[str, str]:
                round(hi, 4) AS ci_hi
         FROM pt JOIN bounds ON pt.g = bounds.g
         ORDER BY source
+    """
+    # kn_logprob: interpolated Kneser-Ney bigram replay — exact count
+    # margins over the bigram table, ln(P) in the engine's exact
+    # arithmetic order ((c−d)/c_a + ((d·n1f)/c_a)·(n1b/n_bb)), per-doc
+    # position-ordered fold (list_sum(list(lp ORDER BY pos)) == the
+    # engine's array_sort+aggregate left fold)
+    sql["kn_logprob"] = f"""
+        WITH {_tok_cte}, bg AS (
+            SELECT doc_id, i AS pos, t[i] AS a, t[i + 1] AS b
+            FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+        ), cab AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY 1, 2
+        ), lm AS (
+            SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM cab GROUP BY a
+        ), rm AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM cab GROUP BY b
+        ), nb AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_bb FROM cab
+        ), sc AS (
+            SELECT bg.doc_id, bg.pos,
+                   ln((CAST(c_ab AS DOUBLE) - CAST('0.75' AS DOUBLE))
+                          / CAST(c_a AS DOUBLE)
+                      + CAST('0.75' AS DOUBLE) * CAST(n1f AS DOUBLE)
+                          / CAST(c_a AS DOUBLE)
+                          * (CAST(n1b AS DOUBLE) / CAST(n_bb AS DOUBLE)))
+                       AS lp
+            FROM bg JOIN cab USING (a, b) JOIN lm USING (a)
+                    JOIN rm USING (b) CROSS JOIN nb
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(list_sum(list(lp ORDER BY pos)) / count(*), 4)
+                   AS kn_logprob
+        FROM sc GROUP BY doc_id ORDER BY doc_id
     """
     # detector_agreement: compose the four detector oracle strings
     # verbatim (one source of truth per detector — the ivf_recall

@@ -289,19 +289,10 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_detail.json"),
     )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "metric": "headline_queries_detail",
-                "sf": sf,
-                "stat": "median_of_3",
-                "runs": all_runs,
-                "env_start": env_start,
-                "env_end": _env_snapshot(),
-            },
-            f,
-            indent=2,
-        )
+    # the driver-parsed line goes out FIRST: a failed sidecar write
+    # (read-only checkout, full disk) must never cost the primary
+    # artifact after the whole suite already ran (the r9 parsed:null
+    # class, write-order edition)
     print(
         json.dumps(
             {
@@ -313,8 +304,25 @@ def main() -> None:
                 "stat": "median_of_3",
                 "detail": os.path.basename(detail_path),
             }
-        )
+        ),
+        flush=True,
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_detail",
+                    "sf": sf,
+                    "stat": "median_of_3",
+                    "runs": all_runs,
+                    "env_start": env_start,
+                    "env_end": _env_snapshot(),
+                },
+                f,
+                indent=2,
+            )
+    except OSError as exc:
+        print(f"# sidecar detail write failed: {exc}", file=sys.stderr)
 
 
 def scaling() -> None:

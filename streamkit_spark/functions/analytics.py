@@ -108,6 +108,8 @@ __all__ = [
     "brier_decomposition",
     "brier_from_cells",
     "poisson_bootstrap_ci",
+    "bootstrap_replicates",
+    "bootstrap_ci_from_replicates",
     "POISSON1_T24",
 ]
 
@@ -4588,22 +4590,45 @@ def poisson_bootstrap_ci(
     per group.  No collect, no driver loop; B=200 at 100 TB is 200
     partial aggregates per mapper, not 200 passes.
     """
-    if b < 2:
-        raise ValueError("poisson_bootstrap_ci needs b >= 2 replicates")
-    if not (0.0 < alpha < 1.0):
-        raise ValueError("alpha must be in (0, 1)")
-    lo_pm = int(round(alpha * 500))  # alpha/2 in per-mille
-    if lo_pm < 1:
-        raise ValueError("alpha too small for per-mille rank arithmetic")
-    hi_pm = 1000 - lo_pm
+    return bootstrap_ci_from_replicates(
+        bootstrap_replicates(
+            df, group_col, value_col, id_col=id_col, b=b, salt=salt
+        ),
+        group_col,
+        alpha=alpha,
+        round_digits=round_digits,
+    )
 
+
+def bootstrap_replicates(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str = "doc_id",
+    b: int = 200,
+    salt: str = "boot",
+) -> DataFrame:
+    """The Poisson-bootstrap replicate SKETCH: per (group, replicate),
+    the weighted row count and weighted value sum ``(__g, __b, n_b,
+    s_b)``, with ``__b = -1`` the unweighted POINT row (w ≡ 1, so
+    ``n_b`` = group size and ``s_b`` = the exact value total).
+
+    Both columns are exact (integer/decimal) and merge by ADDITION —
+    disjoint row batches' sketches sum to the whole-corpus sketch,
+    because every weight is a pure function of (salt, replicate, id).
+    That makes this the streaming state (streaming/bootstrap.py) and
+    :func:`bootstrap_ci_from_replicates` the shared finisher — the
+    *_from_cells split applied to resampling.  State bound: one row
+    per (group, replicate), |groups| × (b + 1), never stream length."""
+    if b < 2:
+        raise ValueError("bootstrap_replicates needs b >= 2 replicates")
     base = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("__id"),
         F.col(value_col).alias("__v"),
     )
     reps = base.withColumn(
-        "__b", F.explode(F.sequence(F.lit(0), F.lit(b - 1)))
+        "__b", F.explode(F.sequence(F.lit(-1), F.lit(b - 1)))
     )
     h = F.conv(
         F.substring(
@@ -4625,13 +4650,32 @@ def poisson_bootstrap_ci(
     for t in POISSON1_T24:
         term = F.when(h >= F.lit(t), 1).otherwise(0)
         w = term if w is None else w + term
-    rep = (
-        reps.groupBy("__g", "__b")
-        .agg(
-            F.sum(w).cast("long").alias("n_b"),
-            F.sum(w * F.col("__v")).alias("s_b"),
-        )
-        .filter(F.col("n_b") > 0)
+    w = F.when(F.col("__b") == -1, F.lit(1)).otherwise(w)
+    return reps.groupBy("__g", "__b").agg(
+        F.sum(w).cast("long").alias("n_b"),
+        F.sum(w * F.col("__v")).alias("s_b"),
+    )
+
+
+def bootstrap_ci_from_replicates(
+    rep: DataFrame,
+    group_col: str,
+    alpha: float = 0.05,
+    round_digits: int = 4,
+) -> DataFrame:
+    """CI report from a :func:`bootstrap_replicates` sketch — the
+    shared batch/stream finisher.  See :func:`poisson_bootstrap_ci`
+    for the statistic's contract; this half is replicate-count-bounded
+    (one window + two aggregates over |groups| × (b + 1) rows)."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    lo_pm = int(round(alpha * 500))  # alpha/2 in per-mille
+    if lo_pm < 1:
+        raise ValueError("alpha too small for per-mille rank arithmetic")
+    hi_pm = 1000 - lo_pm
+
+    m = (
+        rep.filter((F.col("__b") >= 0) & (F.col("n_b") > 0))
         .select(
             "__g",
             "__b",
@@ -4643,7 +4687,7 @@ def poisson_bootstrap_ci(
     wnd = Window.partitionBy("__g").orderBy(
         F.col("mean_b").asc(), F.col("__b").asc()
     )
-    ranked = rep.withColumn("rn", F.row_number().over(wnd)).withColumn(
+    ranked = m.withColumn("rn", F.row_number().over(wnd)).withColumn(
         "cnt", F.count("*").over(Window.partitionBy("__g"))
     )
     # exact ceil rank in integer arithmetic; operands positive so Spark
@@ -4659,14 +4703,18 @@ def poisson_bootstrap_ci(
             F.when(F.col("rn") == rank_hi, F.col("mean_b"))
         ).alias("__hi"),
     )
-    point = base.groupBy("__g").agg(
-        F.count("*").cast("long").alias("n_docs"),
+    # rename the point branch's key: both branches derive from the SAME
+    # input frame, and a memory-sink/view input makes the "__g" join
+    # ambiguous (self-join attribute conflict)
+    point = rep.filter(F.col("__b") == -1).select(
+        F.col("__g").alias("__gp"),
+        F.col("n_b").alias("n_docs"),
         (
-            F.sum("__v").cast("double") / F.count("*").cast("double")
+            F.col("s_b").cast("double") / F.col("n_b").cast("double")
         ).alias("__mean"),
     )
     return (
-        point.join(bounds, "__g")
+        point.join(bounds, F.col("__gp") == F.col("__g"))
         .select(
             F.col("__g").alias(group_col),
             "n_docs",

@@ -492,6 +492,111 @@ def bigram_logprob(
     )
 
 
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    INTERPOLATED KNESER-NEY model (Kneser & Ney 1995; Chen & Goodman
+    1999 eq. 4.25) — the smoothing family behind the KenLM perplexity
+    filters CCNet-style curation actually runs, one step up in realism
+    from :func:`bigram_logprob`'s add-one:
+
+        P(w|u) = (c(uw) − d)/c(u)
+               + d·N1+(u,·)/c(u) · N1+(·,w)/N1+(··)
+
+    where N1+(u,·) counts distinct continuations of u, N1+(·,w)
+    distinct left-contexts of w (the "how many contexts has this word
+    followed" novelty mass that makes KN better than frequency
+    back-off), and N1+(··) the distinct-bigram total.  Scoring the
+    training corpus itself means c(uw) ≥ 1, so the max(·,0) clamp never
+    binds and every probability is strictly positive.
+
+    Determinism contract: every count is an exact integer, ``d`` a
+    Python float emitted once, each ln(P) a fixed double expression —
+    and the per-doc sum folds in POSITION order (array_sort +
+    aggregate; DuckDB replays with list_sum(list(lnp ORDER BY pos)) —
+    the r3 fold-parity family), unlike the elder logprob ops' F.avg.
+
+    Plan: one in-row bigram expansion; the bigram count table is
+    localCheckpoint'ed (it feeds the occurrence join AND all three
+    model margins — the derived-table hazard); margins are per-key
+    aggregates over it (≤V rows each); the occurrence stream joins
+    back on gram keys (AQE broadcasts while they fit; at web scale the
+    join keys are the grams and combiners do the rest).  The input is
+    ``spread`` first — a single-file corpus would run the
+    tokenize+posexplode expression pass on one core (the
+    classifier_gate_table lesson, fourth occurrence).  Output
+    (doc_id, n_bigrams, kn_logprob 4dp) for docs with ≥ 2 tokens."""
+    from streamkit_spark.functions.util import spread
+
+    t = tokens(text_col)
+    base = spread(df).select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+    d = base.filter(F.size("__t") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__t"), i).alias("a"),
+                    F.element_at(F.col("__t"), i + 1).alias("b"),
+                ),
+            )
+        ),
+    ).select(
+        "doc_id",
+        F.col("pos"),
+        F.col("col.a").alias("a"),
+        F.col("col.b").alias("b"),
+    )
+    cab = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    # left margins in ONE pass: c(u) = Σ_b c(ub), N1+(u,·) = #distinct b
+    left = cab.groupBy("a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    right = cab.groupBy("b").agg(F.count("*").cast("long").alias("n1b"))
+    nbb = cab.agg(F.count("*").cast("long").alias("n_bb"))
+    dd = F.lit(float(discount))
+    lnp = F.log(
+        (F.col("c_ab").cast("double") - dd) / F.col("c_a").cast("double")
+        + dd
+        * F.col("n1f").cast("double")
+        / F.col("c_a").cast("double")
+        * (F.col("n1b").cast("double") / F.col("n_bb").cast("double"))
+    )
+    scored = (
+        bg.join(maybe_broadcast(cab), ["a", "b"])
+        .join(maybe_broadcast(left), "a")
+        .join(maybe_broadcast(right), "b")
+        .crossJoin(F.broadcast(nbb))
+        .select("doc_id", "pos", lnp.alias("__lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("pos", "__lp"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.getField("__lp"),
+                )
+                / F.count("*").cast("double"),
+                4,
+            ).alias("kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def perplexity_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -257,15 +257,21 @@ def lsh_topk(
     )
     # join the vectors back with their norms precomputed ONCE per vector
     # (the exchange materializes them); per-pair verify is then a single
-    # dot fold + one divide — bit-identical to inline cosine
+    # dot fold + one divide — bit-identical to inline cosine.  Vectors
+    # are cast to DOUBLE here, once per vector, honoring _dot_raw's
+    # caller-holds-doubles contract: raw float arrays would multiply in
+    # FLOAT (the r5 zip_with class) while the oracle scores in double —
+    # a latent ±1e-8 near-tie divergence at the 4dp rounding (r10
+    # review finding; this also makes the recall audit's "a miss is a
+    # genuine bucket miss" claim actually true).
     cvecs = spread.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
+        _as_double(F.col(vec_col)).alias("__cvec"),
         l2_norm(F.col(vec_col)).alias("__cn"),
     )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
+        _as_double(F.col(vec_col)).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
     )
     sim = _dot_raw(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn"))

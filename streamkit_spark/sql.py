@@ -218,8 +218,9 @@ def register_diagnostics_views(
       (Dunning LLR token pairs), ``{p}gate_kappa`` (chance-corrected
       classifier-vs-rule-gate agreement), ``{p}calibration``
       (classifier ECE/MCE against the rule gate), ``{p}vocab_coverage``
-      (types needed per coverage percent), and ``{p}source_dup_matrix``
-      (cross-source near-dup pair counts)
+      (types needed per coverage percent), ``{p}bootstrap_tokens``
+      (Poisson-bootstrap 95% CI of mean tokens/doc per source), and
+      ``{p}source_dup_matrix`` (cross-source near-dup pair counts)
 
     Views are logical plans; each inherits the underlying scan's
     pushdown.  The events frame must be normalized (``tables.load``)."""
@@ -269,6 +270,7 @@ def register_diagnostics_views(
         ),
     }
     if documents is not None:
+        token_count_col = T.token_count("text").cast("long").alias("ntok")
         counts = (
             documents.select(
                 F.explode(T.word_ngrams(F.col("text"), 3)).alias("tok")
@@ -298,6 +300,15 @@ def register_diagnostics_views(
             "passes",
         )
         views[f"{p}vocab_coverage"] = T.coverage_by_group(documents)
+        views[f"{p}bootstrap_tokens"] = A.poisson_bootstrap_ci(
+            documents.select(
+                "doc_id",
+                "source",
+                token_count_col,
+            ),
+            "source",
+            "ntok",
+        )
         from streamkit_spark.functions import dedup as D
 
         # NOTE: no effective_tokens view — its duplicate_clusters step

@@ -1145,3 +1145,56 @@ def test_association_stream_retroactive_pairs_across_batches(spark, tmp_path):
         assert by_pair[("A", "C")] == 2 and by_pair[("B", "C")] == 1
     finally:
         q.stop()
+
+
+def test_bootstrap_stream_parity(spark, docs_stream):
+    """The streaming (group, replicate, n_b, s_b) bootstrap sketch
+    (streaming/bootstrap.py) converges to the batch replicate table —
+    weights are pure functions of (salt, replicate, id), so micro-batch
+    sketches merge by addition — and the shared finisher reproduces
+    analytics.poisson_bootstrap_ci exactly.  State is
+    |groups| x (b + 1)-bounded, never row count."""
+    from pyspark.sql import functions as F
+
+    from streamkit_spark.functions.analytics import poisson_bootstrap_ci
+    from streamkit_spark.functions.text import token_count
+    from streamkit_spark.streaming.bootstrap import (
+        bootstrap_stream,
+        finalize_bootstrap_ci,
+    )
+
+    val = token_count("text").cast("long").alias("ntok")
+    batch = (
+        tables.load(spark, SF_DIR, "documents")
+        .select("doc_id", "source", val)
+    )
+    want = {
+        tuple(r)
+        for r in poisson_bootstrap_ci(
+            batch, "source", "ntok", id_col="doc_id", b=50
+        ).collect()
+    }
+    stream = docs_stream.select("doc_id", "source", val)
+    q = (
+        bootstrap_stream(stream, "source", "ntok", id_col="doc_id", b=50)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_bootstrap")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rep = spark.sql("SELECT * FROM parity_bootstrap")
+        n_groups = batch.filter(F.col("source").isNotNull()).select(
+            "source"
+        ).distinct().count()
+        # state bound: one row per (group, replicate incl. the point
+        # row), never document count
+        assert rep.count() == n_groups * 51
+        got = {
+            tuple(r)
+            for r in finalize_bootstrap_ci(rep, "source").collect()
+        }
+        assert got == want and len(got) == n_groups
+    finally:
+        q.stop()

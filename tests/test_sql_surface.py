@@ -155,13 +155,13 @@ def test_diagnostics_views_queryable_from_sql(spark):
     docs = tables.load(spark, SF_DIR, "documents")
     names = register_diagnostics_views(spark, ev, docs)
     assert names == [
-        "dg_benford", "dg_calibration", "dg_chi2_weekday",
-        "dg_collocations", "dg_cramers_weekday", "dg_cusum",
-        "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa", "dg_heaps",
-        "dg_mad_outliers", "dg_mi_weekday", "dg_quantile_sketch",
-        "dg_shape_drift", "dg_source_dup_matrix", "dg_theil",
-        "dg_value_trend", "dg_vocab_coverage", "dg_weekday_outliers",
-        "dg_zipf",
+        "dg_benford", "dg_bootstrap_tokens", "dg_calibration",
+        "dg_chi2_weekday", "dg_collocations", "dg_cramers_weekday",
+        "dg_cusum", "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa",
+        "dg_heaps", "dg_mad_outliers", "dg_mi_weekday",
+        "dg_quantile_sketch", "dg_shape_drift", "dg_source_dup_matrix",
+        "dg_theil", "dg_value_trend", "dg_vocab_coverage",
+        "dg_weekday_outliers", "dg_zipf",
     ]
     row = spark.sql(
         """
@@ -193,7 +193,11 @@ def test_diagnostics_views_queryable_from_sql(spark):
                   AND tokens_needed <= vocab_size) AS cov_rows,
                (SELECT count(*) FROM dg_source_dup_matrix) AS dupm_rows,
                (SELECT count(*) FROM dg_source_dup_matrix
-                WHERE group_a <= group_b AND n_pairs > 0) AS dupm_ok
+                WHERE group_a <= group_b AND n_pairs > 0) AS dupm_ok,
+               (SELECT count(*) FROM dg_bootstrap_tokens
+                WHERE ci_lo <= mean AND mean <= ci_hi
+                  AND b_eff > 0) AS boot_ok,
+               (SELECT count(*) FROM dg_bootstrap_tokens) AS boot_rows
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -221,6 +225,9 @@ def test_diagnostics_views_queryable_from_sql(spark):
     # every matrix row must satisfy the normalization + positivity
     # invariant (a bare >= 0 would be vacuous for any COUNT)
     assert row["dupm_ok"] == row["dupm_rows"]
+    # every bootstrap row brackets its point estimate with live replicates
+    assert row["boot_rows"] == n_sources
+    assert row["boot_ok"] == row["boot_rows"]
 
 
 def test_timeseries_views_queryable_from_sql(spark):
