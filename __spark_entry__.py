@@ -3682,6 +3682,27 @@ def q_detector_agreement(spark, sf_dir):
     )
 
 
+def q_conformal_score(spark, sf_dir):
+    """Per-source split-conformal threshold of the classifier score
+    (analytics.conformal_threshold, α=0.1 — Vovk et al. 2005): the
+    score each source's docs stay under with ≥90% finite-sample
+    guarantee, i.e. the distribution-free calibrated cutoff a quality
+    gate should use instead of an eyeballed constant.  Rank =
+    ⌈(n+1)·0.9⌉ in exact integer arithmetic; q̂ an exact order
+    statistic; NULL (never a clamp) when the group is too small for
+    the guarantee.  Oracle reuses the shared sc0 classifier-score CTE
+    (bias 0.1, the gate-family convention)."""
+    from streamkit_spark.functions import analytics as AN
+    from streamkit_spark.functions import curation as C
+
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = C.quality_classifier_score(docs, bias=0.1).select(
+        "doc_id", "score"
+    )
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return AN.conformal_threshold(j, "source", "score", alpha=0.1)
+
+
 def q_kn_logprob(spark, sf_dir):
     """Per-doc mean bigram log-probability under interpolated
     KNESER-NEY smoothing (curation.kn_bigram_logprob, d=0.75 — Chen &
@@ -4079,6 +4100,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_agreement": q_detector_agreement,
         "cluster_modularity": q_cluster_modularity,
         "kn_logprob": q_kn_logprob,
+        "conformal_score": q_conformal_score,
     }
 
 
@@ -10072,6 +10094,35 @@ def oracle_sql() -> dict[str, str]:
                round(lo, 4) AS ci_lo,
                round(hi, 4) AS ci_hi
         FROM pt JOIN bounds ON pt.g = bounds.g
+        ORDER BY source
+    """
+    # conformal_score: split-conformal rank ⌈(n+1)·900‰⌉ via the exact
+    # ceil-div identity, q̂ = order statistic from the shared sc0
+    # classifier-score CTE (bias 0.1); NULL qhat when rank > n
+    sql["conformal_score"] = f"""
+        WITH {_qc_lab_ctes}, cal AS (
+            SELECT d.source AS g, sc0.score AS sc
+            FROM sc0 JOIN documents d ON d.doc_id = sc0.doc_id
+            WHERE d.source IS NOT NULL AND sc0.score IS NOT NULL
+        ), rr AS (
+            SELECT g, sc,
+                   row_number() OVER (PARTITION BY g ORDER BY sc) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM cal
+        ), kk AS (
+            SELECT DISTINCT g, n,
+                   ((n + 1) * 900 + 999) // 1000 AS rk
+            FROM rr
+        )
+        SELECT kk.g AS source,
+               CAST(kk.n AS BIGINT) AS n_cal,
+               CAST(kk.rk AS BIGINT) AS rank,
+               max(CASE WHEN rr.rn = kk.rk THEN rr.sc END) AS qhat,
+               CASE WHEN kk.rk <= kk.n THEN
+                    round(CAST(kk.rk AS DOUBLE) / kk.n, 4)
+               END AS cal_coverage
+        FROM kk JOIN rr ON rr.g = kk.g
+        GROUP BY kk.g, kk.n, kk.rk
         ORDER BY source
     """
     # kn_logprob: interpolated Kneser-Ney bigram replay — exact count

@@ -110,6 +110,7 @@ __all__ = [
     "poisson_bootstrap_ci",
     "bootstrap_replicates",
     "bootstrap_ci_from_replicates",
+    "conformal_threshold",
     "POISSON1_T24",
 ]
 
@@ -4722,6 +4723,74 @@ def bootstrap_ci_from_replicates(
             F.round("__mean", round_digits).alias("mean"),
             F.round("__lo", round_digits).alias("ci_lo"),
             F.round("__hi", round_digits).alias("ci_hi"),
+        )
+        .orderBy(F.col(group_col).asc_nulls_last())
+    )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha: float = 0.1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Split-conformal quantile per group (Vovk et al. 2005; Angelopoulos
+    & Bates 2023 tutorial eq. 1): q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    calibration score — the distribution-free threshold such that a new
+    exchangeable point's score is ≤ q̂ with probability ≥ 1−α.  The
+    ML-pipeline use: calibrate a quality/novelty scorer's cutoff per
+    source with a finite-sample guarantee instead of an eyeballed
+    constant.
+
+    Exactness: the rank is integer arithmetic (⌈(n+1)·keep‰/1000⌉ via
+    the ceil-div identity, same on both engines), and q̂ an exact order
+    statistic — with duplicate scores the value at any rank is
+    identical under every sort order, so row_number needs no
+    tie-break.  When n < (1−α)/α the guarantee needs rank n+1 and no
+    finite threshold exists: q̂ and cal_coverage are NULL (never a
+    silent clamp to the max).
+
+    Output: (group_col, n_cal, rank, qhat, cal_coverage) where
+    cal_coverage = rank/n is the exact calibration-set coverage of q̂.
+
+    Scale: one window over each group's scores + one aggregate — the
+    rank_buckets shape; no collect, no quantile approximation (the
+    approx_percentile rank-error trap does not apply)."""
+    a_pm = int(round(alpha * 1000))
+    if not (0 < a_pm < 1000):
+        raise ValueError(
+            "alpha must be in (0.001, 0.999) at per-mille resolution"
+        )
+    keep_pm = 1000 - a_pm
+    base = df.filter(
+        F.col(group_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(score_col).alias("__s"))
+    w = Window.partitionBy("__g").orderBy(F.col("__s").asc())
+    r = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("__g"))
+    )
+    rk = F.expr(f"cast(((n + 1) * {keep_pm} + 999) div 1000 as bigint)")
+    out = r.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_cal"),
+        F.max(F.when(F.col("rn") == rk, F.col("__s"))).alias("qhat"),
+    )
+    rank = F.expr(
+        f"cast(((n_cal + 1) * {keep_pm} + 999) div 1000 as bigint)"
+    )
+    return (
+        out.select(
+            F.col("__g").alias(group_col),
+            "n_cal",
+            rank.alias("rank"),
+            "qhat",
+            F.when(
+                rank <= F.col("n_cal"),
+                F.round(
+                    rank.cast("double") / F.col("n_cal").cast("double"),
+                    round_digits,
+                ),
+            ).alias("cal_coverage"),
         )
         .orderBy(F.col(group_col).asc_nulls_last())
     )
