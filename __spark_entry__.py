@@ -3694,9 +3694,12 @@ def q_conformal_score(spark, sf_dir):
     (bias 0.1, the gate-family convention)."""
     from streamkit_spark.functions import analytics as AN
     from streamkit_spark.functions import curation as C
+    from streamkit_spark.functions.util import spread
 
     docs = tables.load(spark, sf_dir, "documents")
-    scored = C.quality_classifier_score(docs, bias=0.1).select(
+    # spread the single-file corpus before the per-token scoring fold
+    # (the classifier_gate_table one-core lesson); values unchanged
+    scored = C.quality_classifier_score(spread(docs), bias=0.1).select(
         "doc_id", "score"
     )
     j = scored.join(docs.select("doc_id", "source"), "doc_id")

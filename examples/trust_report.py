@@ -57,7 +57,9 @@ def main(sf_dir: str) -> None:
     poisson_bootstrap_ci(vals, "source", "ntok").show(truncate=False)
 
     print("== 2. Conformal classifier-score cutoff per source (α=0.1) ==")
-    scored = C.quality_classifier_score(docs, bias=0.1).select(
+    from streamkit_spark.functions.util import spread
+
+    scored = C.quality_classifier_score(spread(docs), bias=0.1).select(
         "doc_id", "score"
     )
     conformal_threshold(

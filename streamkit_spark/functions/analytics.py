@@ -4751,8 +4751,16 @@ def conformal_threshold(
     finite threshold exists: q̂ and cal_coverage are NULL (never a
     silent clamp to the max).
 
+    ``score_col`` must already be engine-exact (integer, decimal, or a
+    pre-rounded double like the classifier score) — q̂ is emitted
+    unrounded, so an oracle-paired use over a raw double would
+    hash-compare raw stringifications.
+
     Output: (group_col, n_cal, rank, qhat, cal_coverage) where
-    cal_coverage = rank/n is the exact calibration-set coverage of q̂.
+    cal_coverage = rank/n is a LOWER BOUND on the calibration-set
+    coverage of q̂ — exact when q̂ is untied; with duplicates at q̂ the
+    true coverage strictly exceeds it (e.g. 20×0.5 + 5×0.9 at rank 24
+    reports 0.96 while every score is ≤ q̂ = 0.9).
 
     Scale: one window over each group's scores + one aggregate — the
     rank_buckets shape; no collect, no quantile approximation (the
@@ -4770,19 +4778,22 @@ def conformal_threshold(
     r = base.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(Window.partitionBy("__g"))
     )
+    # ONE formula definition: rk is constant per group (a function of
+    # the per-group n), so the output rank is carried through the
+    # aggregate rather than re-derived from a second literal that
+    # could drift from this one
     rk = F.expr(f"cast(((n + 1) * {keep_pm} + 999) div 1000 as bigint)")
     out = r.groupBy("__g").agg(
         F.count("*").cast("long").alias("n_cal"),
+        F.max(rk).alias("rank"),
         F.max(F.when(F.col("rn") == rk, F.col("__s"))).alias("qhat"),
     )
-    rank = F.expr(
-        f"cast(((n_cal + 1) * {keep_pm} + 999) div 1000 as bigint)"
-    )
+    rank = F.col("rank")
     return (
         out.select(
             F.col("__g").alias(group_col),
             "n_cal",
-            rank.alias("rank"),
+            "rank",
             "qhat",
             F.when(
                 rank <= F.col("n_cal"),
