@@ -3631,6 +3631,40 @@ def q_lsh_recall(spark, sf_dir):
     return _ann_recall_report(brute, lsh)
 
 
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 audit of the PQ/ADC path against exact brute force
+    (VERDICT r10 item #2 — completes the audit family: all four
+    approximate ANN paths now carry a measured recall instead of
+    trust-by-derivation).  Unlike IVF/LSH, PQ's loss is QUANTIZATION,
+    not pruning: every corpus vector is scored, but through m codeword
+    reconstructions, so a miss means the compressed geometry reordered
+    the top-k — recall here measures how much ranking the 16-64×
+    memory cut costs.  The approx side IS q_pq_adc_topk (one source of
+    truth — identical params, codebooks, tie-breaks); the oracle
+    composes the two declared oracle strings verbatim."""
+    apx = q_pq_adc_topk(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4)
+    return _ann_recall_report(brute, apx)
+
+
+def q_ivfadc_recall(spark, sf_dir):
+    """Recall@5 audit of the IVFADC (residual-PQ) path against exact
+    brute force — the compound approximation: coarse-list pruning
+    (ivf_recall's error source) ON TOP OF residual quantization
+    (pq_recall's), Jégou'11's billion-scale trade measured end-to-end.
+    The approx side IS q_ivfadc_topk (shared component cache, identical
+    nprobe/codebooks); the oracle composes the declared oracle strings
+    verbatim, so near-tie float effects are replayed bit-for-bit and
+    the report is hash-stable."""
+    apx = q_ivfadc_topk(spark, sf_dir)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.brute_force_topk(emb, queries, k=5, round_digits=4)
+    return _ann_recall_report(brute, apx)
+
+
 def q_bootstrap_token_ci(spark, sf_dir):
     """Per-source Poisson-bootstrap 95% CI of mean tokens/doc
     (analytics.poisson_bootstrap_ci, B=200 — Chamandy et al. 2012, the
@@ -3800,64 +3834,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-10 window (VERDICT r9 item #1, per the
-# CLAUDE.md rotation ledger): the 7 never-driver-checked r9 adds, then the
-# 9 never-driver-checked r5 leftovers, then the 34 oldest r6-era entries
-# (the remaining 16 r6 entries queue for r11) = 50.
+# its literal order below.  Round-11 window (VERDICT r10 item #1, per the
+# CLAUDE.md rotation ledger): the 6 never-driver-checked r10 adds, then the
+# 16 r6-era entries the r10 cut displaced, then the 28 oldest r7-era
+# entries (the remaining 22 r7 entries queue for r12) = 50.
 _DRIVER_WINDOW_FRONT = [
-    # --- never driver-checked: round-9 adds ---
-    "containment_split",
-    "source_dup_matrix",
-    "effective_tokens",
-    "memorization_risk",
-    "vocab_coverage",
-    "curation_funnel",
-    "ivf_recall",
-    # --- never driver-checked: r5 leftovers (incl. §2 rows W1/W2/W3/X3) ---
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "transition_matrix",
-    "w1_peek_all",
-    "w2_sequence_gaps",
-    "w3_first_entry",
-    "x3_json_extract",
-    # --- 34 oldest r6-era entries (driver rows last seen r6) ---
-    "a2_segments",
-    "ab_value_ztest",
-    "apply_mixture",
-    "asof_next_view",
-    "attribution_linear",
-    "benford_values",
-    "boilerplate_blocks",
-    "chi2_weekday",
-    "cms_user_counts",
-    "compaction_bins",
-    "cube_revenue",
-    "cusum_changepoint",
-    "dedup_editdist",
-    "doc_length_deciles",
-    "dup_rate_by_source",
-    "event_assoc",
-    "ewma_daily",
-    "f5_validation_count",
-    "frequent_sequences",
-    "funnel_timing",
-    "heaps_docs",
-    "hist_quantiles",
-    "hll_daily_range",
-    "hll_distinct",
-    "ivf_pq_topk",
-    "ivfadc_topk",
-    "kcore_knn",
-    "kmv_overlap",
-    "label_propagation",
-    "mad_outliers",
-    "mixture_plan",
-    "pq_adc_topk",
-    "pq_codes",
-    "psi_drift",
+    # --- never driver-checked: round-10 adds ---
+    "lsh_recall",
+    "bootstrap_token_ci",
+    "detector_agreement",
+    "cluster_modularity",
+    "kn_logprob",
+    "conformal_score",
+    # --- 16 r6-era entries displaced by the r10 cut (last seen r6) ---
+    "quality_classifier",
+    "random_projection",
+    "salted_brand_revenue",
+    "semantic_clusters",
+    "set_click_and_purchase",
+    "source_ngram_overlap",
+    "spearman_corr",
+    "tfidf_cosine",
+    "token_entropy",
+    "triangle_count",
+    "tumbling_daily",
+    "user_accumulation",
+    "value_trend",
+    "weekday_seasonality",
+    "window_funcs",
+    "zipf_shingles",
+    # --- 28 oldest r7-era entries (driver rows last seen r7) ---
+    "knn_graph",
+    "mutual_knn",
+    "ranksum_value",
+    "ks_value",
+    "gini_value",
+    "winsorized_value",
+    "kendall_value_hour",
+    "kl_sources",
+    "psi_daily",
+    "seasonal_strength",
+    "acf_daily",
+    "wilson_high_value",
+    "jsd_sources",
+    "xcorr_daily",
+    "token_burstiness",
+    "interarrival",
+    "robust_trend",
+    "holt_daily",
+    "score_calibration",
+    "dedup_sweep",
+    "classifier_auc",
+    "bloom_prefilter",
+    "dsir_topk",
+    "embedding_quantization",
+    "event_funnel",
+    "event_transitions",
+    "iqr_outliers",
+    "kmeans_assign",
 ]
 
 
@@ -4099,6 +4133,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "ivf_recall": q_ivf_recall,
         "lsh_recall": q_lsh_recall,
+        "pq_recall": q_pq_recall,
+        "ivfadc_recall": q_ivfadc_recall,
         "bootstrap_token_ci": q_bootstrap_token_ci,
         "detector_agreement": q_detector_agreement,
         "cluster_modularity": q_cluster_modularity,
@@ -10031,6 +10067,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["ivf_recall"] = _recall_sql(sql["ann_topk_ivf"])
     sql["lsh_recall"] = _recall_sql(sql["ann_topk_lsh"])
+    # r11: the PQ-family audits — same composed template, the declared
+    # pq_adc_topk / ivfadc_topk oracles verbatim as the approx CTE
+    sql["pq_recall"] = _recall_sql(sql["pq_adc_topk"])
+    sql["ivfadc_recall"] = _recall_sql(sql["ivfadc_topk"])
 
     # bootstrap_token_ci: the Poisson-bootstrap replay — deterministic
     # Poisson(1) weights from the 24-bit md5 head vs the PYTHON-computed

@@ -4560,6 +4560,7 @@ def poisson_bootstrap_ci(
     alpha: float = 0.05,
     salt: str = "boot",
     round_digits: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-group bootstrap CI of the mean via the POISSON bootstrap
     (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
@@ -4568,9 +4569,11 @@ def poisson_bootstrap_ci(
     resample never needs global coordination; replicate b's mean is
     sum(w*v)/sum(w) over deterministic hash-derived weights.
 
-    Determinism contract: the weight is an integer derived from the
-    24-bit head of md5('<salt>:<b>:<id>') compared against the
-    POISSON1_T24 integer thresholds — exact on both engines.
+    Determinism contract: the weight is an integer derived from a
+    24-bit hash of '<salt>:<b>:<id>' compared against the POISSON1_T24
+    integer thresholds — exact on both engines for the default
+    ``hash_fn="md5"``; ``hash_fn="xxhash64"`` is the cheaper production
+    variate (see :func:`bootstrap_replicates`).
     ``value_col`` must be an EXACT column (integer or decimal): the
     replicate sums are then partition-order independent, and the only
     doubles are one division per (group, replicate) plus the final
@@ -4593,7 +4596,13 @@ def poisson_bootstrap_ci(
     """
     return bootstrap_ci_from_replicates(
         bootstrap_replicates(
-            df, group_col, value_col, id_col=id_col, b=b, salt=salt
+            df,
+            group_col,
+            value_col,
+            id_col=id_col,
+            b=b,
+            salt=salt,
+            hash_fn=hash_fn,
         ),
         group_col,
         alpha=alpha,
@@ -4608,6 +4617,7 @@ def bootstrap_replicates(
     id_col: str = "doc_id",
     b: int = 200,
     salt: str = "boot",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The Poisson-bootstrap replicate SKETCH: per (group, replicate),
     the weighted row count and weighted value sum ``(__g, __b, n_b,
@@ -4620,10 +4630,28 @@ def bootstrap_replicates(
     That makes this the streaming state (streaming/bootstrap.py) and
     :func:`bootstrap_ci_from_replicates` the shared finisher — the
     *_from_cells split applied to resampling.  State bound: one row
-    per (group, replicate), |groups| × (b + 1), never stream length."""
+    per (group, replicate), |groups| × (b + 1), never stream length.
+
+    The input is ``spread`` first: a single-file corpus would run the
+    whole B×N hashing stage on one core until the groupBy exchange
+    (no-op on already-parallel inputs).
+
+    ``hash_fn`` picks the 24-bit uniform variate the Poisson thresholds
+    compare against: ``"md5"`` (default) is the DECLARED ORACLE PATH —
+    DuckDB replays the hex-head conv exactly; ``"xxhash64"`` is the
+    PRODUCTION path (low 24 bits of the JVM-native seeded xxhash64 —
+    one codegen'd hash per row instead of an md5 digest + string
+    slice + base conv, the substring_dup_pairs precedent).  Both feed
+    the identical POISSON1_T24 thresholds, so every statistical
+    property (weight mean/var = 1, CI coverage) is shared; only the
+    pseudo-random stream differs — CIs agree to the bootstrap's own
+    Monte-Carlo resolution, pinned by an accuracy-contract test, never
+    a hash-equality oracle."""
     if b < 2:
         raise ValueError("bootstrap_replicates needs b >= 2 replicates")
-    base = df.filter(F.col(group_col).isNotNull()).select(
+    from streamkit_spark.functions.util import spread
+
+    base = spread(df.filter(F.col(group_col).isNotNull())).select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("__id"),
         F.col(value_col).alias("__v"),
@@ -4631,22 +4659,20 @@ def bootstrap_replicates(
     reps = base.withColumn(
         "__b", F.explode(F.sequence(F.lit(-1), F.lit(b - 1)))
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.lit(salt),
-                    F.col("__b").cast("string"),
-                    F.col("__id").cast("string"),
-                )
-            ),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
+    key = F.concat_ws(
+        ":",
+        F.lit(salt),
+        F.col("__b").cast("string"),
+        F.col("__id").cast("string"),
+    )
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        # low 24 bits of the signed 64-bit hash: two's-complement AND
+        # yields a uniform [0, 2^24) integer on any sign
+        h = F.xxhash64(key).bitwiseAND(F.lit(0xFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
     w = None
     for t in POISSON1_T24:
         term = F.when(h >= F.lit(t), 1).otherwise(0)
@@ -4667,12 +4693,24 @@ def bootstrap_ci_from_replicates(
     """CI report from a :func:`bootstrap_replicates` sketch — the
     shared batch/stream finisher.  See :func:`poisson_bootstrap_ci`
     for the statistic's contract; this half is replicate-count-bounded
-    (one window + two aggregates over |groups| × (b + 1) rows)."""
+    (one window + two aggregates over |groups| × (b + 1) rows).
+
+    ``alpha`` is carried in PER-MILLE integer arithmetic (exact ceil
+    ranks on both engines), so alpha/2 must be a whole number of
+    per-mille: alpha must be a multiple of 0.002 (0.05, 0.1, 0.002,
+    ...).  Anything else (e.g. 0.003) raises rather than silently
+    rounding the CI rank away from the documented ceil(alpha/2 · B)."""
     if not (0.0 < alpha < 1.0):
         raise ValueError("alpha must be in (0, 1)")
     lo_pm = int(round(alpha * 500))  # alpha/2 in per-mille
     if lo_pm < 1:
         raise ValueError("alpha too small for per-mille rank arithmetic")
+    if abs(alpha * 500 - lo_pm) > 1e-9:
+        raise ValueError(
+            "alpha must be a multiple of 0.002: alpha/2 is carried in "
+            f"per-mille integer arithmetic and {alpha!r} is not "
+            "representable (would silently shift the CI rank)"
+        )
     hi_pm = 1000 - lo_pm
 
     m = (

@@ -135,3 +135,92 @@ def test_bootstrap_ci_input_validation(spark):
         poisson_bootstrap_ci(df, "source", "v", alpha=0.0)
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "source", "v", alpha=0.0001)
+    # alpha/2 must be a whole per-mille: 0.003 -> 1.5 per-mille would
+    # silently round the rank, so it raises instead
+    with pytest.raises(ValueError, match="multiple of 0.002"):
+        poisson_bootstrap_ci(df, "source", "v", alpha=0.003)
+    # representable alphas still construct the plan
+    poisson_bootstrap_ci(df, "source", "v", alpha=0.002)
+    poisson_bootstrap_ci(df, "source", "v", alpha=0.1)
+
+
+def test_xxhash_weight_moments_pin_poisson_lambda_one(spark):
+    """The production (xxhash64) weight variate must sit on the same
+    Poisson(1) H0 moments as the declared md5 path: one group of N ids
+    makes each replicate total n_b ~ Poisson(N), so mean(n_b)/N and
+    var(n_b)/N both pin to 1.  A wrong bit width or threshold drift
+    moves them far outside these bands (the magnitude-pin discipline,
+    through the engine expression itself)."""
+    from streamkit_spark.functions.analytics import bootstrap_replicates
+
+    n, b = 500, 100
+    df = spark.createDataFrame(
+        [(i, "g", 1) for i in range(n)], "doc_id long, source string, v long"
+    )
+    rep = bootstrap_replicates(
+        df, "source", "v", id_col="doc_id", b=b, hash_fn="xxhash64"
+    )
+    totals = [
+        r["n_b"] for r in rep.filter("__b >= 0").collect()
+    ]
+    assert len(totals) == b
+    mean = sum(totals) / b
+    var = sum((t - mean) ** 2 for t in totals) / b
+    # sqrt(N/B) ~ 2.2 SE on the mean; chi2 band on the variance ratio
+    assert abs(mean / n - 1.0) < 0.02, mean / n
+    assert abs(var / n - 1.0) < 0.45, var / n
+
+
+def test_xxhash_ci_agrees_with_md5_path(spark):
+    """Accuracy contract (the approx_distinct precedent, not an oracle):
+    the two hash variates feed identical thresholds, so at matched B
+    they are two independent Monte-Carlo draws of the SAME bootstrap —
+    point rows identical bit-for-bit (w ≡ 1 there), CIs within the
+    resampling noise of each other, both bracketing the group mean."""
+    from streamkit_spark.functions.analytics import poisson_bootstrap_ci
+
+    vals = {i: 50 + ((i * 13) % 21) for i in range(200)}
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in vals.items()],
+        "doc_id long, source string, v long",
+    )
+    outs = {}
+    for hf in ("md5", "xxhash64"):
+        outs[hf] = poisson_bootstrap_ci(
+            df, "source", "v", id_col="doc_id", b=200, hash_fn=hf
+        ).collect()[0]
+    a, b = outs["md5"], outs["xxhash64"]
+    # the point row never touches the hash: identical by construction
+    assert a["mean"] == b["mean"] and a["n_docs"] == b["n_docs"] == 200
+    assert a["b_eff"] == b["b_eff"] == 200
+    true_mean = sum(vals.values()) / len(vals)
+    for o in (a, b):
+        assert o["ci_lo"] <= true_mean <= o["ci_hi"]
+    # CI endpoints differ only by quantile Monte-Carlo noise: bound the
+    # disagreement by half the (wider) interval's width, with sanity
+    # floor against the degenerate all-equal case
+    width = max(a["ci_hi"] - a["ci_lo"], b["ci_hi"] - b["ci_lo"])
+    assert width > 0
+    assert abs(a["ci_lo"] - b["ci_lo"]) <= 0.5 * width
+    assert abs(a["ci_hi"] - b["ci_hi"]) <= 0.5 * width
+
+
+def test_xxhash_path_plan_has_no_md5(spark):
+    """The production path must actually BE the cheap path: no md5 /
+    conv / substring digest machinery in the physical plan, the seeded
+    xxhash64 primitive present."""
+    from streamkit_spark.functions.analytics import bootstrap_replicates
+
+    df = spark.createDataFrame(
+        [(1, "g", 1)], "doc_id long, source string, v long"
+    )
+    plan = (
+        bootstrap_replicates(
+            df, "source", "v", id_col="doc_id", b=4, hash_fn="xxhash64"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    assert "md5" not in plan
