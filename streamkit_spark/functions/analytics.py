@@ -60,6 +60,8 @@ __all__ = [
     "ranksum_from_cells",
     "ks_by_group",
     "ks_from_cells",
+    "jt_trend_by_group",
+    "jt_from_cells",
     "gini_by_group",
     "gini_from_cells",
     "winsorized_stats",
@@ -97,6 +99,7 @@ __all__ = [
     "holt_from_daily",
     "calibration_report",
     "auc_report",
+    "average_precision_report",
     "cohen_kappa",
     "kappa_from_cells",
     "hill_tail_by_group",
@@ -2529,6 +2532,178 @@ def cvm_from_cells(
     )
 
 
+def jt_trend_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test (Jonckheere 1954;
+    Terpstra 1952): does ``value`` trend MONOTONICALLY across the
+    ordered ``groups``?  The k-sample generalization of Mann-Whitney
+    for an a-priori ordering (hour-of-day, dose, week index) — more
+    powerful than Kruskal-Wallis when the alternative IS a trend.
+
+    JT = Σ_{i<j} U_ij over ordered group pairs (ties credit ½); the
+    normal approximation uses the tie-corrected variance of Hollander &
+    Wolfe (Nonparametric Statistical Methods, eq. 6.19).  ``groups``
+    must list the ordered group keys explicitly (the pivot contract —
+    an ordered-trend test over unbounded group cardinality is a
+    modeling error, use a rank correlation instead).
+
+    One row ``(n_groups, n, jt2, z)``: jt2 = 2·JT (exact — ties make
+    JT a half-integer), z NULL when the variance is degenerate.
+    See :func:`jt_from_cells` for the determinism contract."""
+    return jt_from_cells(
+        value_cells(df, group_col, value_col), groups, round_digits
+    )
+
+
+def jt_from_cells(
+    cells: DataFrame,
+    groups: list,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`jt_trend_by_group` over a PREBUILT
+    (grp, v, c) cell table — the value-cell sketch's trend report.
+
+    Determinism contract: the cell table pivots to one row per distinct
+    value with per-group exact counts (missing cells 0); per-group
+    below-value cumulatives come from ONE value-ordered window; then
+    2·JT = Σ_v Σ_j c_j(v)·(2·Σ_{i<j} cum_i(v) + Σ_{i<j} c_i(v)) is a
+    pure-integer sum accumulated in DECIMAL(38,0) (pair counts reach
+    N²/2 — the gini wide-arithmetic discipline), as are every n_i, the
+    pooled tie sums Σ t(t−1)(2t+5) / t(t−1)(t−2) / t(t−1), and the H0
+    mean 2·E[JT] = Σ_{i<j} n_i·n_j.  The only floats are the three
+    variance terms (fixed expression order) and the final z division;
+    the variance guard fires BEFORE sqrt (the Welch discipline).
+
+    Scale: one pivot aggregate over the cell table + one global
+    aggregate — everything after the cell build is bounded by VALUE
+    CARDINALITY × k, never rows."""
+    if len(groups) < 2:
+        raise ValueError("jt_from_cells needs >= 2 ordered groups")
+    if len(set(groups)) != len(groups):
+        raise ValueError("jt_from_cells groups must be distinct")
+    k = len(groups)
+    dec = "decimal(38,0)"
+    piv = (
+        cells.filter(F.col("grp").isin(list(groups)))
+        .groupBy("v")
+        .pivot("grp", list(groups))
+        .sum("c")
+    )
+    # pivot emits the group keys as column names in `groups` order
+    cols = piv.columns[1:]
+    filled = piv.select(
+        "v",
+        *[
+            F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("long").alias(f"c_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = filled.select(
+        "v",
+        *[F.col(f"c_{i}") for i in range(k)],
+        *[
+            F.coalesce(F.sum(f"c_{i}").over(wv), F.lit(0))
+            .cast("long")
+            .alias(f"cl_{i}")
+            for i in range(k)
+        ],
+    )
+    # per-value 2·JT contribution: group j against the union of earlier
+    # groups — integer expression, widened before the row sum
+    jt_term = None
+    for j in range(1, k):
+        pre_lt = None
+        pre_eq = None
+        for i in range(j):
+            pre_lt = (
+                F.col(f"cl_{i}")
+                if pre_lt is None
+                else pre_lt + F.col(f"cl_{i}")
+            )
+            pre_eq = (
+                F.col(f"c_{i}") if pre_eq is None else pre_eq + F.col(f"c_{i}")
+            )
+        t = F.col(f"c_{j}").cast(dec) * (
+            F.lit(2).cast(dec) * pre_lt.cast(dec) + pre_eq.cast(dec)
+        )
+        jt_term = t if jt_term is None else jt_term + t
+    tv = None
+    for i in range(k):
+        tv = F.col(f"c_{i}") if tv is None else tv + F.col(f"c_{i}")
+    tvd = tv.cast(dec)
+    agg_exprs = [
+        F.coalesce(F.sum(jt_term), F.lit(0).cast(dec)).alias("jt2"),
+        F.coalesce(
+            F.sum(tvd * (tvd - 1) * (2 * tvd + 5)), F.lit(0).cast(dec)
+        ).alias("tie_a"),
+        F.coalesce(
+            F.sum(tvd * (tvd - 1) * (tvd - 2)), F.lit(0).cast(dec)
+        ).alias("tie_b"),
+        F.coalesce(F.sum(tvd * (tvd - 1)), F.lit(0).cast(dec)).alias("tie_c"),
+    ] + [
+        F.coalesce(F.sum(f"c_{i}"), F.lit(0)).cast("long").alias(f"n_{i}")
+        for i in range(k)
+    ]
+    g = cum.agg(*agg_exprs)
+    n = None
+    for i in range(k):
+        n = F.col(f"n_{i}") if n is None else n + F.col(f"n_{i}")
+    nd = n.cast(dec)
+    grp_a = None
+    grp_b = None
+    grp_c = None
+    mean2 = None  # Σ_{i<j} n_i·n_j = 2·E[JT], exact
+    for i in range(k):
+        nid = F.col(f"n_{i}").cast(dec)
+        ta = nid * (nid - 1) * (2 * nid + 5)
+        tb = nid * (nid - 1) * (nid - 2)
+        tc = nid * (nid - 1)
+        grp_a = ta if grp_a is None else grp_a + ta
+        grp_b = tb if grp_b is None else grp_b + tb
+        grp_c = tc if grp_c is None else grp_c + tc
+        for j in range(i + 1, k):
+            pr = nid * F.col(f"n_{j}").cast(dec)
+            mean2 = pr if mean2 is None else mean2 + pr
+    var_a = (
+        (nd * (nd - 1) * (2 * nd + 5) - grp_a - F.col("tie_a"))
+        .cast("double")
+        / F.lit(72.0)
+    )
+    # the B/C numerators multiply two n³-scale exact sums — their
+    # DECIMAL product would exceed 38 digits past N ~ 1e6, so each
+    # factor converts to double FIRST (both engines, identical order)
+    var_b = grp_b.cast("double") * F.col("tie_b").cast("double") / (
+        (F.lit(36).cast(dec) * nd * (nd - 1) * (nd - 2)).cast("double")
+    )
+    var_c = grp_c.cast("double") * F.col("tie_c").cast("double") / (
+        (F.lit(8).cast(dec) * nd * (nd - 1)).cast("double")
+    )
+    var = var_a + var_b + var_c
+    # z from doubled exact components: (2JT − 2·E[JT]) / (2·sqrt(Var));
+    # the n >= 3 guard keeps the (N−2) division alive, the var > 0
+    # guard fires BEFORE sqrt (ANSI + the Welch discipline)
+    z = F.when(
+        n >= 3,
+        F.when(
+            var > 0,
+            (F.col("jt2") - mean2).cast("double")
+            / (F.lit(2.0) * F.sqrt(var)),
+        ),
+    )
+    return g.select(
+        F.lit(k).cast("long").alias("n_groups"),
+        n.cast("long").alias("n"),
+        F.col("jt2").cast("long").alias("jt2"),
+        (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group_col: str,
@@ -4066,6 +4241,89 @@ def auc_report(
         F.col("n").alias("n_pos"),
         F.col("n_rest").alias("n_neg"),
         F.round(auc, round_digits).alias("auc"),
+    )
+
+
+def average_precision_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Step-interpolated average precision — the PR-curve companion of
+    :func:`auc_report` (ROC-AUC is prevalence-blind; on a heavily
+    imbalanced gate AP is the honest ranking number): AP = Σ_n (R_n −
+    R_{n−1})·P_n over distinct score thresholds descending — the
+    scikit-learn ``average_precision_score`` definition, which (unlike
+    trapezoidal PR-AUC) never linearly interpolates precision.  Tie
+    handling is therefore EXACT and order-free: all rows sharing a
+    score enter at one threshold, so no doc-order tie-break exists to
+    pin.
+
+    One row ``(n_pos, n_neg, n_thresholds, ap)``; ap NULL when there
+    are no positives (never a clamp — the conformal convention).
+
+    Determinism: the threshold cells carry exact integer (pos, tot)
+    counts and exact cumulative TP/N from a distinct-score window; the
+    per-threshold term (pos/R)·(TP/N) is the only float, and the terms
+    are summed in a score-DESCENDING sorted-list fold (distinct-
+    score-bounded, the value-cell discipline) that DuckDB replays with
+    ``list_sum(list(...) ORDER BY s DESC)``.
+
+    Scale: everything after the first aggregate runs on the
+    distinct-score table — quantize unbounded-cardinality scores
+    upstream (the value_cells contract)."""
+    cells = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(score_col).alias("s"),
+            F.col(label_col).cast("boolean").cast("int").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.count("*").cast("long").alias("tot"),
+        )
+    )
+    wd = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("tp", F.sum("pos").over(wd)).withColumn(
+        "nn", F.sum("tot").over(wd)
+    )
+    agg = cum.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("r_tot"),
+        F.coalesce(F.sum("tot"), F.lit(0)).cast("long").alias("n_tot"),
+        F.count("*").cast("long").alias("n_thresholds"),
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("s").alias("s"),
+                        F.col("pos").alias("pos"),
+                        F.col("tp").alias("tp"),
+                        F.col("nn").alias("nn"),
+                    )
+                )
+            )
+        ).alias("arr"),
+    )
+    ap = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["pos"].cast("double") / F.col("r_tot").cast("double"))
+        * (x["tp"].cast("double") / x["nn"].cast("double")),
+    )
+    return agg.select(
+        F.col("r_tot").alias("n_pos"),
+        (F.col("n_tot") - F.col("r_tot")).alias("n_neg"),
+        "n_thresholds",
+        F.round(
+            F.when(F.col("r_tot") > 0, ap), round_digits
+        ).alias("ap"),
     )
 
 

@@ -293,6 +293,7 @@ def minhash_signature(
     num_hashes: int = 64,
     ngram: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signatures.
 
@@ -314,11 +315,23 @@ def minhash_signature(
     # plan construction; a single SQL string parses JVM-side in one.
     # `seed + i` stays an INT literal exactly as F.lit produced (xxhash64
     # hashes value AND type).
-    sig_expr = "array({}) as sig".format(
-        ", ".join(
+    if hash_fn == "xxhash64":
+        slots = ", ".join(
             f"min(xxhash64(shingle, {seed + i}))" for i in range(num_hashes)
         )
-    )
+    elif hash_fn == "md5":
+        # oracle path (the bloom/bootstrap precedent): 24-bit md5 head
+        # per slot — DuckDB reconstructs the value nibble-wise.  Same
+        # min-over-shingles semantics; the narrower hash adds a
+        # negligible within-doc collision mass (~|shingles|²/2²⁵)
+        slots = ", ".join(
+            "min(cast(conv(substring(md5(concat("
+            f"'mh:{seed}:{i}:', shingle)), 1, 6), 16, 10) as bigint))"
+            for i in range(num_hashes)
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64 | md5)")
+    sig_expr = f"array({slots}) as sig"
     return sh.groupBy("doc_id").agg(F.expr(sig_expr))
 
 
@@ -415,6 +428,91 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def minhash_fidelity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Signature-fidelity audit of the MinHash estimator — the recall-
+    audit discipline (ivf/lsh/pq/ivfadc_recall) applied to DEDUP's
+    approximation: for every LSH candidate pair, the signature-agreement
+    Jaccard estimate next to the exact shingle Jaccard.  dedup_minhash_lsh
+    verifies candidates exactly before dropping, so estimator error never
+    corrupts its output — this measures the estimator itself (std ≈
+    √(j(1−j)/P), ~0.06 at P=64), which is what a pipeline trusting raw
+    signatures (e.g. a persisted signature index, streaming/neardup)
+    actually runs on.
+
+    Output: (id_a, id_b, agree_n, j_est, j_exact, abs_err) per candidate
+    pair, id_a < id_b.
+
+    Plan shape: the signature aggregate is localCheckpoint'ed — band
+    rows + both pair-side joins reference it (3 references; the derived-
+    table re-planning hazard).  Band buckets here are the RAW
+    concatenated slot strings, not xxhash64 of them (band_row_table's
+    fixed-width optimization) — grouping is identical modulo hash
+    collisions and the oracle replays the string key exactly.  Candidate
+    enumeration is the shared group-and-enumerate; shingle arrays join
+    only against candidates."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be a multiple of bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, text_col, id_col, num_hashes, ngram, seed, hash_fn=hash_fn
+    ).localCheckpoint()
+    structs = ", ".join(
+        "struct({b} as band, concat_ws(',', {slots}) as bucket)".format(
+            b=b,
+            slots=", ".join(
+                f"cast(sig[{b * rows_per_band + r}] as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_rows = sig.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = pairs_from_sorted_groups(
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    # the exact side rides the ONE shared verify join (r8 extraction —
+    # a tokenization tweak cannot fork from the other detectors)
+    verified = _verified_pair_arrays(df, cand, text_col, id_col, ngram)
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    j_est = agree.cast("double") / F.lit(num_hashes)
+    j_exact = F.size(
+        F.array_intersect(F.col("__sa"), F.col("__sb"))
+    ).cast("double") / F.size(F.array_union(F.col("__sa"), F.col("__sb")))
+    return (
+        verified.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.cast("long").alias("agree_n"),
+            F.round(j_est, round_digits).alias("j_est"),
+            F.round(j_exact, round_digits).alias("j_exact"),
+            F.round(F.abs(j_est - j_exact), round_digits).alias("abs_err"),
+        )
         .orderBy("id_a", "id_b")
     )
 

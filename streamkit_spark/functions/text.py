@@ -218,6 +218,110 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_topk(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_digits: int = 4,
+) -> "DataFrame":
+    """BM25 keyword retrieval: top-k documents for a bag of query terms
+    (Robertson-Spärck Jones; the Lucene-default scoring shape).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the +1 keeps idf
+    positive even for terms in most documents (Lucene's robust form).
+
+    Scale shape: ONE tokenize-explode pass over the corpus feeds ONE
+    doc-keyed aggregate computing dl AND the per-query-term tfs as
+    conditional sums (query terms are a handful of literals — this is
+    the inverted-index probe expressed as map-side-combined columns,
+    never a per-term scan).  Corpus stats (N, avgdl, per-term df)
+    reduce to ONE broadcast row.  Every count is exact BIGINT; the
+    float steps are the per-term idf/norm expressions, summed in
+    FIXED sorted-term order (a literal left-to-right expression, no
+    float reduction across rows), so the oracle replays the score
+    bit-for-bit.  Ranking rounds the score first, then breaks ties by
+    doc id (the pq_topk determinism discipline).
+
+    Output: (doc_id, n_hit, score, rank), rank 1..top_k over documents
+    containing ≥1 query term."""
+    from streamkit_spark.functions.util import spread
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    k1l, one_b, bl, k1p1 = (
+        F.lit(float(k1)),
+        F.lit(1.0 - float(b)),
+        F.lit(float(b)),
+        F.lit(float(k1) + 1.0),
+    )
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    aggs = [F.count("*").cast("long").alias("dl")] + [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    # per_doc feeds TWO branches (the global stats agg and the scored
+    # join) — checkpoint the slim (doc_id, dl, tf_*) table so the
+    # tokenize+explode+aggregate pipeline can't re-execute per branch
+    # (AQE exchange reuse is not guaranteed; the robust_trend lesson)
+    per_doc = tok.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    stat_aggs = [
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count("*").cast("long").alias("n_docs"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+        .cast("long")
+        .alias(f"df_{i}")
+        for i in range(len(terms))
+    ]
+    stats = per_doc.agg(*stat_aggs)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = k1l * (one_b + bl * (F.col("dl").cast("double") / avgdl))
+    score = None
+    n_hit = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        term_score = idf * ((tf * k1p1) / (tf + norm))
+        hit = (F.col(f"tf_{i}") > 0).cast("long")
+        score = term_score if score is None else score + term_score
+        n_hit = hit if n_hit is None else n_hit + hit
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            n_hit.alias("n_hit"),
+            F.round(score, round_digits).alias("score"),
+        )
+        .filter(F.col("n_hit") > 0)
+    )
+    # top-k FIRST via orderBy+limit (Spark's distributed TakeOrdered),
+    # THEN rank the ≤ top_k survivors — a global row_number window over
+    # the full candidate set would single-partition-sort every matching
+    # document at scale
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "n_hit", "score", "rank")
+        .orderBy("rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

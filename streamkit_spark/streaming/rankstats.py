@@ -43,6 +43,7 @@ __all__ = [
     "finalize_cvm",
     "finalize_benford",
     "finalize_hill",
+    "finalize_jt",
 ]
 
 
@@ -195,3 +196,18 @@ def finalize_hill(
     from streamkit_spark.functions.analytics import hill_from_cells
 
     return hill_from_cells(cells, group_col, k=k, round_digits=round_digits)
+
+
+def finalize_jt(
+    cells: DataFrame,
+    groups: list,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend report from the shared cell
+    table — the shared batch finisher (``analytics.jt_from_cells``):
+    the live "is this metric drifting monotonically across the ordered
+    buckets?" readout.  ``groups`` must list the ordered group keys
+    (the pivot contract)."""
+    from streamkit_spark.functions.analytics import jt_from_cells
+
+    return jt_from_cells(cells, groups, round_digits=round_digits)

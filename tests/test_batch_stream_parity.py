@@ -500,6 +500,25 @@ def test_rankstats_stream_parity(spark, fixture_stream):
             tuple(r) for r in finalize_benford(cells, "event_type").collect()
         }
         assert got_ben == want_ben and len(got_ben) > 0
+        # 11th report: Jonckheere-Terpstra trend across the (sorted)
+        # group keys — the ordering is arbitrary here, but parity is
+        # what's pinned, and both sides use the same list
+        from streamkit_spark.functions.analytics import jt_trend_by_group
+        from streamkit_spark.streaming.rankstats import finalize_jt
+
+        gl = sorted(
+            r["event_type"]
+            for r in batch.select("event_type").distinct().collect()
+            if r["event_type"] is not None
+        )
+        want_jt = [
+            tuple(r)
+            for r in jt_trend_by_group(
+                batch, "event_type", "value", gl
+            ).collect()
+        ]
+        got_jt = [tuple(r) for r in finalize_jt(cells, gl).collect()]
+        assert got_jt == want_jt and len(got_jt) == 1
     finally:
         q.stop()
 

@@ -526,3 +526,51 @@ def test_substring_exposure_counts_partners_both_directions(spark):
         want_partners[p["doc_a"]] += 1
         want_partners[p["doc_b"]] += 1
     assert {d: exp[d]["n_partners"] for d in exp} == want_partners
+
+
+def test_minhash_fidelity_estimator_quality(spark):
+    """The fidelity audit's own magnitude pin: on planted near-dups the
+    signature estimate must sit within the estimator's sampling error
+    of the exact Jaccard (std = sqrt(j(1-j)/P) ~ 0.06 at P=64; 4 std
+    is a ~1e-4 flake bound), identical docs must read exactly 1.0 on
+    both columns, and every candidate row must carry consistent
+    integer/ratio fields."""
+    from streamkit_spark.functions.dedup import minhash_fidelity
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("dark", "cold")),  # near dup
+        (3, "completely different words describing another topic here "
+            "with zero overlap against the fox sentences at all okay"),
+    ]
+    for hf in ("xxhash64", "md5"):
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in minhash_fidelity(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                hash_fn=hf,
+            ).collect()
+        }
+        assert (0, 1) in out, hf
+        exact = out[(0, 1)]
+        assert exact["agree_n"] == 64
+        assert exact["j_est"] == 1.0 and exact["j_exact"] == 1.0
+        assert exact["abs_err"] == 0.0
+        for r in out.values():
+            assert r["agree_n"] == round(r["j_est"] * 64)
+            assert abs(r["j_est"] - r["j_exact"]) <= 4 * (
+                (r["j_exact"] * (1 - r["j_exact"]) / 64) ** 0.5
+            ) + 0.02, (hf, dict(r))
+
+
+def test_minhash_signature_hash_fn_validation(spark):
+    import pytest
+
+    from streamkit_spark.functions.dedup import minhash_signature
+
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        minhash_signature(df, hash_fn="sha1")

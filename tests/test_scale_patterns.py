@@ -288,3 +288,26 @@ def test_classifier_gate_table_is_spread(spark):
     gate = C.classifier_gate_table(docs, bias=0.1)
     p = plans.explain_str(gate, "extended")
     assert "RoundRobinPartitioning" in p
+
+
+def test_r11_plan_shapes(spark):
+    """Plan contracts for the round-11 operators: no cartesian products;
+    bm25's tokenize input is spread out of a single-file scan (the
+    1-core trap, sixth+ occurrence class); minhash_fidelity's signature
+    aggregate is checkpointed (3 references: band rows + both pair
+    sides) so the plan carries the scan once, not once per branch."""
+    import __spark_entry__ as E
+
+    def plan(q):
+        return plans.explain_str(E.queries()[q](spark, SF_DIR), "extended")
+
+    for q in ("bm25_search", "classifier_ap", "jt_trend",
+              "minhash_fidelity", "pq_recall", "ivfadc_recall"):
+        assert "CartesianProduct" not in plan(q), q
+
+    p = plan("bm25_search")
+    assert "RoundRobinPartitioning" in p or "Exchange" in p
+    # the checkpointed signature appears as a scan of an existing RDD,
+    # and the expensive explode+min aggregate appears at most once
+    pf = plan("minhash_fidelity")
+    assert "Scan ExistingRDD" in pf
