@@ -2279,6 +2279,21 @@ def q_triangle_count(spark, sf_dir):
     return SIM.triangle_count(edges)
 
 
+def q_knn_assortativity(spark, sf_dir):
+    """Degree assortativity of the k=3 brute kNN graph
+    (similarity.degree_assortativity, Newman 2002): are high-degree
+    embedding hubs neighbors of other hubs, or of leaves?  kNN graphs
+    are structurally DISassortative (every node has out-degree k, so
+    high total degree means many inbound links from sparse regions) —
+    the sign is a sanity probe of the embedding geometry.  All three
+    edge-degree moments are exact DECIMAL(38,0)/HUGEINT sums over the
+    checkpointed canonical edge set; r is ONE double division, NULL on
+    a degree-regular graph (zero variance)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(emb, k=3, method="brute")
+    return SIM.degree_assortativity(edges)
+
+
 def q_hll_daily_range(spark, sf_dir):
     """Date-range cardinality from the day-partitioned HLL register cube
     (sketch.hll_daily_registers + hll_merge_estimate): distinct users
@@ -3688,6 +3703,62 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
+    dense embedding ranking (text.rrf_fuse, Cormack'09 k=60) — the
+    standard training-free lexical+dense combiner.  Both retrievers
+    are the declared operators at top-50 (bm25_topk with _BM25_TERMS;
+    brute cosine neighbors of query vector 0); only RANKS cross the
+    fusion boundary, so incomparable scores never mix.  Missing-list
+    contributions are exactly 0; the two 1/(60+rank) terms sum in
+    fixed list order; top-15 by (score DESC, doc_id)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    lex = TX.bm25_topk(docs, list(_BM25_TERMS), top_k=50).select(
+        "doc_id", "rank"
+    )
+    dense = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50, round_digits=4
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return TX.rrf_fuse([lex, dense], k=60, top_k=15)
+
+
+def q_km_conversion(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase curve
+    (analytics.km_curve, Kaplan-Meier 1958): hours from a user's first
+    event to their first purchase, with ADMINISTRATIVE right-censoring
+    at min(72h, time observed before the stream ends) — the survival
+    answer to "how fast do users convert?", which a plain conversion
+    rate can't give when observation windows differ.  A user whose
+    purchase lands within the censoring horizon is an event at that
+    hour; everyone else is censored at their horizon (ties at the
+    horizon count as events, the standard convention).  Exact integer
+    cells + at-risk windows; survival = time-sorted prefix product
+    fold, replayed by DuckDB list_reduce."""
+    from streamkit_spark.functions import analytics as AN
+
+    ev = _ev(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ms = F.expr("ts div 1000000")
+    pu = ev.groupBy("user_id").agg(
+        F.min(ms).alias("f"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", ms)
+        ).alias("p"),
+    )
+    tmax = ev.agg(F.max(ms).alias("tmax"))
+    j = pu.join(F.broadcast(tmax))
+    lobs = F.least(F.lit(72), F.expr("(tmax - f) div 3600000"))
+    durp = F.expr("(p - f) div 3600000")
+    observed = F.col("p").isNotNull() & (durp <= lobs)
+    rows = j.select(
+        F.when(observed, durp).otherwise(lobs).alias("dur"),
+        observed.alias("obs"),
+    )
+    return AN.km_curve(rows, "dur", "obs")
+
+
 def q_jt_trend(spark, sf_dir):
     """Jonckheere-Terpstra ordered-trend test of event value across the
     four quarters of the day (analytics.jt_trend_by_group, Hollander &
@@ -4215,6 +4286,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "jt_trend": q_jt_trend,
         "minhash_fidelity": q_minhash_fidelity,
+        "knn_assortativity": q_knn_assortativity,
+        "hybrid_search": q_hybrid_search,
+        "km_conversion": q_km_conversion,
         "bootstrap_token_ci": q_bootstrap_token_ci,
         "detector_agreement": q_detector_agreement,
         "cluster_modularity": q_cluster_modularity,
@@ -7072,8 +7146,10 @@ def oracle_sql() -> dict[str, str]:
     # knn_graph oracle, then the classic wedge 3-way join on the
     # canonical a<b edge set (count is orientation-independent, so it
     # equals the engine's degree-oriented enumeration exactly).
-    sql["triangle_count"] = """
-        WITH v AS (
+    # shared k=3 brute-kNN canonical-graph prefix (v/scored/edges/und/
+    # deg) — ONE definition for triangle_count AND knn_assortativity
+    # (the _closure_cte extraction discipline)
+    _knn3_und_cte = """v AS (
             SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
         ), scored AS (
@@ -7096,7 +7172,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT nv, count(*) AS d FROM (
                 SELECT a AS nv FROM und UNION ALL SELECT b AS nv FROM und)
             GROUP BY 1
-        ), tri AS (
+        )"""
+    sql["triangle_count"] = f"""
+        WITH {_knn3_und_cte}, tri AS (
             SELECT count(*) AS t
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
@@ -7113,6 +7191,33 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(3 AS DOUBLE) * t / n_wedges
                           ELSE CAST(0 AS DOUBLE) END, 4) + 0 AS global_clustering
         FROM dagg, ne, tri
+    """
+    # knn_assortativity: Newman r from exact HUGEINT edge-degree moments
+    # over the same canonical-graph prefix; one double division, NULL on
+    # a degree-regular graph (denominator exactly 0)
+    sql["knn_assortativity"] = f"""
+        WITH {_knn3_und_cte}, dj AS (
+            SELECT CAST(d1.d AS HUGEINT) AS da, CAST(d2.d AS HUGEINT) AS db
+            FROM und
+            JOIN deg d1 ON und.a = d1.nv
+            JOIN deg d2 ON und.b = d2.nv
+        ), mo AS (
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(coalesce(sum(da * db), 0) AS HUGEINT) AS s1,
+                   CAST(coalesce(sum(da + db), 0) AS HUGEINT) AS s2,
+                   CAST(coalesce(sum(da * da + db * db), 0) AS HUGEINT)
+                       AS s3
+            FROM dj
+        ), nn AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+        )
+        SELECT n_nodes, m AS n_edges,
+               round(CASE WHEN (2 * CAST(m AS HUGEINT) * s3 - s2 * s2)
+                          <> 0 THEN
+                     CAST(4 * CAST(m AS HUGEINT) * s1 - s2 * s2 AS DOUBLE)
+                     / CAST(2 * CAST(m AS HUGEINT) * s3 - s2 * s2
+                            AS DOUBLE) END, 4) + 0 AS r
+        FROM mo, nn
     """
     # Deterministic HLL: md5 registers (2-nibble bucket, 60-bit window),
     # rho from the leading-zero hex run + bin() nibble length, harmonic
@@ -10194,6 +10299,64 @@ def oracle_sql() -> dict[str, str]:
     sql["pq_recall"] = _recall_sql(sql["pq_adc_topk"])
     sql["ivfadc_recall"] = _recall_sql(sql["ivfadc_topk"])
 
+    # km_conversion: Kaplan-Meier replay — per-user first-event /
+    # first-purchase epoch-ms, administrative 72h censoring, exact
+    # integer cells + at-risk windows, and the time-sorted prefix
+    # product via list_reduce (1.0·f ≡ f, the ewma fold-parity family).
+    sql["km_conversion"] = """
+        WITH kev AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ms
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), kpu AS (
+            SELECT user_id, min(ms) AS f,
+                   min(CASE WHEN event_type = 'purchase' THEN ms END) AS p
+            FROM kev GROUP BY 1
+        ), ktm AS (
+            SELECT max(ms) AS tmax FROM kev
+        ), krows AS (
+            SELECT CASE WHEN p IS NOT NULL AND (p - f) // 3600000
+                             <= least(72, (tmax - f) // 3600000)
+                        THEN (p - f) // 3600000
+                        ELSE least(72, (tmax - f) // 3600000) END AS dur,
+                   (p IS NOT NULL AND (p - f) // 3600000
+                        <= least(72, (tmax - f) // 3600000)) AS obs
+            FROM kpu, ktm
+        ), kcells AS (
+            SELECT dur AS t,
+                   CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d,
+                   CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c
+            FROM krows GROUP BY 1
+        ), krisked AS (
+            SELECT t, d, c,
+                   CAST(sum(d + c) OVER ()
+                        - coalesce(sum(d + c) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+            FROM kcells
+        ), kdeath AS (
+            SELECT t, n_risk, d, c,
+                   CAST(1.0 AS DOUBLE)
+                   - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+            FROM krisked WHERE d > 0
+        ), kg AS (
+            SELECT list(struct_pack(t := t, n_risk := n_risk, d := d,
+                                    c := c, factor := factor)
+                        ORDER BY t) AS arr
+            FROM kdeath
+        )
+        , kidx AS (
+            SELECT arr, generate_subscripts(arr, 1) AS i FROM kg
+        )
+        SELECT arr[i].t AS t, arr[i].n_risk AS n_risk,
+               arr[i].d AS n_death, arr[i].c AS n_censor,
+               round(list_reduce(list_apply(arr[1:i], x -> x.factor),
+                                 (a, b) -> a * b), 4) AS surv
+        FROM kidx
+        ORDER BY t
+    """
+
     # minhash_fidelity: full signature replay on the md5 path — per-slot
     # 24-bit digest heads reconstructed nibble-wise, min per doc, band
     # bucket = the concatenated slot string (no hash — exact grouping),
@@ -10405,7 +10568,11 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_bm_terms))
     )
-    sql["bm25_search"] = f"""
+    def _bm25_sql(limit: int) -> str:
+        """Full BM25 SELECT at the given top-k — ONE body serving the
+        declared bm25_search oracle (15) and the hybrid fusion's lexical
+        CTE (50)."""
+        return f"""
         WITH tok AS (
             SELECT doc_id,
                    unnest(list_filter(string_split_regex(lower(text),
@@ -10433,7 +10600,61 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE n_hit > 0
         )
         SELECT doc_id, n_hit, score, CAST(rank AS BIGINT) AS rank
-        FROM ranked WHERE rank <= 15 ORDER BY rank
+        FROM ranked WHERE rank <= {limit} ORDER BY rank
+    """
+
+    sql["bm25_search"] = _bm25_sql(15)
+
+    # hybrid_search: RRF fusion replay — the lexical CTE is the
+    # declared BM25 body verbatim at top-50, the dense CTE the brute
+    # cosine shape pinned to query 0; the 1/(60+rank) terms sum in the
+    # engine's list order (lex, dense) with missing lists contributing
+    # exactly 0.
+    _rrf_term = (
+        "(CASE WHEN {r} IS NOT NULL THEN CAST(1.0 AS DOUBLE)"
+        " / (CAST(60.0 AS DOUBLE) + CAST({r} AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END)"
+    )
+    sql["hybrid_search"] = f"""
+        WITH lex AS (
+            SELECT doc_id, rank FROM ({_bm25_sql(50)})
+        ), ve AS (
+            SELECT vec_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), dense AS (
+            SELECT neighbor_id AS doc_id, rank FROM (
+                SELECT c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           ORDER BY round(list_sum(list_apply(
+                                        list_zip(q.e, c.e),
+                                        p -> p[1] * p[2]))
+                                    / (sqrt(list_sum(list_apply(q.e,
+                                             x -> x * x)))
+                                       * sqrt(list_sum(list_apply(c.e,
+                                             x -> x * x)))), 4) DESC,
+                                    c.vec_id) AS rank
+                FROM ve q JOIN ve c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id = 0)
+            WHERE rank <= 50
+        ), ids AS (
+            SELECT doc_id FROM lex UNION SELECT doc_id FROM dense
+        ), fused AS (
+            SELECT i.doc_id,
+                   CAST((CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END)
+                        + (CASE WHEN d.rank IS NOT NULL THEN 1 ELSE 0
+                           END) AS BIGINT) AS n_lists,
+                   round({_rrf_term.format(r='l.rank')}
+                         + {_rrf_term.format(r='d.rank')}, 6) AS score
+            FROM ids i
+            LEFT JOIN lex l ON i.doc_id = l.doc_id
+            LEFT JOIN dense d ON i.doc_id = d.doc_id
+        )
+        SELECT doc_id, n_lists, score, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM fused)
+        WHERE rank <= 15 ORDER BY rank
     """
 
     # bootstrap_token_ci: the Poisson-bootstrap replay — deterministic

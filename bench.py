@@ -119,6 +119,15 @@ HEADLINE = [
     # cluster_modularity compose machinery already benched and stay out
     # (the kcore_knn policy).
     "bootstrap_token_ci",
+    # round 11: one per new machinery family — the BM25 one-aggregate
+    # retrieval shape, the 64-slot signature fidelity replay, the
+    # pivoted JT cell algebra.  classifier_ap / km_conversion /
+    # knn_assortativity / hybrid_search / pq+ivfadc_recall compose
+    # machinery already benched (gate table, value cells, kNN graph,
+    # brute ANN) and stay out (the kcore_knn policy).
+    "bm25_search",
+    "minhash_fidelity",
+    "jt_trend",
 ]
 
 

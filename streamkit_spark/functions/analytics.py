@@ -62,6 +62,7 @@ __all__ = [
     "ks_from_cells",
     "jt_trend_by_group",
     "jt_from_cells",
+    "km_curve",
     "gini_by_group",
     "gini_from_cells",
     "winsorized_stats",
@@ -100,6 +101,7 @@ __all__ = [
     "calibration_report",
     "auc_report",
     "average_precision_report",
+    "ap_from_cells",
     "cohen_kappa",
     "kappa_from_cells",
     "hill_tail_by_group",
@@ -2704,6 +2706,93 @@ def jt_from_cells(
     )
 
 
+def km_curve(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) over (duration, observed) rows — duration an integer time
+    unit, observed TRUE for an event (death/conversion), FALSE for
+    right-censoring at that duration.  One row per distinct EVENT time:
+    ``(t, n_risk, n_death, n_censor, surv)``, surv = Π_{u ≤ t}
+    (1 − d_u/n_u).
+
+    Determinism contract: the (duration → deaths, censored) cell table
+    carries exact integer counts; at-risk counts come from one
+    duration-ordered cumulative window (censored rows participate in
+    n_risk but emit no output row); the survival products are
+    prefix-folds over the time-sorted factor array — slice + aggregate
+    on Spark, ``list_reduce(arr[1:i], (a,b) -> a*b)`` on DuckDB, equal
+    bit-for-bit because 1.0·f ≡ f (the ewma/cusum fold-parity family).
+
+    Scale: one row-level aggregate; everything after is bounded by
+    DISTINCT DURATIONS (quantize unbounded durations upstream — hours/
+    days, the value_cells contract).  The per-row prefix fold is
+    O(V²) on the distinct-event-time table, never on rows."""
+    cells = (
+        df.filter(
+            F.col(duration_col).isNotNull() & F.col(observed_col).isNotNull()
+        )
+        .select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(observed_col).cast("boolean").alias("e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("e").cast("int")).cast("long").alias("d"),
+            F.sum((~F.col("e")).cast("int")).cast("long").alias("c"),
+        )
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wa = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risked = cells.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wa)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    death = risked.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        (
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).alias("factor"),
+    )
+    g = death.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "n_risk", "d", "c", "factor"))
+        ).alias("arr")
+    )
+    ex = g.select(
+        "arr", F.posexplode("arr").alias("i", "x")
+    )
+    surv = F.aggregate(
+        F.slice(F.col("arr"), 1, F.col("i") + 1),
+        F.lit(1.0),
+        lambda acc, s: acc * s["factor"],
+    )
+    return (
+        ex.select(
+            F.col("x.t").alias("t"),
+            F.col("x.n_risk").alias("n_risk"),
+            F.col("x.d").alias("n_death"),
+            F.col("x.c").alias("n_censor"),
+            F.round(surv, round_digits).alias("surv"),
+        )
+        .orderBy("t")
+    )
+
+
 def gini_by_group(
     df: DataFrame,
     group_col: str,
@@ -4287,6 +4376,20 @@ def average_precision_report(
             F.count("*").cast("long").alias("tot"),
         )
     )
+    return ap_from_cells(cells, round_digits=round_digits)
+
+
+def ap_from_cells(
+    cells: DataFrame,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`average_precision_report` over a
+    PREBUILT (s, pos, tot) threshold-cell table — also serves the
+    calibration sketch's streaming AP report
+    (``streaming/calibration.finalize_ap``), where ``s`` is the
+    probability bucket: AP of the BUCKET-QUANTIZED ranking, exact
+    for 4dp scores binned at their own resolution (the
+    kendall_tau_binned quantization-is-the-contract discipline)."""
     wd = Window.orderBy(F.col("s").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1358,6 +1358,22 @@ def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple-graph edge set (a < b, self-loops
+    dropped, deduplicated), localCheckpoint'ed — ONE definition shared
+    by triangle_count / degree_assortativity / k_core (the engine-side
+    twin of the oracle's shared _knn3_und_cte; three hand-copied
+    canonicalization blocks is the divergence class the extraction
+    discipline exists to prevent).  Checkpointed because every consumer
+    references it from multiple branches (degrees + joins)."""
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -1379,12 +1395,7 @@ def triangle_count(
     graphs, and each triangle is counted exactly once (at its orientation-
     minimal vertex).  No driver collect; every stage is a partial agg or
     a key-shuffled join."""
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = _canonical_undirected(edges, src, dst)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -1437,6 +1448,60 @@ def triangle_count(
     )
 
 
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph induced by an
+    edge list (Newman 2002, "Assortative mixing in networks"): the
+    Pearson correlation of the degrees at the two ends of each edge —
+    do hubs link to hubs (r > 0, social-graph-like) or to leaves
+    (r < 0, hub-and-spoke / kNN-like)?
+
+    One row ``(n_nodes, n_edges, r)`` via the closed form over exact
+    integer edge-degree moments: with S1 = Σ_e d_u·d_v, S2 = Σ_e
+    (d_u + d_v), S3 = Σ_e (d_u² + d_v²),
+    r = (4m·S1 − S2²) / (2m·S3 − S2²) — every moment an exact
+    DECIMAL(38,0) (d² sums reach m·d_max², the gini wide-arithmetic
+    discipline), ONE double division at the end.  r NULL for a
+    degree-regular graph (zero variance — the denominator is exactly
+    0, never a clamp).
+
+    Plan: canonical distinct a<b edges localCheckpoint'ed (degrees +
+    both endpoint joins reference it — the triangle_count shape); the
+    moment aggregate is map-side combined; no collect."""
+    und = _canonical_undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    dec = "decimal(38,0)"
+    j = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("__da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("__db")), "b")
+    )
+    da = F.col("__da").cast(dec)
+    db = F.col("__db").cast(dec)
+    g = j.agg(
+        F.count("*").cast("long").alias("m"),
+        F.coalesce(F.sum(da * db), F.lit(0).cast(dec)).alias("s1"),
+        F.coalesce(F.sum(da + db), F.lit(0).cast(dec)).alias("s2"),
+        F.coalesce(F.sum(da * da + db * db), F.lit(0).cast(dec)).alias("s3"),
+    )
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    md = F.col("m").cast(dec)
+    num = F.lit(4).cast(dec) * md * F.col("s1") - F.col("s2") * F.col("s2")
+    den = F.lit(2).cast(dec) * md * F.col("s3") - F.col("s2") * F.col("s2")
+    r = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return g.join(F.broadcast(nodes)).select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        (F.round(r, round_digits) + F.lit(0.0)).alias("r"),
+    )
+
+
 # ------------------------------------------------------------------- k-core
 
 
@@ -1470,12 +1535,7 @@ def k_core(
     ``max_rounds`` is a tripwire against pathological chains, not a
     budget.  No driver collect: per-round convergence is a count().
     """
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    und = _canonical_undirected(edges, src, dst)
     alive = und
     for _ in range(max_rounds):
         deg = (

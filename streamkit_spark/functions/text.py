@@ -322,6 +322,65 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list["DataFrame"],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int = 10,
+    round_digits: int = 6,
+) -> "DataFrame":
+    """Reciprocal-rank fusion of N rankings (Cormack, Clarke &
+    Büttcher SIGIR'09): score(d) = Σ_r 1/(k + rank_r(d)), the
+    training-free way to combine a lexical (BM25) and a dense (ANN)
+    retriever — robust because only RANKS enter, never incomparable
+    scores.  A document missing from a ranking contributes 0 (the
+    standard convention); k=60 is the paper's constant.
+
+    Each input must carry (id_col, rank_col) with ranks 1-based.  The
+    inputs are top-k lists (bounded — this is a fusion of retriever
+    OUTPUTS, not corpora), so the N−1 outer joins are trivially
+    broadcastable and the float sum is a FIXED left-to-right
+    expression over the list order, replayable bit-for-bit.  Ties
+    after rounding break by id; top-k via orderBy+limit
+    (TakeOrdered).
+
+    Output: (id_col, n_lists, score, rank)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    joined = None
+    for i, r in enumerate(rankings):
+        side = r.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("double").alias(f"__r{i}"),
+        )
+        joined = side if joined is None else joined.join(
+            side, "__id", "full_outer"
+        )
+    score = None
+    n_lists = None
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"__r{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__r{i}")),
+        ).otherwise(F.lit(0.0))
+        hit = F.col(f"__r{i}").isNotNull().cast("long")
+        score = term if score is None else score + term
+        n_lists = hit if n_lists is None else n_lists + hit
+    scored = joined.select(
+        F.col("__id").alias(id_col),
+        n_lists.alias("n_lists"),
+        F.round(score, round_digits).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(id_col, "n_lists", "score", "rank")
+        .orderBy("rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 256,

@@ -213,12 +213,16 @@ def register_diagnostics_views(
     * ``{p}cramers_weekday`` — chi2 + Cramér's V of type × weekday
     * ``{p}mi_weekday``    — mutual information / NMI of type × weekday
     * ``{p}weekday_outliers`` — seasonality-corrected daily anomalies
+    * ``{p}jt_trend``      — Jonckheere-Terpstra monotone-trend z of
+      value across the four quarters of the day
     * with ``documents``: ``{p}zipf`` (3-gram shingle spectrum fit),
       ``{p}heaps`` (vocabulary-growth fit), ``{p}collocations``
       (Dunning LLR token pairs), ``{p}gate_kappa`` (chance-corrected
       classifier-vs-rule-gate agreement), ``{p}calibration``
       (classifier ECE/MCE against the rule gate), ``{p}vocab_coverage``
-      (types needed per coverage percent), ``{p}bootstrap_tokens``
+      (types needed per coverage percent), ``{p}classifier_ap``
+      (step-interpolated average precision of the classifier vs the
+      rule gate), ``{p}bootstrap_tokens``
       (Poisson-bootstrap 95% CI of mean tokens/doc per source), and
       ``{p}source_dup_matrix`` (cross-source near-dup pair counts)
 
@@ -268,6 +272,16 @@ def register_diagnostics_views(
             events.select("event_type", day.alias("day"), "value"),
             "event_type", "day", "value",
         ),
+        f"{p}jt_trend": A.jt_trend_by_group(
+            events.select(
+                F.expr("(((ts div 1000000) div 3600000) % 24) div 6")
+                .alias("dayq"),
+                "value",
+            ),
+            "dayq",
+            "value",
+            [0, 1, 2, 3],
+        ),
     }
     if documents is not None:
         token_count_col = T.token_count("text").cast("long").alias("ntok")
@@ -300,6 +314,9 @@ def register_diagnostics_views(
             "passes",
         )
         views[f"{p}vocab_coverage"] = T.coverage_by_group(documents)
+        views[f"{p}classifier_ap"] = A.average_precision_report(
+            gated, "score", "passes"
+        )
         views[f"{p}bootstrap_tokens"] = A.poisson_bootstrap_ci(
             documents.select(
                 "doc_id",

@@ -24,11 +24,13 @@ over the stream, the last entry on the r7 candidate list.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = [
     "calibration_stream",
     "finalize_ece",
     "finalize_brier",
+    "finalize_ap",
 ]
 
 
@@ -60,3 +62,18 @@ def finalize_brier(cells: DataFrame, round_digits: int = 4) -> DataFrame:
     from streamkit_spark.functions.analytics import brier_from_cells
 
     return brier_from_cells(cells, round_digits=round_digits)
+
+
+def finalize_ap(cells: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Average precision of the BUCKET-QUANTIZED ranking from the SAME
+    cell table — the third report (``analytics.ap_from_cells``): the
+    live "is the gate's ranking power drifting?" readout next to ECE's
+    "are its probabilities still honest?"."""
+    from streamkit_spark.functions.analytics import ap_from_cells
+
+    return ap_from_cells(
+        cells.select(
+            F.col("bucket").alias("s"), "pos", F.col("n").alias("tot")
+        ),
+        round_digits=round_digits,
+    )

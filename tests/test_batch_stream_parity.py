@@ -626,6 +626,21 @@ def test_calibration_stream_parity(spark, fixture_stream):
         assert got_ece == want_ece and len(got_ece) == 1
         got_brier = {tuple(r) for r in finalize_brier(cells).collect()}
         assert got_brier == want_brier and len(got_brier) == 1
+        # third report: AP of the bucket-quantized ranking — the live
+        # finisher must equal ap_from_cells over the batch cell table
+        from streamkit_spark.functions.analytics import (
+            ap_from_cells,
+            calibration_cells,
+        )
+        from streamkit_spark.streaming.calibration import finalize_ap
+
+        bc = calibration_cells(batch, "prob", "y").select(
+            F.col("bucket").alias("s"), "pos", F.col("n").alias("tot")
+        )
+        want_ap = [tuple(r) for r in ap_from_cells(bc).collect()]
+        got_ap = [tuple(r) for r in finalize_ap(cells).collect()]
+        assert got_ap == want_ap and len(got_ap) == 1
+        assert got_ap[0][-1] is not None
     finally:
         q.stop()
 

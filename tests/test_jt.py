@@ -138,3 +138,61 @@ def test_jt_input_validation(spark):
         jt_from_cells(cells, [0])
     with pytest.raises(ValueError):
         jt_from_cells(cells, [0, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier (shares this file's exact-reference discipline)
+# ---------------------------------------------------------------------------
+
+def _km_ref(rows: list[tuple[int, bool]]):
+    """Textbook product-limit estimator, computed from a plain sort —
+    independent of the engine's cell/window/fold shape."""
+    times = sorted({t for t, _ in rows})
+    out = []
+    surv = 1.0
+    for t in times:
+        n_risk = sum(1 for u, _ in rows if u >= t)
+        d = sum(1 for u, e in rows if u == t and e)
+        c = sum(1 for u, e in rows if u == t and not e)
+        if d > 0:
+            surv *= 1.0 - d / n_risk
+            out.append((t, n_risk, d, c, round(surv, 4)))
+    return out
+
+
+def _run_km(spark, rows):
+    from streamkit_spark.functions.analytics import km_curve
+
+    df = spark.createDataFrame(
+        [(int(t), bool(e)) for t, e in rows], "dur long, obs boolean"
+    )
+    return [tuple(r) for r in km_curve(df, "dur", "obs").collect()]
+
+
+def test_km_matches_reference_with_censoring(spark):
+    rows = [(1, True), (2, True), (2, False), (3, True), (3, True),
+            (4, False), (5, True), (6, False), (6, True), (7, False)]
+    assert _run_km(spark, rows) == _km_ref(rows)
+
+
+def test_km_no_censoring_is_empirical_survival(spark):
+    """Closed-form pin: with zero censoring, S(t) is exactly the
+    fraction of subjects with duration > t."""
+    rows = [(t, True) for t in [1, 1, 2, 3, 3, 3, 5, 8]]
+    got = _run_km(spark, rows)
+    n = len(rows)
+    for t, n_risk, d, c, surv in got:
+        frac = sum(1 for u, _ in rows if u > t) / n
+        assert surv == round(frac, 4), (t, surv, frac)
+        assert c == 0
+    assert got == _km_ref(rows)
+
+
+def test_km_censored_only_emits_nothing_but_counts_at_risk(spark):
+    # all censored -> no output rows
+    assert _run_km(spark, [(3, False), (5, False)]) == []
+    # censoring between deaths shrinks later at-risk counts
+    rows = [(1, True), (2, False), (2, False), (4, True)]
+    got = _run_km(spark, rows)
+    assert got == _km_ref(rows)
+    assert got[1][1] == 1  # only one subject still at risk at t=4

@@ -328,3 +328,56 @@ def test_triangle_count_matches_bruteforce_on_random_graph(spark):
     assert r["n_triangles"] == want_tri
     assert r["n_wedges"] == want_wedges
     assert r["n_edges"] == len(edges)
+
+
+def test_assortativity_path_graph_closed_form(spark):
+    """P3 (1-2, 2-3) has the known closed form r = -1: the exact
+    magnitude pin for the Newman moment algebra."""
+    from streamkit_spark.functions.similarity import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_nodes"] == 3 and row["n_edges"] == 2
+    assert row["r"] == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """A triangle is 2-regular: zero degree variance -> r NULL (never a
+    clamp), with the exact-integer denominator hitting 0 exactly."""
+    from streamkit_spark.functions.similarity import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row["r"] is None and row["n_edges"] == 3
+
+
+def test_assortativity_matches_pearson_reference(spark):
+    """Independent reference: Newman's r equals the plain Pearson
+    correlation over ordered edge-endpoint degree pairs (each edge
+    counted in both directions) — computed here from scratch."""
+    from streamkit_spark.functions.similarity import degree_assortativity
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (2, 2), (3, 4)]
+    # engine canonicalizes: drop self-loops, dedup undirected
+    und = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    mx = sum(xs) / n
+    sxy = sum((x - mx) * (y - mx) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    want = round(sxy / sxx, 4)
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    row = degree_assortativity(edges).collect()[0]
+    assert abs(row["r"] - want) < 1e-9, (row["r"], want)
+    assert row["n_edges"] == len(und) and row["n_nodes"] == len(deg)

@@ -175,3 +175,45 @@ def test_ap_worst_ranking_closed_form(spark):
     pairs += [(0.01 - i / 1000.0, 1) for i in range(r)]
     expect = round(sum(j / (n - r + j) for j in range(1, r + 1)) / r, 4)
     assert _ap_run(spark, pairs)["ap"] == pytest.approx(expect, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_hand_computed(spark):
+    from streamkit_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 11 appears in both lists -> top fused
+    assert got[11]["n_lists"] == 2
+    assert got[11]["score"] == pytest.approx(
+        round(1 / 62 + 1 / 61, 6), abs=1e-9
+    )
+    assert got[10]["score"] == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert got[13]["score"] == pytest.approx(round(1 / 62, 6), abs=1e-9)
+    order = sorted(got.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order][0] == 11
+    # doc 12 scores 1/63 (rank 3 in list a only); doc 13 scores 1/62
+    assert set(got) == {10, 11, 12, 13}
+
+
+def test_rrf_tie_breaks_by_id_and_validates(spark):
+    import pytest as _pt
+
+    from streamkit_spark.functions.text import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1)], "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=60).collect()
+    # equal scores 1/61: lower id first
+    assert [r["doc_id"] for r in rows] == [3, 5]
+    assert [r["rank"] for r in rows] == [1, 2]
+    with _pt.raises(ValueError):
+        rrf_fuse([])

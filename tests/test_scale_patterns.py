@@ -305,8 +305,19 @@ def test_r11_plan_shapes(spark):
               "minhash_fidelity", "pq_recall", "ivfadc_recall"):
         assert "CartesianProduct" not in plan(q), q
 
-    p = plan("bm25_search")
-    assert "RoundRobinPartitioning" in p or "Exchange" in p
+    # bm25's per_doc localCheckpoint MATERIALIZES the spread+tokenize
+    # segment, so the repartition is invisible in the final plan string
+    # (it shows only Scan ExistingRDD) — a plan-text assert here is
+    # either vacuous ("Exchange") or impossible ("RoundRobin..."), the
+    # r6/r7/r9 vacuous-assert class from the other direction.  Pin the
+    # spread at the source level instead, where the checkpoint can't
+    # hide it.
+    import inspect
+
+    from streamkit_spark.functions.text import bm25_topk
+
+    assert "spread(" in inspect.getsource(bm25_topk)
+    assert "Scan ExistingRDD" in plan("bm25_search")
     # the checkpointed signature appears as a scan of an existing RDD,
     # and the expensive explode+min aggregate appears at most once
     pf = plan("minhash_fidelity")

@@ -156,9 +156,10 @@ def test_diagnostics_views_queryable_from_sql(spark):
     names = register_diagnostics_views(spark, ev, docs)
     assert names == [
         "dg_benford", "dg_bootstrap_tokens", "dg_calibration",
-        "dg_chi2_weekday", "dg_collocations", "dg_cramers_weekday",
+        "dg_chi2_weekday", "dg_classifier_ap", "dg_collocations",
+        "dg_cramers_weekday",
         "dg_cusum", "dg_cvm_drift", "dg_effect_sizes", "dg_gate_kappa",
-        "dg_heaps", "dg_mad_outliers", "dg_mi_weekday",
+        "dg_heaps", "dg_jt_trend", "dg_mad_outliers", "dg_mi_weekday",
         "dg_quantile_sketch", "dg_shape_drift", "dg_source_dup_matrix",
         "dg_theil", "dg_value_trend", "dg_vocab_coverage",
         "dg_weekday_outliers", "dg_zipf",
@@ -197,7 +198,11 @@ def test_diagnostics_views_queryable_from_sql(spark):
                (SELECT count(*) FROM dg_bootstrap_tokens
                 WHERE ci_lo <= mean AND mean <= ci_hi
                   AND b_eff > 0) AS boot_ok,
-               (SELECT count(*) FROM dg_bootstrap_tokens) AS boot_rows
+               (SELECT count(*) FROM dg_bootstrap_tokens) AS boot_rows,
+               (SELECT z FROM dg_jt_trend) AS jt_z,
+               (SELECT n FROM dg_jt_trend) AS jt_n,
+               (SELECT ap FROM dg_classifier_ap) AS ap,
+               (SELECT n_pos + n_neg FROM dg_classifier_ap) AS ap_n
         """
     ).first()
     # Benford shares sum to 1 (all digits observed or not, shares are
@@ -228,6 +233,10 @@ def test_diagnostics_views_queryable_from_sql(spark):
     # every bootstrap row brackets its point estimate with live replicates
     assert row["boot_rows"] == n_sources
     assert row["boot_ok"] == row["boot_rows"]
+    # JT runs over every non-null-value event; AP over every gated doc
+    assert row["jt_n"] > 0 and row["jt_z"] is not None
+    assert row["ap"] is not None and 0 <= row["ap"] <= 1
+    assert row["ap_n"] == docs.count()
 
 
 def test_timeseries_views_queryable_from_sql(spark):
