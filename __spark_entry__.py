@@ -3759,6 +3759,42 @@ def q_km_conversion(spark, sf_dir):
     return AN.km_curve(rows, "dur", "obs")
 
 
+def q_ql_search(spark, sf_dir):
+    """Dirichlet query-likelihood retrieval (text.ql_topk, Zhai &
+    Lafferty SIGIR'01, μ=100 ≈ the fixture's document length): the
+    language-modeling scorer next to bm25_search — same one-pass
+    aggregate, same broadcast stats row (collection term frequencies
+    ride it), score = Σ ln((tf + μ·cf/|C|)/(dl + μ)) in fixed
+    sorted-term order."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.ql_topk(docs, list(_BM25_TERMS), mu=100.0, top_k=15)
+
+
+def q_log_odds_tokens(spark, sf_dir):
+    """Monroe-Colaresi-Quinn "Fightin' Words" (2008): per source, the
+    top-5 tokens most overrepresented vs the complement by the
+    informative-Dirichlet log-odds z-score (text.log_odds_by_group,
+    α₀=100 scaled by the corpus distribution) — the principled "what
+    words define this source" list (prior shrinks rare-token noise,
+    z standardizes by sampling variance, unlike raw PMI/tf-idf
+    rankings).  Exact BIGINT counts, ONE pinned prior/odds/variance
+    float expression, z rounded before ranking."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.log_odds_by_group(docs, "source", alpha0=100.0, top_k=5)
+
+
+def q_token_diversity(spark, sf_dir):
+    """Hill-number vocabulary diversity per source
+    (text.token_diversity_by_group, Hill 1973): richness ⁰D,
+    effective vocabulary size ¹D = exp(Shannon), head-weighted ²D =
+    inverse Simpson, and Pielou evenness — ¹D collapsing while
+    richness stays flat is the template-corpus signature.  Shannon
+    from a token-sorted fold (ln parity), Σc² exact BIGINT, one
+    division for ²D."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.token_diversity_by_group(docs, "source")
+
+
 def q_jt_trend(spark, sf_dir):
     """Jonckheere-Terpstra ordered-trend test of event value across the
     four quarters of the day (analytics.jt_trend_by_group, Hollander &
@@ -4289,6 +4325,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_assortativity": q_knn_assortativity,
         "hybrid_search": q_hybrid_search,
         "km_conversion": q_km_conversion,
+        "ql_search": q_ql_search,
+        "log_odds_tokens": q_log_odds_tokens,
+        "token_diversity": q_token_diversity,
         "bootstrap_token_ci": q_bootstrap_token_ci,
         "detector_agreement": q_detector_agreement,
         "cluster_modularity": q_cluster_modularity,
@@ -10299,6 +10338,79 @@ def oracle_sql() -> dict[str, str]:
     sql["pq_recall"] = _recall_sql(sql["pq_adc_topk"])
     sql["ivfadc_recall"] = _recall_sql(sql["ivfadc_topk"])
 
+    # log_odds_tokens: the Monroe informative-Dirichlet log-odds z —
+    # exact count margins, α_w = α₀·ct/N, one pinned odds/variance
+    # expression, rank on the ROUNDED z (tie-break token).
+    _lo_a0 = "CAST('100.0' AS DOUBLE)"
+    _lo_aw = f"({_lo_a0} * (CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)))"
+    _lo_y = "CAST(c AS DOUBLE)"
+    _lo_yc = "(CAST(ct AS DOUBLE) - CAST(c AS DOUBLE))"
+    _lo_ng = "CAST(ng AS DOUBLE)"
+    _lo_nc = "(CAST(nn AS DOUBLE) - CAST(ng AS DOUBLE))"
+    _lo_z = (
+        f"(ln(({_lo_y} + {_lo_aw}) / ({_lo_ng} + {_lo_a0} - {_lo_y} - {_lo_aw}))"
+        f" - ln(({_lo_yc} + {_lo_aw}) / ({_lo_nc} + {_lo_a0} - {_lo_yc} - {_lo_aw})))"
+        f" / sqrt(CAST(1.0 AS DOUBLE) / ({_lo_y} + {_lo_aw})"
+        f" + CAST(1.0 AS DOUBLE) / ({_lo_yc} + {_lo_aw}))"
+    )
+    _lo_cells = r"""lotk AS (
+            SELECT source AS g,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> x <> '')) AS tk
+            FROM documents WHERE source IS NOT NULL
+        ), locells AS (
+            SELECT g, tk, CAST(count(*) AS BIGINT) AS c
+            FROM lotk GROUP BY 1, 2
+        )"""
+    sql["log_odds_tokens"] = f"""
+        WITH {_lo_cells}, logl AS (
+            SELECT tk, CAST(sum(c) AS BIGINT) AS ct
+            FROM locells GROUP BY 1
+        ), logt AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS ng
+            FROM locells GROUP BY 1
+        ), lotot AS (
+            SELECT CAST(sum(ng) AS BIGINT) AS nn FROM logt
+        ), losc AS (
+            SELECT locells.g, locells.tk,
+                   round({_lo_z}, 4) + 0 AS z
+            FROM locells
+            JOIN logl USING (tk)
+            JOIN logt USING (g), lotot
+        )
+        SELECT g AS source, tk AS token, z, CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY g
+                                         ORDER BY z DESC, tk) AS rank
+            FROM losc)
+        WHERE rank <= 5 ORDER BY source, rank
+    """
+
+    # token_diversity: Hill numbers — Shannon via the token-sorted
+    # list_sum fold (engine 0.0-init fold identical since 0.0−t ≡ −t),
+    # Σc² exact BIGINT, one division for ²D
+    _td_p = "(CAST(x.c AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    _td_h = (
+        f"list_sum(list_apply(arr, x -> -{_td_p} * ln({_td_p})))"
+    )
+    sql["token_diversity"] = f"""
+        WITH {_lo_cells}, tdg AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS richness,
+                   CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2,
+                   list(struct_pack(tk := tk, c := c) ORDER BY tk) AS arr
+            FROM locells GROUP BY 1
+        )
+        SELECT g AS source, n_tokens, richness,
+               round(exp({_td_h}), 4) AS hill1,
+               round(CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE)
+                     / CAST(c2 AS DOUBLE), 4) AS hill2,
+               round(CASE WHEN richness > 1 THEN
+                     {_td_h} / ln(CAST(richness AS DOUBLE)) END, 4)
+                   AS evenness
+        FROM tdg ORDER BY source
+    """
+
     # km_conversion: Kaplan-Meier replay — per-user first-event /
     # first-purchase epoch-ms, administrative 72h censoring, exact
     # integer cells + at-risk windows, and the time-sorted prefix
@@ -10553,6 +10665,10 @@ def oracle_sql() -> dict[str, str]:
         f" AS df_{i}"
         for i in range(len(_bm_terms))
     )
+    _bm_cf_cols = ",\n                   ".join(
+        f"CAST(sum(tf_{i}) AS BIGINT) AS cf_{i}"
+        for i in range(len(_bm_terms))
+    )
     _bm_norm = (
         f"{_bm_k1} * ({_bm_1b} + {_bm_b} * (CAST(dl AS DOUBLE)"
         f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
@@ -10568,12 +10684,9 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
         for i in range(len(_bm_terms))
     )
-    def _bm25_sql(limit: int) -> str:
-        """Full BM25 SELECT at the given top-k — ONE body serving the
-        declared bm25_search oracle (15) and the hybrid fusion's lexical
-        CTE (50)."""
-        return f"""
-        WITH tok AS (
+    # shared retrieval prefix (tok/per_doc/stats) — ONE definition for
+    # bm25_search, the hybrid fusion's lexical CTE, and ql_search
+    _ret_prefix = f"""tok AS (
             SELECT doc_id,
                    unnest(list_filter(string_split_regex(lower(text),
                                                          '\\s+'),
@@ -10586,12 +10699,19 @@ def oracle_sql() -> dict[str, str]:
         ), stats AS (
             SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
                    CAST(count(*) AS BIGINT) AS n_docs,
-                   {_bm_df_cols}
+                   {_bm_df_cols},
+                   {_bm_cf_cols}
             FROM per_doc
-        ), scored AS (
+        )"""
+
+    def _retrieval_sql(score_expr: str, limit: int) -> str:
+        """Ranked-retrieval SELECT over the shared prefix — the score
+        expression is the ONLY variation between the lexical scorers."""
+        return f"""
+        WITH {_ret_prefix}, scored AS (
             SELECT p.doc_id,
                    CAST({_bm_nhit} AS BIGINT) AS n_hit,
-                   round({_bm_score}, 4) AS score
+                   round({score_expr}, 4) AS score
             FROM per_doc p, stats
         ), ranked AS (
             SELECT doc_id, n_hit, score,
@@ -10603,7 +10723,23 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= {limit} ORDER BY rank
     """
 
+    def _bm25_sql(limit: int) -> str:
+        return _retrieval_sql(_bm_score, limit)
+
     sql["bm25_search"] = _bm25_sql(15)
+
+    # ql_search: Dirichlet query likelihood — ln((tf + μ·cf/|C|) /
+    # (dl + μ)) per term, μ emitted once as a CAST('repr') literal
+    _ql_mu = "CAST('100.0' AS DOUBLE)"
+    _ql_score = " + ".join(
+        f"(CASE WHEN cf_{i} > 0 THEN"
+        f" ln((CAST(tf_{i} AS DOUBLE) + {_ql_mu}"
+        f" * (CAST(cf_{i} AS DOUBLE) / CAST(sum_dl AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {_ql_mu}))"
+        f" ELSE CAST(0 AS DOUBLE) END)"
+        for i in range(len(_bm_terms))
+    )
+    sql["ql_search"] = _retrieval_sql(_ql_score, 15)
 
     # hybrid_search: RRF fusion replay — the lexical CTE is the
     # declared BM25 body verbatim at top-50, the dense CTE the brute

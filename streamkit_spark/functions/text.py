@@ -218,6 +218,67 @@ def tf_idf_top_terms(
     )
 
 
+def _term_doc_stats(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+) -> tuple[list[str], "DataFrame", "DataFrame"]:
+    """Shared retrieval base for :func:`bm25_topk` and :func:`ql_topk`:
+    ONE tokenize pass → ONE doc-keyed aggregate (dl + per-query-term
+    conditional tf sums — the inverted-index probe as map-side-combined
+    columns) → ONE stats row carrying N, Σdl, per-term df AND cf.
+    Returns (sorted_terms, per_doc, stats); per_doc is checkpointed —
+    it feeds both the stats aggregate and the scoring join (the
+    2-branch re-plan hazard)."""
+    from streamkit_spark.functions.util import spread
+
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("retrieval needs at least one query term")
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    aggs = [F.count("*").cast("long").alias("dl")] + [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs).localCheckpoint()
+    stat_aggs = [
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.count("*").cast("long").alias("n_docs"),
+    ] + [
+        F.sum((F.col(f"tf_{i}") > 0).cast("int"))
+        .cast("long")
+        .alias(f"df_{i}")
+        for i in range(len(terms))
+    ] + [
+        F.sum(f"tf_{i}").cast("long").alias(f"cf_{i}")
+        for i in range(len(terms))
+    ]
+    return terms, per_doc, per_doc.agg(*stat_aggs)
+
+
+def _top_ranked(
+    scored: "DataFrame", id_col: str, top_k: int, out_cols: list[str]
+) -> "DataFrame":
+    """Shared ranked-top-k tail: top-k FIRST via orderBy+limit (Spark's
+    distributed TakeOrdered), THEN a row_number window over the ≤ top_k
+    survivors — a global rank window over the full candidate set would
+    single-partition-sort every matching row at scale.  Order is
+    (score DESC, id) over the already-rounded score."""
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(*out_cols)
+        .orderBy("rank")
+    )
+
+
 def bm25_topk(
     df: "DataFrame",
     query_terms: list[str],
@@ -249,42 +310,13 @@ def bm25_topk(
 
     Output: (doc_id, n_hit, score, rank), rank 1..top_k over documents
     containing ≥1 query term."""
-    from streamkit_spark.functions.util import spread
-
-    terms = sorted({t.lower() for t in query_terms})
-    if not terms:
-        raise ValueError("bm25_topk needs at least one query term")
+    terms, per_doc, stats = _term_doc_stats(df, query_terms, text_col, id_col)
     k1l, one_b, bl, k1p1 = (
         F.lit(float(k1)),
         F.lit(1.0 - float(b)),
         F.lit(float(b)),
         F.lit(float(k1) + 1.0),
     )
-    tok = spread(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
-    )
-    aggs = [F.count("*").cast("long").alias("dl")] + [
-        F.sum(F.when(F.col("term") == t, 1).otherwise(0))
-        .cast("long")
-        .alias(f"tf_{i}")
-        for i, t in enumerate(terms)
-    ]
-    # per_doc feeds TWO branches (the global stats agg and the scored
-    # join) — checkpoint the slim (doc_id, dl, tf_*) table so the
-    # tokenize+explode+aggregate pipeline can't re-execute per branch
-    # (AQE exchange reuse is not guaranteed; the robust_trend lesson)
-    per_doc = tok.groupBy("doc_id").agg(*aggs).localCheckpoint()
-    stat_aggs = [
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.count("*").cast("long").alias("n_docs"),
-    ] + [
-        F.sum((F.col(f"tf_{i}") > 0).cast("int"))
-        .cast("long")
-        .alias(f"df_{i}")
-        for i in range(len(terms))
-    ]
-    stats = per_doc.agg(*stat_aggs)
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     norm = k1l * (one_b + bl * (F.col("dl").cast("double") / avgdl))
     score = None
@@ -309,17 +341,62 @@ def bm25_topk(
         )
         .filter(F.col("n_hit") > 0)
     )
-    # top-k FIRST via orderBy+limit (Spark's distributed TakeOrdered),
-    # THEN rank the ≤ top_k survivors — a global row_number window over
-    # the full candidate set would single-partition-sort every matching
-    # document at scale
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(top_k)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select("doc_id", "n_hit", "score", "rank")
-        .orderBy("rank")
+    return _top_ranked(scored, "doc_id", top_k, ["doc_id", "n_hit", "score", "rank"])
+
+
+def ql_topk(
+    df: "DataFrame",
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 100.0,
+    top_k: int = 10,
+    round_digits: int = 4,
+) -> "DataFrame":
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    SIGIR'01) — the language-modeling scorer next to :func:`bm25_topk`:
+    score(d) = Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)), the log
+    probability of the query under the document's smoothed unigram
+    model.  μ trades document evidence against the collection prior
+    (set it near the typical document length).
+
+    Shares :func:`_term_doc_stats`' one-pass aggregate (dl + tf per
+    term; collection stats cf_t and |C| ride the same broadcast row).
+    Candidates are documents containing ≥ 1 query term (the standard
+    pruning: no-hit documents differ only through their length prior).
+    Every count is exact BIGINT; the per-term ln terms evaluate in
+    FIXED sorted-term order, replayable bit-for-bit.
+
+    Output: (doc_id, n_hit, score, rank) — score is a log-probability
+    (negative; higher is better)."""
+    terms, per_doc, stats = _term_doc_stats(df, query_terms, text_col, id_col)
+    mul = F.lit(float(mu))
+    score = None
+    n_hit = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        pc = F.col(f"cf_{i}").cast("double") / F.col("sum_dl").cast("double")
+        # a term absent from the WHOLE corpus (cf=0 ⇒ every tf=0) has
+        # zero smoothed mass: ln(0) would NULL every candidate's score
+        # (and the oracle's ln would raise) — it contributes 0 instead,
+        # mirroring bm25's graceful handling of unknown terms
+        term = F.when(
+            F.col(f"cf_{i}") > 0,
+            F.log((tf + mul * pc) / (F.col("dl").cast("double") + mul)),
+        ).otherwise(F.lit(0.0))
+        hit = (F.col(f"tf_{i}") > 0).cast("long")
+        score = term if score is None else score + term
+        n_hit = hit if n_hit is None else n_hit + hit
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            n_hit.alias("n_hit"),
+            F.round(score, round_digits).alias("score"),
+        )
+        .filter(F.col("n_hit") > 0)
     )
+    return _top_ranked(scored, "doc_id", top_k, ["doc_id", "n_hit", "score", "rank"])
 
 
 def rrf_fuse(
@@ -372,13 +449,7 @@ def rrf_fuse(
         n_lists.alias("n_lists"),
         F.round(score, round_digits).alias("score"),
     )
-    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_k)
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        top.withColumn("rank", F.row_number().over(w))
-        .select(id_col, "n_lists", "score", "rank")
-        .orderBy("rank")
-    )
+    return _top_ranked(scored, id_col, top_k, [id_col, "n_lists", "score", "rank"])
 
 
 def chunk_documents(
@@ -873,12 +944,188 @@ def token_cells(
     also the streaming sketch for those statistics
     (``streaming/tokens.py``) — the value_cells discipline applied to
     the token family.  The finishers localCheckpoint it where they fan
-    it into multiple branches."""
-    tok = df.filter(F.col(group_col).isNotNull()).select(
+    it into multiple branches.
+
+    The input is ``spread`` first (no-op on multi-partition inputs): a
+    single-file corpus would run the tokenize+explode+partial-agg
+    stage on one core — fixing it HERE serves all nine token-sketch
+    consumers at once."""
+    from streamkit_spark.functions.util import spread
+
+    tok = spread(df.filter(F.col(group_col).isNotNull())).select(
         F.col(group_col).alias("g"), F.explode(tokens(text_col)).alias("tk")
     )
     return tok.groupBy("g", "tk").agg(
         F.count("*").cast("long").alias("c")
+    )
+
+
+def log_odds_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha0: float = 100.0,
+    top_k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Monroe-Colaresi-Quinn "Fightin' Words" (2008): per group, the
+    top-k tokens most OVERREPRESENTED vs the complement by the
+    log-odds-ratio z-score with an informative Dirichlet prior — the
+    principled replacement for raw tf-idf/PMI "what words define this
+    source" lists (the prior shrinks rare-word noise; the z
+    standardizes by sampling variance).  See
+    :func:`log_odds_from_cells` for the algebra."""
+    return log_odds_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col=group_col,
+        alpha0=alpha0,
+        top_k=top_k,
+        round_digits=round_digits,
+    )
+
+
+def log_odds_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    alpha0: float = 100.0,
+    top_k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`log_odds_by_group` over a prebuilt
+    (g, tk, c) token-count table (the token streaming sketch's 8th
+    report).
+
+    For group g and token w with the informative prior α_w =
+    α₀·ct_w/N (Monroe et al. §3.5.2, the corpus distribution scaled
+    to α₀ pseudo-counts):
+
+        δ = ln((y + α_w)/(n_g + α₀ − y − α_w))
+          − ln((y' + α_w)/(n' + α₀ − y' − α_w)),
+        σ² ≈ 1/(y + α_w) + 1/(y' + α_w),   z = δ/σ
+
+    with y' / n' the complement's counts.  Only OBSERVED (g, token)
+    cells are scored (absent tokens cannot be overrepresented).  All
+    counts exact BIGINT; the prior/odds/variance floats evaluate in
+    ONE pinned expression; z is rounded BEFORE ranking (ties break by
+    token).  Degenerate corpora where one token carries ALL mass make
+    the odds denominator 0 (±inf z) — real vocabularies never do.
+
+    Scale: everything after the cell table is vocabulary-bounded; the
+    cell table is checkpointed (three aggregate branches)."""
+    cells = cells.localCheckpoint(eager=False)
+    glob = cells.groupBy("tk").agg(F.sum("c").cast("long").alias("ct"))
+    gt = cells.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    tot = gt.agg(F.sum("ng").cast("long").alias("nn"))
+    j = (
+        cells.join(F.broadcast(glob), "tk")
+        .join(F.broadcast(gt), "g")
+        .crossJoin(F.broadcast(tot))
+    )
+    a0 = F.lit(float(alpha0))
+    aw = a0 * (F.col("ct").cast("double") / F.col("nn").cast("double"))
+    y = F.col("c").cast("double")
+    yc = (F.col("ct") - F.col("c")).cast("double")
+    ng = F.col("ng").cast("double")
+    nc = (F.col("nn") - F.col("ng")).cast("double")
+    delta = F.log((y + aw) / (ng + a0 - y - aw)) - F.log(
+        (yc + aw) / (nc + a0 - yc - aw)
+    )
+    var = F.lit(1.0) / (y + aw) + F.lit(1.0) / (yc + aw)
+    z = delta / F.sqrt(var)
+    scored = j.select(
+        F.col("g").alias(group_col),
+        F.col("tk").alias("token"),
+        (F.round(z, round_digits) + F.lit(0.0)).alias("z"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("z").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .orderBy(group_col, "rank")
+    )
+
+
+def token_diversity_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hill-number token diversity per group (Hill 1973; the ecology
+    diversity spectrum applied to vocabularies): richness (⁰D),
+    exp(Shannon) (¹D — "effective vocabulary size"), and
+    inverse-Simpson (²D — head-weighted effective size).  See
+    :func:`diversity_from_cells`."""
+    return diversity_from_cells(
+        token_cells(df, group_col, text_col),
+        group_col=group_col,
+        round_digits=round_digits,
+    )
+
+
+def diversity_from_cells(
+    cells: DataFrame,
+    group_col: str = "source",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Finisher half of :func:`token_diversity_by_group` over a prebuilt
+    (g, tk, c) table (the token streaming sketch's 9th report):
+    ``(group, n_tokens, richness, hill1, hill2, evenness)`` with
+    hill1 = exp(−Σ p·ln p) from a TOKEN-SORTED fold (ln parity, the
+    token_entropy discipline), hill2 = n²/Σc² with Σc² an exact
+    BIGINT sum, and evenness = H/ln(richness) (NULL for single-token
+    groups).  ¹D collapsing toward 1 while richness stays flat is the
+    template-corpus signature (mass concentrating on few types)."""
+    dec = "decimal(38,0)"
+    g = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("richness"),
+        # n² and Σc² in DECIMAL(38,0): the BIGINT squares overflow (and
+        # ANSI-crash) past ~3e9 tokens/group — the gini wide-arithmetic
+        # discipline; capacity here reaches n ~ 1e19, no guard needed
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast(dec).alias("c2"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("tk").alias("tk"), F.col("c")))
+        ).alias("__arr"),
+    )
+    h = F.aggregate(
+        F.col("__arr"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        - (x["c"].cast("double") / F.col("n_tokens").cast("double"))
+        * F.log(x["c"].cast("double") / F.col("n_tokens").cast("double")),
+    )
+    # materialize the slim per-group row WITH the Shannon fold computed
+    # once: hill1 and evenness both reference h, and projection collapse
+    # would otherwise inline the vocabulary-length fold per reference
+    # (the minhash 64x lesson, 2x edition)
+    slim = g.select(
+        "g", "n_tokens", "richness", "c2", h.alias("__h")
+    ).localCheckpoint(eager=False)
+    hc = F.col("__h")
+    return (
+        slim.select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "richness",
+            F.round(F.exp(hc), round_digits).alias("hill1"),
+            F.round(
+                (F.col("n_tokens").cast(dec) * F.col("n_tokens"))
+                .cast("double")
+                / F.col("c2").cast("double"),
+                round_digits,
+            ).alias("hill2"),
+            F.round(
+                F.when(
+                    F.col("richness") > 1,
+                    hc / F.log(F.col("richness").cast("double")),
+                ),
+                round_digits,
+            ).alias("evenness"),
+        )
+        .orderBy(F.col(group_col).asc_nulls_last())
     )
 
 

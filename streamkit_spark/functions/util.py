@@ -47,7 +47,13 @@ def spread(df: DataFrame) -> DataFrame:
     one core; the repartition cost (shuffling the projected rows once)
     is tiny next to the per-row compute it parallelizes.  At real scale
     inputs arrive in many partitions and the guard makes this a no-op —
-    never an extra shuffle."""
+    never an extra shuffle.
+
+    Streaming inputs pass through untouched: ``df.rdd`` is illegal on a
+    streaming plan, and micro-batches are already distributed by the
+    source (the cell-table builders double as streaming sketches)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -16,14 +16,17 @@ report is a shared batch finisher over it.
   contract requires.
 * ``finalize_kl`` / ``finalize_jsd`` / ``finalize_kendall_profile`` /
   ``finalize_rbo`` / ``finalize_oov`` / ``finalize_burrows`` /
-  ``finalize_coverage`` — the batch finishers: live "which source
+  ``finalize_coverage`` / ``finalize_log_odds`` /
+  ``finalize_diversity`` — the batch finishers: live "which source
   drifted from the corpus mixture?" (KL), "which source PAIRS
   diverged, by mass / full-vocabulary ordering / what matters most /
   style?" (JSD, Kendall tau, RBO, Burrows' Delta), "does the head
-  vocabulary still cover every source?" (OOV), and "how many types
-  cover each percent of a source's occurrences?" (coverage).
+  vocabulary still cover every source?" (OOV), "how many types cover
+  each percent of a source's occurrences?" (coverage), "which tokens
+  DEFINE each source?" (Monroe log-odds), and "is a source's
+  effective vocabulary collapsing?" (Hill diversity).
 
-One sketch, seven reports — live domain-mixture monitoring with no
+One sketch, nine reports — live domain-mixture monitoring with no
 second pass over the stream, the daily/rank-stats multi-report
 discipline applied to text.
 """
@@ -40,6 +43,9 @@ __all__ = [
     "finalize_rbo",
     "finalize_oov",
     "finalize_burrows",
+    "finalize_coverage",
+    "finalize_log_odds",
+    "finalize_diversity",
 ]
 
 
@@ -148,3 +154,31 @@ def finalize_coverage(
     from streamkit_spark.functions.text import coverage_from_cells
 
     return coverage_from_cells(cells, group_col, percents)
+
+
+def finalize_log_odds(
+    cells: DataFrame,
+    group_col: str = "source",
+    alpha0: float = 100.0,
+    top_k: int = 5,
+) -> DataFrame:
+    """Monroe "Fightin' Words" log-odds top-k from the SAME token
+    cells — the shared batch finisher (``text.log_odds_from_cells``):
+    the live "which tokens define each source right now?" readout."""
+    from streamkit_spark.functions.text import log_odds_from_cells
+
+    return log_odds_from_cells(
+        cells, group_col=group_col, alpha0=alpha0, top_k=top_k
+    )
+
+
+def finalize_diversity(
+    cells: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Hill-number diversity spectrum from the SAME token cells — the
+    shared batch finisher (``text.diversity_from_cells``): the live
+    "is a source's effective vocabulary collapsing?" readout."""
+    from streamkit_spark.functions.text import diversity_from_cells
+
+    return diversity_from_cells(cells, group_col=group_col)

@@ -725,6 +725,24 @@ def test_token_cells_stream_parity(spark, docs_stream):
         want_cov = {tuple(r) for r in coverage_by_group(batch).collect()}
         got_cov = {tuple(r) for r in finalize_coverage(cells).collect()}
         assert got_cov == want_cov and len(got_cov) > 0
+        # 8th + 9th reports: Monroe log-odds top-k and Hill diversity
+        from streamkit_spark.functions.text import (
+            log_odds_by_group,
+            token_diversity_by_group,
+        )
+        from streamkit_spark.streaming.tokens import (
+            finalize_diversity,
+            finalize_log_odds,
+        )
+
+        want_lo = {tuple(r) for r in log_odds_by_group(batch).collect()}
+        got_lo = {tuple(r) for r in finalize_log_odds(cells).collect()}
+        assert got_lo == want_lo and len(got_lo) > 0
+        want_td = {
+            tuple(r) for r in token_diversity_by_group(batch).collect()
+        }
+        got_td = {tuple(r) for r in finalize_diversity(cells).collect()}
+        assert got_td == want_td and len(got_td) > 0
     finally:
         q.stop()
 

@@ -217,3 +217,62 @@ def test_rrf_tie_breaks_by_id_and_validates(spark):
     assert [r["rank"] for r in rows] == [1, 2]
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet query likelihood
+# ---------------------------------------------------------------------------
+
+def _ql_ref(docs: dict[int, str], terms: list[str], mu=100.0):
+    toks = {d: t.lower().split() for d, t in docs.items()}
+    toks = {d: t for d, t in toks.items() if t}
+    c_tot = sum(len(t) for t in toks.values())
+    out = {}
+    for d, t in toks.items():
+        s, hit = 0.0, 0
+        for q in sorted(set(x.lower() for x in terms)):
+            tf = t.count(q)
+            cf = sum(tt.count(q) for tt in toks.values())
+            s += math.log((tf + mu * (cf / c_tot)) / (len(t) + mu))
+            hit += 1 if tf else 0
+        if hit:
+            out[d] = (hit, round(s, 4))
+    return out
+
+
+def test_ql_matches_python_reference(spark):
+    from streamkit_spark.functions.text import ql_topk
+
+    docs = {
+        0: "spark merge table dup merge",
+        1: "merge merge merge merge merge merge merge merge",
+        2: "table scan filter row",
+        3: "dup",
+        4: "window window merge spark table scan row filter key agg",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hit"], r["score"])
+        for r in ql_topk(df, ["dup", "merge", "window"], mu=100.0,
+                         top_k=10).collect()
+    }
+    ref = _ql_ref(docs, ["dup", "merge", "window"])
+    assert set(got) == set(ref)
+    for d, (hit, score) in ref.items():
+        assert got[d][0] == hit
+        assert got[d][1] == pytest.approx(score, abs=1e-4)
+
+
+def test_ql_term_mass_ranks_higher(spark):
+    """Two docs of equal length: the one with more query-term mass has
+    strictly higher query likelihood."""
+    from streamkit_spark.functions.text import ql_topk
+
+    rows = [(0, "dup dup scan row"), (1, "dup scan row key"),
+            (2, "scan row key agg")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in ql_topk(df, ["dup"]).collect()}
+    assert got[0] > got[1]
+    assert 2 not in got

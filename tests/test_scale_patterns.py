@@ -314,9 +314,13 @@ def test_r11_plan_shapes(spark):
     # hide it.
     import inspect
 
-    from streamkit_spark.functions.text import bm25_topk
+    from streamkit_spark.functions.text import _term_doc_stats, token_cells
 
-    assert "spread(" in inspect.getsource(bm25_topk)
+    # the retrieval base (bm25/ql) and the token-cell builder both
+    # spread their input — pinned at the source level since checkpoints
+    # / aggregates hide the repartition from downstream plan text
+    assert "spread(" in inspect.getsource(_term_doc_stats)
+    assert "spread(" in inspect.getsource(token_cells)
     assert "Scan ExistingRDD" in plan("bm25_search")
     # the checkpointed signature appears as a scan of an existing RDD,
     # and the expensive explode+min aggregate appears at most once
