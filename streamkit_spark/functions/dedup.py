@@ -1260,18 +1260,15 @@ def editdist_pairs(
         .filter(F.col("__df") <= max_df)
     )
     # per doc: the rarest_k (df asc, shingle asc — total order) shingles
+    # via ONE row_number window (same set as the old collect_list +
+    # array_sort + slice + explode, without per-doc array churn — the
+    # ngram_jaccard_pairs rewrite)
+    wrk = Window.partitionBy("doc_id").orderBy("__df", "shingle")
     keyed = (
         sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("__df", "shingle"))),
-                1,
-                rarest_k,
-            ).alias("__ks")
-        )
-        .select("doc_id", F.explode("__ks").alias("__k"))
-        .select(F.col("__k.shingle").alias("shingle"), "doc_id")
+        .select("doc_id", "shingle", F.row_number().over(wrk).alias("__rk"))
+        .filter(F.col("__rk") <= rarest_k)
+        .select("shingle", "doc_id")
     )
     cand = pairs_from_sorted_groups(
         keyed.groupBy("shingle")
@@ -1399,35 +1396,30 @@ def containment_candidates(
     sh = shingle_table(df, text_col, id_col, n)
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ordered = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
-                "o"
-            )
-        )
-        .select(
-            "doc_id",
-            F.transform("o", lambda x: x.getField("shingle")).alias(
-                "sh_all"
-            ),
-        )
+    # per-doc (df asc, shingle asc) rank via ONE window — the same prefix
+    # set as the old collect_list + array_sort + slice + posexplode shape
+    # without materializing per-doc arrays (the ngram_jaccard_pairs
+    # rewrite); the df column riding along turns the max_df cut into a
+    # plain filter instead of a second dfreq join
+    wrk = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wct = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id",
+        "shingle",
+        "df",
+        F.row_number().over(wrk).alias("rk1"),
+        F.count("*").over(wct).alias("nsh"),
     )
     # BIGINT ceil multiply — see ngram_jaccard_pairs: INT32 n * t_num
     # overflows past ~3.6k distinct shingles
     plen = F.expr(
-        f"cast(size(sh_all) - ((cast(size(sh_all) as bigint) * {t_num}"
+        f"cast(nsh - ((cast(nsh as bigint) * {t_num}"
         f" + {t_den - 1}) div {t_den}) + 1 as int)"
     )
-    prefix = ordered.select(
-        F.col("doc_id").alias("p_doc"),
-        F.explode(F.slice(F.col("sh_all"), F.lit(1), plen)).alias("shingle"),
-    )
+    prefix = ranked.filter(F.col("rk1") <= plen)
     if max_df is not None:
-        prefix = prefix.join(
-            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-        )
+        prefix = prefix.filter(F.col("df") <= max_df)
+    prefix = prefix.select(F.col("doc_id").alias("p_doc"), "shingle")
     psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
     return (
         sh.join(psh, "shingle")
