@@ -990,26 +990,38 @@ def winnow_fingerprints(
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     grams = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
-    g = _spread(df).select(
+    # Window minima IN-ROW: window i (0-based) spans grams [i, i+w-1]
+    # (slice clamps at the array end, so the single window of a short
+    # doc spans every gram — the same clamping the old explode shape
+    # applied via win_lo/win_hi), and array_distinct gives the per-doc
+    # fingerprint set before anything leaves the row.  The previous
+    # formulation exploded every gram into its w window memberships and
+    # shuffled them through a (doc, win) groupBy(min) — w× row
+    # expansion + a hash aggregate for minima that are computable from
+    # the gram array directly.  Measured 1.7 -> 0.83 s (xxhash64) /
+    # 2.2 -> 0.79 s (md5) at sf0.1, identical fingerprint sets on both
+    # hash paths; the whole operator is now ONE map-only pass, no
+    # exchange at any scale.  Per-row memory is O(doc length) for the
+    # gram array — the same order the shingle/winnow array expressions
+    # elsewhere already hold in-row.
+    base = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"greatest(length(lower({text_col})) - {k - 1}, 1)").alias("ng"),
-        F.posexplode(grams).alias("pos0", "h"),
+        grams.alias("__gr"),
     )
-    # gram at 0-based pos0 is a member of windows [pos0 - w + 1, pos0],
-    # clamped to the valid window range [0, ng - w] (short docs: window 0
-    # only, spanning every gram — mirrors a slice past the array end)
-    win_lo = F.greatest(F.col("pos0") - F.lit(w - 1), F.lit(0))
-    win_hi = F.least(F.col("pos0"), F.greatest(F.col("ng") - F.lit(w), F.lit(0)))
-    wins = g.filter(win_lo <= win_hi).select(
+    return base.select(
         "doc_id",
-        F.explode(F.sequence(win_lo, win_hi)).alias("win"),
-        "h",
-    )
-    return (
-        wins.groupBy("doc_id", "win")
-        .agg(F.min("h").alias("fp"))
-        .select("doc_id", "fp")
-        .distinct()
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.col("ng") - F.lit(w), F.lit(0)),
+                    ),
+                    lambda i: F.array_min(F.slice(F.col("__gr"), i + 1, w)),
+                )
+            )
+        ).alias("fp"),
     )
 
 
