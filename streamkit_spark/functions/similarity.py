@@ -609,6 +609,36 @@ def quantization_error(
     )
 
 
+def _centroid_mean_expr(exact_means: bool) -> Column:
+    """Per-(cluster, dim) centroid mean over exploded ``(vid, x)`` member
+    rows — ONE definition shared by the single-chain Lloyd
+    (:func:`kmeans_centroids`) and the fused multi-subspace trainer
+    (:func:`pq_codebooks`) so the two cannot drift.
+
+    ``exact_means=True``: deterministic fold — member values sorted by
+    id, summed left-to-right as doubles, / count (the dsir summation
+    pattern the DuckDB oracle replays bit-for-bit).  ``False``: plain
+    double ``avg`` (production; partial-agg order may wiggle last
+    bits)."""
+    if exact_means:
+        return (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("vid").alias("vid"),
+                            F.col("x").cast("double").alias("x"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("x"),
+            )
+            / F.count("*")
+        ).alias("m")
+    return F.avg(F.col("x").cast("double")).alias("m")
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int = 16,
@@ -641,6 +671,11 @@ def kmeans_centroids(
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     k = len(centroids)  # corpus may be smaller than the requested k
+    # NOT spread: unlike the expression-heavy text operators, a Lloyd
+    # iteration over k×(D-or-slice) floats is so small that the
+    # repartition exchange costs more than the one-core compute it
+    # parallelizes (r11 interleaved A/B: kmeans_assign 2.22 -> 2.62 s
+    # min, pq_encode_fast 4.71 -> 6.61 s min WITH spread).
     vecs = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).cache()
@@ -667,26 +702,7 @@ def kmeans_centroids(
                 F.col("vid"),
                 F.col("v"),
             ).select("cluster", "vid", F.posexplode(F.col("v")).alias("pos", "x"))
-            if exact_means:
-                # deterministic fold: member values sorted by id, summed
-                # left-to-right as doubles, / count
-                mean_expr = (
-                    F.aggregate(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("vid").alias("vid"),
-                                    F.col("x").cast("double").alias("x"),
-                                )
-                            )
-                        ),
-                        F.lit(0.0),
-                        lambda acc, s: acc + s.getField("x"),
-                    )
-                    / F.count("*")
-                ).alias("m")
-            else:
-                mean_expr = F.avg(F.col("x").cast("double")).alias("m")
+            mean_expr = _centroid_mean_expr(exact_means)
             means = (
                 assigned.groupBy("cluster", "pos")
                 .agg(mean_expr)
@@ -1027,6 +1043,14 @@ def pq_codebooks(
     # bounded: each chain caches its own corpus slice for the Lloyd
     # iterations, so concurrency multiplies executor cache pressure —
     # 4 chains ≈ the whole corpus cached once at D/m width per slice.
+    # r11 NOTE: a fused single-job-per-iteration trainer (all m chains
+    # scored in one projection, one (subspace, cluster, dim) means
+    # aggregate) was built and measured — bit-identical books on both
+    # mean paths, but 7.5 s steady vs 4.9 s for this threaded shape at
+    # sf0.1 even with the corpus spread: the per-iteration fused plan
+    # (m·k lit_vec literals + m·k interpreted folds in one projection)
+    # costs more in driver-side plan construction/analysis than the
+    # overlapped tiny jobs cost in scheduler latency.  Kept threaded.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(m, 4)) as ex:
