@@ -1133,7 +1133,16 @@ def tfidf_cosine_pairs(
     tok = _spread(df).select(
         F.col(id_col).alias("doc_id"), F.explode(unit).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    if ngram <= 1:
+        tf = tok.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+    else:
+        # word_ngrams is array_distinct per doc, so (doc, term) rows are
+        # already unique and tf ≡ 1 — the groupBy would be an identity
+        # aggregate costing a full shuffle of the shingle table.  The
+        # downstream weight 1·log(n/df) is IEEE-identical to log(n/df).
+        tf = tok.select("doc_id", "term", F.lit(1).cast("long").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     ndocs = df.agg(F.count("*").cast("long").alias("n_docs"))
     tfd = (
