@@ -4017,64 +4017,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver checks the FIRST 50 queries() entries (insertion
 # order).  Names listed here are moved to the front; everything else keeps
-# its literal order below.  Round-11 window (VERDICT r10 item #1, per the
-# CLAUDE.md rotation ledger): the 6 never-driver-checked r10 adds, then the
-# 16 r6-era entries the r10 cut displaced, then the 28 oldest r7-era
-# entries (the remaining 22 r7 entries queue for r12) = 50.
+# its literal order below.  Round-12 window (VERDICT r11 item #7, per the
+# CLAUDE.md rotation ledger): the 12 never-driver-checked r11-build adds,
+# then the 22 remaining r7-era entries, then the 16 oldest r4-era entries
+# (driver rows last seen r8) = 50.
 _DRIVER_WINDOW_FRONT = [
-    # --- never driver-checked: round-10 adds ---
-    "lsh_recall",
-    "bootstrap_token_ci",
-    "detector_agreement",
-    "cluster_modularity",
-    "kn_logprob",
-    "conformal_score",
-    # --- 16 r6-era entries displaced by the r10 cut (last seen r6) ---
-    "quality_classifier",
-    "random_projection",
-    "salted_brand_revenue",
-    "semantic_clusters",
-    "set_click_and_purchase",
-    "source_ngram_overlap",
-    "spearman_corr",
-    "tfidf_cosine",
-    "token_entropy",
-    "triangle_count",
-    "tumbling_daily",
-    "user_accumulation",
-    "value_trend",
-    "weekday_seasonality",
-    "window_funcs",
-    "zipf_shingles",
-    # --- 28 oldest r7-era entries (driver rows last seen r7) ---
-    "knn_graph",
-    "mutual_knn",
-    "ranksum_value",
-    "ks_value",
-    "gini_value",
-    "winsorized_value",
-    "kendall_value_hour",
-    "kl_sources",
-    "psi_daily",
-    "seasonal_strength",
-    "acf_daily",
-    "wilson_high_value",
-    "jsd_sources",
-    "xcorr_daily",
-    "token_burstiness",
-    "interarrival",
-    "robust_trend",
-    "holt_daily",
-    "score_calibration",
-    "dedup_sweep",
-    "classifier_auc",
-    "bloom_prefilter",
-    "dsir_topk",
-    "embedding_quantization",
-    "event_funnel",
-    "event_transitions",
-    "iqr_outliers",
-    "kmeans_assign",
+    # --- never driver-checked: round-11 build adds ---
+    "pq_recall",
+    "ivfadc_recall",
+    "bm25_search",
+    "classifier_ap",
+    "jt_trend",
+    "minhash_fidelity",
+    "knn_assortativity",
+    "hybrid_search",
+    "km_conversion",
+    "ql_search",
+    "log_odds_tokens",
+    "token_diversity",
+    # --- 22 remaining r7-era entries (driver rows last seen r7) ---
+    "ngram_novelty",
+    "perplexity_buckets",
+    "quantile_report",
+    "retention_cohorts",
+    "rolling_activity",
+    "value_histogram",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "approx_distinct",
+    "array_funcs",
+    "bigram_logprob",
+    "binary_payload_stats",
+    "bpe_fertility",
+    "capped_per_source",
+    "char_ngram_count",
+    "column_stats",
+    "contamination",
+    "corr_stats",
+    "curation_report",
+    "customers_without_orders",
+    "date_funcs",
+    "decontaminated",
+    # --- 16 oldest r4-era entries (driver rows last seen r8) ---
+    "dedup_clusters",
+    "dedup_overlap",
+    "dedup_substring",
+    "dedup_substring_fast_recall",
+    "dedup_substring_maxdf",
+    "doc_chunks",
+    "doc_quality",
+    "dsir_weights",
+    "embedding_covariance",
+    "embedding_near_dups",
+    "embedding_norms",
+    "key_skew",
+    "lang_id_confusion",
+    "math_funcs",
+    "median_quantity",
+    "mixing_plan",
 ]
 
 

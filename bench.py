@@ -330,11 +330,19 @@ def main() -> None:
     # self-certification detail (sorted per-run triples, loadavg and
     # co-tenant JVM count at suite start/end) goes to a committed
     # sidecar artifact instead.
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_detail.json"),
-    )
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+    if detail_path is None:
+        # Default path NEVER overwrites an existing sidecar: the r11
+        # driver's 8-core leg ran in the committed worktree and clobbered
+        # the builder's quiet-run evidence file (VERDICT r11 item #8).
+        # First free BENCH_detail[.n].json wins; a caller who WANTS a
+        # fixed path sets $SPARK_GRAFT_BENCH_DETAIL explicitly.
+        base_dir = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(base_dir, "BENCH_detail.json")
+        n = 1
+        while os.path.exists(detail_path):
+            n += 1
+            detail_path = os.path.join(base_dir, f"BENCH_detail.{n}.json")
     # the driver-parsed line goes out FIRST: a failed sidecar write
     # (read-only checkout, full disk) must never cost the primary
     # artifact after the whole suite already ran (the r9 parsed:null

@@ -142,6 +142,15 @@ def ngram_jaccard_pairs(
     t), never float ceil — a float ulp upward would shorten the prefix
     and silently lose pairs.
     """
+    # The exploded (doc, shingle) table has TWO consumers (the df
+    # aggregate and the ranked join's probe side).  r12 MEASURED a
+    # localCheckpoint here (VERDICT r11 item #4) and REJECTED it:
+    # interleaved A/B at sf0.1 gave old 6.92 vs new 7.67 s (runs=4) then
+    # 6.52 vs 6.50 (runs=6) — materializing ~25-byte shingle strings
+    # costs at least what the second map-only tokenize pass saves, and
+    # AQE exchange reuse already dedupes the shuffle when it fires.
+    # Keep the double map-side derivation; at 100 TB the shingle table
+    # would be materialized at ingest anyway.
     sh = shingle_table(df, text_col, id_col, n)
     # threshold as a rational t_num/t_den so every bound below is exact
     # integer arithmetic
@@ -962,11 +971,11 @@ def winnow_fingerprints(
     Models Better", ACL'22, builds suffix arrays for this; winnowing gets
     the same ≥L-match detection with a per-partition streaming pass).
 
-    Plan shape: gram hashing is one in-row array expression (map-only);
-    window minima go through a (doc, window)→min groupBy whose map-side
-    combine collapses the w-fold window membership BEFORE the exchange, so
-    the shuffle carries ~one row per gram, and the following distinct
-    shrinks it to the fingerprint set.
+    Plan shape: ONE map-only in-row pass, no exchange — gram hashing,
+    per-window minima (``transform`` over window starts + ``array_min``
+    over w-slices of the gram array) and the per-doc fingerprint-set
+    ``array_distinct`` all evaluate inside the row before the explode
+    (the r11 rewrite; see the inline comment for the measured numbers).
 
     ``hash_fn``: ``"xxhash64"`` (default — JVM intrinsic over the k-char
     gram, one long per gram; ~2× the whole operator's speed vs md5, which
@@ -1143,6 +1152,12 @@ def tfidf_cosine_pairs(
         # aggregate costing a full shuffle of the shingle table.  The
         # downstream weight 1·log(n/df) is IEEE-identical to log(n/df).
         tf = tok.select("doc_id", "term", F.lit(1).cast("long").alias("tf"))
+    # tf has TWO consumers (the df aggregate and the tfd join probe).
+    # r12 measured-and-rejected a localCheckpoint here: interleaved A/B
+    # at sf0.1 (ngram=3 shape) showed no win in the minima (3.49 vs
+    # 3.59 s) and a worse median under load — same verdict as the
+    # jaccard/editdist probes (materialization ≥ the saved re-derivation;
+    # AQE exchange reuse covers the fast case).
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     ndocs = df.agg(F.count("*").cast("long").alias("n_docs"))
     tfd = (
@@ -1273,6 +1288,11 @@ def editdist_pairs(
     Output: (id_a, id_b, editsim) with id_a < id_b, editsim rounded 4dp.
     """
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
+    # r12 measured-and-rejected a localCheckpoint here (two consumers:
+    # df aggregate + join probe): old med 5.36 s with fast 2.65/3.12 s
+    # runs when AQE exchange reuse fired vs new tight-at-5.5 s — the
+    # materialization sets a FLOOR at the slow level and removes the
+    # reuse upside (interleaved A/B, runs=6, sf0.1)
     sh = shingle_table(df, text_col, id_col, n)
     # df-filter BEFORE the join back so hot shingles never fan out
     dfreq = (
@@ -1414,6 +1434,12 @@ def containment_candidates(
     exact verify.  One source of truth — containment_pairs composes
     this; see its docstring for the recall argument and the honest
     scale note."""
+    # sh itself stays un-checkpointed (the jaccard/editdist r12 probes:
+    # materializing shingle strings ≥ the saved map-only re-derivation);
+    # the RANKED table below is the one with two consumers whose
+    # re-derivation would repeat the dfreq join + window — it is
+    # checkpointed (interleaved A/B: 6.63 s median with an sh checkpoint
+    # added vs 6.44 s without it, identical output).
     sh = shingle_table(df, text_col, id_col, n)
     t_num, t_den = int(round(threshold * 1_000_000)), 1_000_000
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1424,31 +1450,68 @@ def containment_candidates(
     # plain filter instead of a second dfreq join
     wrk = Window.partitionBy("doc_id").orderBy("df", "shingle")
     wct = Window.partitionBy("doc_id")
-    ranked = sh.join(dfreq, "shingle").select(
-        "doc_id",
-        "shingle",
-        "df",
-        F.row_number().over(wrk).alias("rk1"),
-        F.count("*").over(wct).alias("nsh"),
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            "df",
+            (F.row_number().over(wrk) - 1).alias("rk"),
+            F.count("*").over(wct).alias("nsh"),
+        )
+        .localCheckpoint()
     )
     # BIGINT ceil multiply — see ngram_jaccard_pairs: INT32 n * t_num
-    # overflows past ~3.6k distinct shingles
+    # overflows past ~3.6k distinct shingles.  0-based rank: rk ≤ plen-1.
     plen = F.expr(
         f"cast(nsh - ((cast(nsh as bigint) * {t_num}"
         f" + {t_den - 1}) div {t_den}) + 1 as int)"
     )
-    prefix = ranked.filter(F.col("rk1") <= plen)
+    prefix = ranked.filter(F.col("rk") < plen)
     if max_df is not None:
         prefix = prefix.filter(F.col("df") <= max_df)
-    prefix = prefix.select(F.col("doc_id").alias("p_doc"), "shingle")
-    psh = prefix.groupBy("shingle").agg(F.collect_list("p_doc").alias("ps"))
+    prefix = prefix.select(
+        F.col("doc_id").alias("p_doc"),
+        "shingle",
+        F.col("rk").alias("p_rk"),
+        F.col("nsh").alias("p_nsh"),
+    )
+    psh = prefix.groupBy("shingle").agg(
+        F.collect_list(F.struct("p_doc", "p_rk", "p_nsh")).alias("ps")
+    )
+    # PPJoin POSITIONAL filter (VERDICT r11 item #1): a shared shingle at
+    # 0-based ranks (i, j) in the two docs' (df asc, shingle asc) orders
+    # bounds the intersection by min(|P|-i, |F|-j) — every common shingle
+    # ranks at-or-after the pair's globally-smallest common shingle in
+    # BOTH docs.  A qualifying pair (inter ≥ ⌈t·min⌉) always survives via
+    # that smallest common shingle's row: min(|P|-i*, |F|-j*) ≥ inter ≥
+    # ⌈t·min⌉, and i* is inside the smaller side's prefix (the recall
+    # argument in containment_pairs) — so recall stays exactly 1 while
+    # candidates whose suffixes provably can't reach the overlap never
+    # pay the full-array intersect in the verify stage.  Integer compare:
+    # x ≥ ⌈a·t_num/t_den⌉  ⟺  x·t_den ≥ a·t_num, in BIGINT (the plen
+    # overflow class).
+    p = F.col("p")
+    keep = (
+        F.least(
+            p["p_nsh"].cast("long") - p["p_rk"],
+            F.col("nsh").cast("long") - F.col("rk"),
+        )
+        * t_den
+        >= F.least(p["p_nsh"].cast("long"), F.col("nsh").cast("long")) * t_num
+    )
     return (
-        sh.join(psh, "shingle")
-        .select(F.col("doc_id").alias("f_doc"), F.explode("ps").alias("p_doc"))
-        .filter(F.col("p_doc") != F.col("f_doc"))
+        ranked.join(psh, "shingle")
         .select(
-            F.least("p_doc", "f_doc").alias("id_a"),
-            F.greatest("p_doc", "f_doc").alias("id_b"),
+            F.col("doc_id").alias("f_doc"),
+            "rk",
+            "nsh",
+            F.explode("ps").alias("p"),
+        )
+        .filter((p["p_doc"] != F.col("f_doc")) & keep)
+        .select(
+            F.least(p["p_doc"], F.col("f_doc")).alias("id_a"),
+            F.greatest(p["p_doc"], F.col("f_doc")).alias("id_b"),
         )
         .distinct()
     )
@@ -1483,6 +1546,15 @@ def containment_pairs(
     prefix(doc) × full(doc') grouped per shingle.  The threshold
     compare in the verify is exact integer arithmetic
     (inter·t_den ≥ min·t_num), never a float ceil.
+
+    r12: the PPJoin POSITIONAL filter now runs at candidate time — both
+    sides carry their 0-based (df asc, shingle asc) rank, and a
+    candidate row survives only if min(|P|−i, |F|−j) ≥ ⌈t·min(|P|,|F|)⌉
+    (the suffix bound on the intersection).  Recall stays exactly 1:
+    the pair's globally-smallest common shingle always passes (see
+    containment_candidates), but pairs whose suffixes provably cannot
+    reach the overlap no longer pay the full-array intersect in the
+    verify stage.
 
     Scale, honestly: the per-shingle fan-out is df(shingle) ×
     |prefix-docs(shingle)| — "rare" is relative to each DOC, so a

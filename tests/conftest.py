@@ -78,3 +78,78 @@ def compare_query(spark, duck, spark_df, sql):
         (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
     ]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
+
+
+# ------------------------------------------------------------------ slow tier
+# Node ids measured >= 7s call time in the r12 full run (2011s total over
+# 874 tests; this set is 869s of it).  Deselected by the DEFAULT run via
+# pytest.ini `addopts = -m "not slow"` so the driver's budgeted
+# `pytest tests/` completes (VERDICT r11 item #3); every test stays
+# runnable via `-m ""` / `-m slow`.  When a test here gets fast, or a new
+# multi-second test lands, update the list — an entry that no longer
+# exists is reported at collection time by the sanity check below.
+SLOW_TESTS = {
+    "tests/test_ab_labelprop.py::test_ab_report_matches_python_welch",
+    "tests/test_ab_labelprop.py::test_labelprop_chain_propagates_by_depth",
+    "tests/test_ab_labelprop.py::test_labelprop_fixture_full_coverage",
+    "tests/test_anomaly.py::test_spike_flagged_against_cross_batch_baseline",
+    "tests/test_batch_stream_parity.py::test_association_stream_retroactive_pairs_across_batches",
+    "tests/test_batch_stream_parity.py::test_daily_series_stream_parity",
+    "tests/test_batch_stream_parity.py::test_interarrival_stream_boundary_state_across_batches",
+    "tests/test_batch_stream_parity.py::test_rankstats_stream_parity",
+    "tests/test_batch_stream_parity.py::test_token_cells_stream_parity",
+    "tests/test_curation.py::test_llr_matches_python_2x2_reference",
+    "tests/test_curation.py::test_split_leakage_report_zero_by_construction",
+    "tests/test_dedup.py::test_duplicate_clusters_matches_union_find_model",
+    "tests/test_heavyhitters.py::test_evicted_counter_emits_tombstone",
+    "tests/test_heavyhitters.py::test_stream_carries_state_across_batches",
+    "tests/test_ingest.py::test_ingest_batch_sequences_per_segment",
+    "tests/test_ingest.py::test_ingest_conflict_with_foreign_writer_is_surfaced",
+    "tests/test_ingest.py::test_ingest_replay_with_new_group_falls_back_to_tail",
+    "tests/test_ingest.py::test_stream_into_store_end_to_end",
+    "tests/test_neardup_index.py::test_embedding_index_cross_batch",
+    "tests/test_oracle_corpus.py::test_oracle_match[classifier_ap]",
+    "tests/test_oracle_corpus.py::test_oracle_match[classifier_auc]",
+    "tests/test_oracle_corpus.py::test_oracle_match[cluster_modularity]",
+    "tests/test_oracle_corpus.py::test_oracle_match[dedup_minhash_lsh]",
+    "tests/test_oracle_corpus.py::test_oracle_match[ivfadc_recall]",
+    "tests/test_oracle_corpus.py::test_oracle_match[kcore_knn]",
+    "tests/test_oracle_corpus.py::test_oracle_match[semantic_clusters]",
+    "tests/test_pipeline.py::test_cluster_dedup_policy_differs_on_star_components",
+    "tests/test_pipeline.py::test_pipeline_containment_stage_drops_quote_inclusion",
+    "tests/test_pipeline.py::test_substring_stage_drops_verbatim_overlap",
+    "tests/test_presence_liveness.py::test_presence_join_snapshot_then_ttl_eviction",
+    "tests/test_produce.py::test_compact_preserves_data_and_reduces_files",
+    "tests/test_produce.py::test_compact_target_bytes_range_layout",
+    "tests/test_projection_knn.py::test_ivfadc_reconstruction_beats_raw_pq_on_clustered_data",
+    "tests/test_properties.py::test_produce_consume_roundtrip_property",
+    "tests/test_rollup.py::test_rollup_matches_batch_and_upserts_incrementally",
+    "tests/test_scale_patterns.py::test_r11_plan_shapes",
+    "tests/test_scale_patterns.py::test_r6_diagnostics_plan_shapes",
+    "tests/test_scale_patterns.py::test_r8_plan_shapes",
+    "tests/test_similarity.py::test_kmeans_exact_means_close_to_avg_and_assignment_total",
+    "tests/test_similarity.py::test_kmeans_improves_objective_and_feeds_ivf",
+    "tests/test_similarity.py::test_lsh_recall_against_brute_force",
+    "tests/test_similarity.py::test_pq_adc_recall_against_brute_force",
+    "tests/test_sql_surface.py::test_diagnostics_views_queryable_from_sql",
+    "tests/test_streaming_curation.py::test_row_local_metrics_match_batch_aggregate_form",
+    "tests/test_streaming_curation.py::test_stream_classifier_gate_parity_and_zero_state",
+    "tests/test_streaming_curation.py::test_stream_dedups_replayed_content",
+    "tests/test_streaming_curation.py::test_stream_equals_batch_curation",
+    "tests/test_streaming_joins.py::test_stream_equals_batch_interval_join",
+    "tests/test_streaming_joins.py::test_streaming_join_state_is_watermark_bounded",
+    "tests/test_streaming_windows.py::test_running_segment_status_stateful",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    matched = set()
+    for item in items:
+        if item.nodeid in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+            matched.add(item.nodeid)
+    # stale entries (renamed/removed tests) must fail loudly, not silently
+    # shrink the slow tier
+    if len(items) > 100:  # full-suite collection only, not -k slices
+        stale = SLOW_TESTS - matched
+        assert not stale, f"SLOW_TESTS entries no longer collected: {sorted(stale)[:5]}"

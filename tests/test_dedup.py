@@ -407,6 +407,39 @@ def test_tfidf_cosine_shingle_mode_on_fixture(spark):
         assert r["n_shared"] >= 1
 
 
+def test_word_ngrams_distinct_pins_tfidf_tf_shortcircuit(spark):
+    # tfidf_cosine_pairs (ngram>=2) short-circuits tf to lit(1) and builds
+    # df from the exploded shingle rows — both valid ONLY while word_ngrams
+    # stays array_distinct per doc (ADVICE r11: no local test pinned the
+    # invariant; the driver oracle was the sole backstop).  Texts chosen so
+    # their n-grams REPEAT heavily.
+    from streamkit_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y x y x y x y")],
+        "doc_id long, text string",
+    )
+    for r in df.select(word_ngrams("text", 2).alias("sh")).collect():
+        assert len(r["sh"]) == len(set(r["sh"])), r["sh"]
+    # and shingle-mode weights on repeated-shingle docs equal the
+    # tf==1-per-present-shingle reference
+    texts = ["p q p q p q r s", "p q p q r s t u"]
+    pair_df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(
+            pair_df, threshold=0.01, max_df=10, ngram=2
+        ).collect()
+    }
+    ref = _tfidf_reference(texts, max_df=10, ngram=2)
+    for pair, cos in ref.items():
+        if cos >= 0.01:
+            key = (pair[0] + 1, pair[1] + 1)
+            assert got[key] == pytest.approx(cos, abs=1e-6)
+
+
 def test_jaccard_threshold_sweep_matches_independent_runs(spark):
     from streamkit_spark.functions.dedup import (
         jaccard_threshold_sweep,

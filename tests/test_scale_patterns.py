@@ -326,3 +326,46 @@ def test_r11_plan_shapes(spark):
     # and the expensive explode+min aggregate appears at most once
     pf = plan("minhash_fidelity")
     assert "Scan ExistingRDD" in pf
+
+
+def test_r12_prefix_window_shapes(spark):
+    """Plan contracts for the r11/r12 PPJoin window-prefix rewrite
+    (VERDICT r11 item #6): `row_number() over (partition by doc_id)`
+    holds each doc's whole shingle set in ONE task — the same per-doc
+    bound as the old collect_list shape, acceptable because a document's
+    shingle count is O(doc length), the same order the in-row shingle
+    array expressions elsewhere already hold per row.  The window must
+    read the SPREAD shingle table (never a 1-partition single-file
+    scan), and since the r12 localCheckpoint of the shingle table hides
+    the repartition behind Scan ExistingRDD, the spread is pinned at the
+    source level (the bm25 precedent) plus a checkpoint-scan assert in
+    the physical plan.  The containment candidate stage must carry the
+    positional-filter rank columns (p_rk / nsh in the plan)."""
+    import inspect
+
+    from streamkit_spark.functions import dedup as D
+    from streamkit_spark.functions.dedup import shingle_table
+
+    # the shingle table spreads its input before the explode
+    assert "_spread(" in inspect.getsource(shingle_table)
+    docs = tables.load(spark, SF_DIR, "documents")
+    # jaccard: prefix via the row_number window over the spread shingle
+    # table (no checkpoint — r12 measured-and-rejected; the spread's
+    # repartition is visible since nothing hides it)
+    pj = plans.explain_str(D.ngram_jaccard_pairs(docs, threshold=0.6), "extended")
+    assert "row_number" in pj
+    assert "RoundRobinPartitioning" in pj
+    assert "CartesianProduct" not in pj
+    # containment: the ranked table is checkpointed ONCE (two consumers:
+    # prefix + full side) — the candidate stage reads Scan ExistingRDD
+    pc = plans.explain_str(
+        D.containment_candidates(docs, threshold=0.6), "extended"
+    )
+    assert "Scan ExistingRDD" in pc
+    assert "CartesianProduct" not in pc
+    # containment positional filter: candidates must be a subset of the
+    # unfiltered shingle-sharing pairs AND a superset of the verified
+    # pairs (exact recall)
+    cand = D.containment_candidates(docs, threshold=0.6)
+    verified = D.containment_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    assert verified.exceptAll(cand.select("id_a", "id_b")).count() == 0
