@@ -1612,11 +1612,14 @@ def label_propagation(
     whatever the partial-aggregation order and the argmax cannot flip on
     float summation noise; the oracle replays every round bit-for-bit.
 
-    Plan shape per round (r12): ONE exchange — the edges⋈labels join
-    broadcasts the tiny label table, an explicit ``repartition("__s")``
-    establishes the per-node partitioning once, and BOTH aggregates run
+    Plan shape per round (r12): an explicit ``repartition("__s")``
+    establishes the per-node partitioning once and BOTH aggregates run
     on it without further shuffles (HashPartitioning(__s) satisfies the
-    (__s, __lab) clustering too).  The per-node argmax is
+    (__s, __lab) clustering too).  The edges⋈labels join is left
+    AQE-decided: the label table is per-node-sized, so it broadcasts at
+    fixture scale (one exchange per round total) but legitimately
+    sort-merges at corpus scale — forcing a broadcast would be a
+    fixture-only trick.  The per-node argmax is
     ``min(struct(-votes, label))`` — identical exact-integer semantics
     to the previous top-1 window (max votes, then smallest label), minus
     the window's per-partition sort.  The edge table is
@@ -1659,7 +1662,17 @@ def label_propagation(
             .agg(
                 F.min(
                     F.struct(
-                        (-F.col("__votes")).alias("__nv"),
+                        # NULL votes (all-NULL edge weights for a label)
+                        # must rank LAST, as the previous window's
+                        # `orderBy(votes.desc())` (desc = NULLS LAST)
+                        # did — struct ordering would otherwise sort a
+                        # NULL field FIRST and hand the argmax to a
+                        # label with zero evidence.  Long.MaxValue is
+                        # unreachable by any real vote sum.
+                        F.coalesce(
+                            -F.col("__votes"),
+                            F.lit(9223372036854775807).cast("long"),
+                        ).alias("__nv"),
                         F.col("__lab").alias("__lab"),
                     )
                 ).alias("__m")

@@ -144,12 +144,22 @@ SLOW_TESTS = {
 
 def pytest_collection_modifyitems(config, items):
     matched = set()
+    collected_files = set()
     for item in items:
+        collected_files.add(item.nodeid.split("::")[0])
         if item.nodeid in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
             matched.add(item.nodeid)
-    # stale entries (renamed/removed tests) must fail loudly, not silently
-    # shrink the slow tier
-    if len(items) > 100:  # full-suite collection only, not -k slices
-        stale = SLOW_TESTS - matched
-        assert not stale, f"SLOW_TESTS entries no longer collected: {sorted(stale)[:5]}"
+    # Stale entries (renamed/removed tests) must fail loudly, not silently
+    # shrink the slow tier.  Scope the check PER FILE so partial selections
+    # (`pytest tests/test_oracle_corpus.py`, --ignore slices, -k filters on
+    # whole files) don't trip on entries from files that were never
+    # collected; a -k filter INSIDE a collected file can still deselect a
+    # slow test, so only enforce when no -k expression narrows items.
+    if config.getoption("keyword", default=""):
+        return
+    stale = {
+        n for n in SLOW_TESTS - matched
+        if n.split("::")[0] in collected_files
+    }
+    assert not stale, f"SLOW_TESTS entries no longer collected: {sorted(stale)[:5]}"

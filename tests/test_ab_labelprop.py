@@ -130,6 +130,30 @@ def test_labelprop_argmax_and_tie_break(spark):
     assert out[20] == 1  # 0.8 vs 0.8 → min label wins
 
 
+def test_labelprop_null_weight_votes_rank_last(spark):
+    # A label whose edges all carry NULL weights must never beat a label
+    # with real votes — the r11 window shape ordered votes desc (NULLS
+    # LAST) and the r12 min(struct) argmax must preserve that (struct
+    # ordering alone would sort the NULL first).  A node hearing ONLY
+    # null-weighted votes still takes that label (the single-row case).
+    edges = _edges(
+        spark,
+        [(10, 1, None), (10, 2, 0.1), (20, 1, None), (20, 2, None)],
+    )
+    seeds = spark.createDataFrame(
+        [(1, 1), (2, 2)], "vec_id long, label int"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 10, 20)], "vec_id long"
+    )
+    out = {
+        r["vec_id"]: r["label"]
+        for r in label_propagation(edges, seeds, nodes, n_iter=1).collect()
+    }
+    assert out[10] == 2  # real 0.1 vote beats the NULL-weight label 1
+    assert out[20] == 1  # only NULL votes: tie on NULL → min label
+
+
 def test_labelprop_seeds_stay_clamped(spark):
     edges = _edges(spark, [(1, 2, 0.99), (2, 1, 0.99)])
     seeds = spark.createDataFrame([(1, 5), (2, 9)], "vec_id long, label int")

@@ -363,9 +363,10 @@ def test_r12_prefix_window_shapes(spark):
     )
     assert "Scan ExistingRDD" in pc
     assert "CartesianProduct" not in pc
-    # containment positional filter: candidates must be a subset of the
-    # unfiltered shingle-sharing pairs AND a superset of the verified
-    # pairs (exact recall)
+    # containment positional filter: exact recall — every verified pair
+    # must appear among the filtered candidates (the filter's recall
+    # property is ALSO pinned shape-free by the hypothesis mirror in
+    # test_twosample_properties.py)
     cand = D.containment_candidates(docs, threshold=0.6)
     verified = D.containment_pairs(docs, threshold=0.6).select("id_a", "id_b")
     assert verified.exceptAll(cand.select("id_a", "id_b")).count() == 0

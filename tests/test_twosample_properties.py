@@ -585,21 +585,30 @@ def test_hill_cell_algebra_matches_row_definition(values, k):
 
 
 def _containment_candidates_mirror(docs, t_num, t_den):
-    """The engine's containment_pairs candidate generation: per-doc
-    prefix = the |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles (integer
-    ceil, (df, shingle)-ordered), candidates = prefix(doc) × any other
-    doc containing that shingle."""
+    """The engine's containment_pairs candidate generation (r12 shape):
+    per-doc prefix = the |A| − ⌈t·|A|⌉ + 1 globally-rarest shingles
+    (integer ceil, (df, shingle)-ordered); candidates = prefix(doc) ×
+    any other doc containing that shingle, KEPT only if the POSITIONAL
+    suffix bound holds — min(|P|−i, |F|−j)·t_den ≥ min(|P|,|F|)·t_num
+    with i/j the shared shingle's 0-based (df, shingle)-order ranks in
+    each doc (dedup.containment_candidates' `keep` filter)."""
     df_ = Counter(s for ss in docs.values() for s in ss)
+    order = {d: sorted(ss, key=lambda s: (df_[s], s)) for d, ss in docs.items()}
+    rank = {d: {s: i for i, s in enumerate(o)} for d, o in order.items()}
     cands = set()
     for d, ss in docs.items():
         n = len(ss)
         if n == 0:
             continue
         plen = n - (n * t_num + t_den - 1) // t_den + 1
-        ordered = sorted(ss, key=lambda s: (df_[s], s))
-        for s in ordered[:plen]:
+        for s in order[d][:plen]:
+            i = rank[d][s]
             for d2, ss2 in docs.items():
-                if d2 != d and s in ss2:
+                if d2 == d or s not in ss2:
+                    continue
+                j = rank[d2][s]
+                n2 = len(ss2)
+                if min(n - i, n2 - j) * t_den >= min(n, n2) * t_num:
                     cands.add((min(d, d2), max(d, d2)))
     return cands
 

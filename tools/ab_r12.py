@@ -45,14 +45,21 @@ def main() -> None:
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
-    OLD_D, p1 = _load_old("streamkit_spark/functions/dedup.py", "_old_dedup_r12")
-    OLD_S, p2 = _load_old(
-        "streamkit_spark/functions/similarity.py", "_old_similarity_r12"
-    )
+    # load INSIDE the try so a failed second load / interrupt can never
+    # strand a stale module copy in the committed package directory
+    paths: list[str] = []
     try:
+        OLD_D, p1 = _load_old(
+            "streamkit_spark/functions/dedup.py", "_old_dedup_r12"
+        )
+        paths.append(p1)
+        OLD_S, p2 = _load_old(
+            "streamkit_spark/functions/similarity.py", "_old_similarity_r12"
+        )
+        paths.append(p2)
         run(args, only, OLD_D, OLD_S)
     finally:
-        for p in (p1, p2):
+        for p in paths:
             if os.path.exists(p):
                 os.remove(p)
 

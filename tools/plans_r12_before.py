@@ -9,37 +9,31 @@ Usage: python tools/plans_r12_before.py
 from __future__ import annotations
 
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ab_r12 import _load_old  # noqa: E402 — one loader definition
 
 SF = "/root/testdata/sf0.1"
 
 
-def _load_old(rel: str, name: str):
-    src = subprocess.run(
-        ["git", "-C", REPO, "show", f"HEAD:{rel}"],
-        capture_output=True, text=True, check=True,
-    ).stdout
-    path = os.path.join(REPO, "streamkit_spark", "functions", f"{name}.py")
-    with open(path, "w") as f:
-        f.write(src)
-    import importlib
-
-    return importlib.import_module(f"streamkit_spark.functions.{name}"), path
-
-
 def main() -> None:
-    OLD_D, p1 = _load_old("streamkit_spark/functions/dedup.py", "_old_dedup_r12")
-    OLD_S, p2 = _load_old(
-        "streamkit_spark/functions/similarity.py", "_old_similarity_r12"
-    )
+    paths: list[str] = []
     try:
+        OLD_D, p1 = _load_old(
+            "streamkit_spark/functions/dedup.py", "_old_dedup_r12"
+        )
+        paths.append(p1)
+        OLD_S, p2 = _load_old(
+            "streamkit_spark/functions/similarity.py", "_old_similarity_r12"
+        )
+        paths.append(p2)
         capture(OLD_D, OLD_S)
     finally:
-        for p in (p1, p2):
+        for p in paths:
             if os.path.exists(p):
                 os.remove(p)
 

@@ -52,6 +52,9 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name in names:
         fn = queries.get(name) or bench.EXTRA.get(name)
+        if fn is None:
+            print(f"# SKIP unknown {name}", file=sys.stderr)
+            continue
         env0 = bench._env_snapshot()
         runs = []
         for r in range(args.runs):
