@@ -163,7 +163,12 @@ def ngram_jaccard_pairs(
     # the sort-based window streams it — measured 5.25 -> 4.63 s median
     # on the threshold-0.6 pipeline, identical candidates).  The window
     # is also a materialization barrier with a single downstream
-    # consumer, so nothing re-derives it.
+    # consumer, so nothing re-derives it.  Scale bound (VERDICT r11 #6):
+    # partitionBy(doc_id) holds ONE DOC's shingle set per task — the
+    # same O(doc length) bound the old collect_list shape had, and the
+    # order the in-row shingle-array expressions elsewhere already hold
+    # per row; the window input is the spread shingle table (plan
+    # contract: test_r12_prefix_window_shapes).
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     wrk = Window.partitionBy("doc_id").orderBy("df", "shingle")
     wct = Window.partitionBy("doc_id")
