@@ -151,15 +151,19 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
             matched.add(item.nodeid)
     # Stale entries (renamed/removed tests) must fail loudly, not silently
-    # shrink the slow tier.  Scope the check PER FILE so partial selections
-    # (`pytest tests/test_oracle_corpus.py`, --ignore slices, -k filters on
-    # whole files) don't trip on entries from files that were never
-    # collected; a -k filter INSIDE a collected file can still deselect a
-    # slow test, so only enforce when no -k expression narrows items.
+    # shrink the slow tier — but never break a narrowed selection.  Skip
+    # the check entirely when the items were narrowed below file level
+    # (a -k expression, or any `file::test` nodeid argument: a
+    # single-test selection collects one item and every other slow entry
+    # in its file would read as stale).  On a whole-suite collection
+    # (many files) check EVERY entry, so a renamed/deleted FILE still
+    # fails loudly; on a file-scoped selection check only entries whose
+    # file was actually collected.
     if config.getoption("keyword", default=""):
         return
-    stale = {
-        n for n in SLOW_TESTS - matched
-        if n.split("::")[0] in collected_files
-    }
+    if any("::" in str(a) for a in config.args):
+        return
+    stale = SLOW_TESTS - matched
+    if len(collected_files) < 30:  # file-scoped run, not the whole suite
+        stale = {n for n in stale if n.split("::")[0] in collected_files}
     assert not stale, f"SLOW_TESTS entries no longer collected: {sorted(stale)[:5]}"

@@ -33,7 +33,15 @@ def _load_old(rel: str, name: str):
         f.write(src)
     import importlib
 
-    mod = importlib.import_module(f"streamkit_spark.functions.{name}")
+    try:
+        mod = importlib.import_module(f"streamkit_spark.functions.{name}")
+    except BaseException:
+        # the file is written BEFORE the import — an import failure
+        # (HEAD source referencing a since-renamed symbol) must not
+        # strand a stale module copy in the committed package dir
+        if os.path.exists(path):
+            os.remove(path)
+        raise
     return mod, path
 
 
