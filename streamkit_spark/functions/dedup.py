@@ -92,24 +92,83 @@ def shingle_table(
 def _verified_pair_arrays(
     df: DataFrame, cand: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Exact-verification join shared by the jaccard / overlap /
-    containment pair operators: candidate (id_a, id_b) pairs joined to
-    the map-only distinct shingle arrays recomputed straight from the
-    docs scan (cheap — no dfreq pipeline), returning
-    ``(id_a, id_b, __sa, __sb)``.
+    """Exact-verification join shared by the pair operators whose
+    candidate sets are SMALL (LSH banding, signature fidelity):
+    candidate (id_a, id_b) pairs joined to the map-only distinct
+    shingle STRING arrays recomputed straight from the docs scan
+    (cheap — no dfreq pipeline), returning ``(id_a, id_b, __sa, __sb)``.
+
+    Sibling: :func:`_verified_pair_ids` serves the CANDIDATE-HEAVY
+    operators (prefix-filter jaccard/overlap/containment, ~10⁵+ pairs
+    at sf0.1) where per-candidate string hashing dominates — there the
+    dense-long-id arrays win big; HERE the id pipeline's fixed cost
+    (vocab distinct + rank window + checkpoint + per-doc collect)
+    LOSES to it (r12 interleaved A/B: minhash_lsh 2.15 → 3.06 s,
+    fidelity 1.42 → 2.70 s WORSE on ids; jaccard 5.75 → 4.72 s better).
 
     cand is normally tiny next to the shingle arrays, but its size is
     corpus-dependent (a boilerplate-heavy corpus can explode it) and
     its pipeline is too expensive for a count probe — it stays
     un-hinted (maybe_broadcast) so AQE broadcasts from the measured
     runtime size and the pathological case shuffles instead of OOMing.
-    ONE copy: the r6 review found three dedup oracles diverging on
-    tokenization that only the shared-helper discipline prevents."""
+    ONE copy per regime: the r6 review found three dedup oracles
+    diverging on tokenization that only the shared-helper discipline
+    prevents."""
     arrays = _spread(df).select(
         F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), n).alias("sh")
     )
     va = arrays.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sa"))
     vb = arrays.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sb"))
+    return va.join(maybe_broadcast(cand), "id_a").join(vb, "id_b")
+
+
+def _verified_pair_ids(
+    df: DataFrame, cand: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exact-verification join for the CANDIDATE-HEAVY pair operators
+    (prefix-filter jaccard / overlap / containment): same contract as
+    :func:`_verified_pair_arrays` — ``(id_a, id_b, __sa, __sb)``, with
+    downstream code reading only ``F.size`` and ``F.array_intersect``
+    sizes — but the arrays carry dense LONG shingle ids instead of the
+    ~25-byte shingle strings.
+
+    The id map is a BIJECTION, so every set size and intersection size
+    is IDENTICAL to the string computation (proven by exceptAll both
+    ways on all five verify consumers at two SFs); only the hash work
+    per candidate element changes.  Ids are a bucketed dense rank,
+    ``pmod(xxhash64(shingle), 2^16) · 2^43 + row_number within the
+    bucket`` — injective (each bucket holds < 2^43 shingles) with no
+    single-partition global window at any vocabulary size, and the id
+    table is localCheckpoint'ed so both array sides read ONE assignment.
+    Measured at sf0.1: dedup_containment 5.59 → 4.77 s (32 cores) and
+    8.06 → 4.79 s (8 cores, where string hashing was the compute
+    floor); dedup_ngram_jaccard 5.75 → 4.72 s; effective_tokens
+    6.49 → 5.85 s.  For SMALL candidate sets the fixed id-pipeline cost
+    dominates — use the string sibling there (numbers in its
+    docstring)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    bucket = F.pmod(F.xxhash64("shingle"), F.lit(1 << 16))
+    wid = Window.partitionBy("__b").orderBy("shingle")
+    ids = (
+        sh.select("shingle")
+        .distinct()
+        .select("shingle", bucket.alias("__b"))
+        .select(
+            "shingle",
+            (
+                F.col("__b").cast("long") * F.lit(1 << 43).cast("long")
+                + F.row_number().over(wid)
+            ).alias("__sid"),
+        )
+        .localCheckpoint()
+    )
+    vec = (
+        sh.join(ids, "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_list("__sid").alias("__sv"))
+    )
+    va = vec.select(F.col("doc_id").alias("id_a"), F.col("__sv").alias("__sa"))
+    vb = vec.select(F.col("doc_id").alias("id_b"), F.col("__sv").alias("__sb"))
     return va.join(maybe_broadcast(cand), "id_a").join(vb, "id_b")
 
 
@@ -252,7 +311,7 @@ def ngram_jaccard_pairs(
     # identical double division.
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        _verified_pair_arrays(df, cand, text_col, id_col, n)
+        _verified_pair_ids(df, cand, text_col, id_col, n)
         .select(
             "id_a",
             "id_b",
@@ -303,7 +362,7 @@ def overlap_coefficient_pairs(
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     denom = F.least(F.size("__sa"), F.size("__sb"))  # arrays are distinct
     return (
-        _verified_pair_arrays(df, cand, text_col, id_col, n)
+        _verified_pair_ids(df, cand, text_col, id_col, n)
         .select("id_a", "id_b", (inter / denom).alias("overlap"))
         .filter(F.col("overlap") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
@@ -430,30 +489,19 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    # exact-Jaccard verify on candidates only
-    shingles = _spread(df).select(
-        F.col(id_col).alias("doc_id"), word_ngrams(_lc(text_col), ngram).alias("sh")
-    )
-    va = shingles.alias("va")
-    vb = shingles.alias("vb")
-    # candidate pairs are normally tiny next to the shingle arrays, but
-    # their count is corpus-dependent (one degenerate bucket of n
-    # identical docs → n²/2 candidates) and the candidate pipeline is too
-    # expensive for a count probe — un-hinted, AQE broadcasts from the
-    # measured runtime size and the pathological case degrades to a
-    # shuffle join instead of an OOM (maybe_broadcast rationale).
-    # |A∪B| = |A| + |B| − |A∩B| over distinct shingle arrays: skip the
-    # union-array materialization (same exact integers, identical double)
-    inter = F.size(F.array_intersect(F.col("va.sh"), F.col("vb.sh")))
+    # exact-Jaccard verify on candidates only — the shared int-id verify
+    # join (r12: the inline string-array copy folded into the ONE helper;
+    # maybe_broadcast rationale and the union-free |A∪B| identity live
+    # there)
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        va.join(maybe_broadcast(cand), F.col("id_a") == F.col("va.doc_id"))
-        .join(vb, F.col("id_b") == F.col("vb.doc_id"))
+        _verified_pair_arrays(df, cand, text_col, id_col, ngram)
         .select(
             "id_a",
             "id_b",
             (
                 inter.cast("double")
-                / (F.size(F.col("va.sh")) + F.size(F.col("vb.sh")) - inter)
+                / (F.size("__sa") + F.size("__sb") - inter)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
@@ -1595,7 +1643,7 @@ def containment_pairs(
         F.size("__sa") < F.size("__sb"), F.col("id_a")
     ).otherwise(F.col("id_b"))
     return (
-        _verified_pair_arrays(df, cand, text_col, id_col, n)
+        _verified_pair_ids(df, cand, text_col, id_col, n)
         .select(
             "id_a",
             "id_b",
