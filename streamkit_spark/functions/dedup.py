@@ -137,9 +137,26 @@ def _verified_pair_ids(
     ways on all five verify consumers at two SFs); only the hash work
     per candidate element changes.  Ids are a bucketed dense rank,
     ``pmod(xxhash64(shingle), 2^16) · 2^43 + row_number within the
-    bucket`` — injective (each bucket holds < 2^43 shingles) with no
-    single-partition global window at any vocabulary size, and the id
-    table is localCheckpoint'ed so both array sides read ONE assignment.
+    bucket`` — injective while each bucket holds < 2^31 shingles
+    (row_number is INT-typed; with 2^16 buckets that is ~1.4e14
+    distinct shingles total) with no single-partition global window at
+    any vocabulary size.  The id table is localCheckpoint'ed — an
+    EAGER job at plan-construction time, which is why logical-plan-only
+    contexts (the SQL view registry) must route through the string
+    sibling.  The per-doc vector table built on it is referenced by
+    both array sides and re-planned per side (the join+collect runs
+    ≤2×; the measured wins below INCLUDE that cost — checkpointing the
+    vectors too would trade more eager materialization for the saved
+    re-plan and is left unmeasured).
+
+    PRECONDITION (both siblings): ``id_col`` must be unique per doc.
+    The candidate stages already MERGE duplicate-id rows (their df
+    counts and per-doc rank windows key on doc_id), so duplicate ids
+    are incoherent upstream of the verify; this helper's per-doc
+    groupBy additionally concatenates duplicate rows' id arrays where
+    the string sibling would emit one (duplicated) row per input row —
+    neither behavior is meaningful, fix the input.
+
     Measured at sf0.1: dedup_containment 5.59 → 4.77 s (32 cores) and
     8.06 → 4.79 s (8 cores, where string hashing was the compute
     floor); dedup_ngram_jaccard 5.75 → 4.72 s; effective_tokens
@@ -178,12 +195,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    verify: str = "ids",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via prefix filtering (the AllPairs /
     PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All Pairs
     Similarity Search", WWW'07).  Output: (id_a, id_b, jaccard) with
     id_a < id_b and jaccard ≥ threshold — identical to the naive
     all-candidates computation, but without its hot-shingle skew.
+
+    ``verify``: ``"ids"`` (default — the dense-long-id verify, fastest
+    on this operator's large candidate sets, but its id table runs an
+    EAGER localCheckpoint job at plan-construction time) or
+    ``"arrays"`` (the string-array verify, fully LAZY — required by
+    logical-plan-only contexts like the SQL view registry, which must
+    not run jobs at registration).  Both produce byte-identical output
+    (the id map is a bijection).
 
     Why this scales where the raw shingle self-join doesn't: joining on
     every shingle explodes quadratically on common shingles ("the end of"
@@ -309,9 +335,12 @@ def ngram_jaccard_pairs(
     # |A| + |B| − |A∩B| (word_ngrams arrays are distinct sets), so the
     # union array is never materialized — same two exact integers, the
     # identical double division.
+    if verify not in ("ids", "arrays"):
+        raise ValueError(f"unknown verify mode: {verify!r} (ids|arrays)")
+    _verify = _verified_pair_ids if verify == "ids" else _verified_pair_arrays
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        _verified_pair_ids(df, cand, text_col, id_col, n)
+        _verify(df, cand, text_col, id_col, n)
         .select(
             "id_a",
             "id_b",

@@ -332,8 +332,12 @@ def register_diagnostics_views(
         # runs eager driver-side work (edge count + union-find collect),
         # which would break this function's views-are-logical-plans
         # contract; use curation.effective_token_report directly.
+        # verify="arrays": the default id verify runs an EAGER
+        # localCheckpoint job building its shingle-id table, which the
+        # same contract forbids at registration time (r12 review).
         views[f"{p}source_dup_matrix"] = D.pair_source_matrix(
-            D.ngram_jaccard_pairs(documents, threshold=0.6), documents
+            D.ngram_jaccard_pairs(documents, threshold=0.6, verify="arrays"),
+            documents,
         )
     for name, df in views.items():
         df.createOrReplaceTempView(name)

@@ -270,3 +270,39 @@ def test_timeseries_views_queryable_from_sql(spark):
     assert row["xcorr_pairs"] == n_types * (n_types - 1) // 2
     assert row["wilson_ok"] == n_types
     assert 0.0 <= row["max_jsd"] <= 0.6931471805599453 + 1e-9
+
+
+def test_jaccard_verify_modes_lazy_vs_eager(spark):
+    """The r12 dense-id verify runs an EAGER localCheckpoint job at
+    plan-construction time; verify="arrays" must stay fully lazy (the
+    SQL view registry depends on it — r9/r12 views-are-logical-plans
+    contract), and the registry must route through it.  Both modes
+    must return identical rows."""
+    import inspect
+
+    from streamkit_spark import sql as SQ
+    from streamkit_spark import tables
+    from streamkit_spark.functions import dedup as D
+    from tests.conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    docs.count()  # settle any load-time probes before sampling jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy_df = D.ngram_jaccard_pairs(docs, threshold=0.6, verify="arrays")
+    after_lazy = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after_lazy), (
+        "verify='arrays' construction executed Spark jobs"
+    )
+    eager_df = D.ngram_jaccard_pairs(docs, threshold=0.6, verify="ids")
+    after_eager = tracker.getJobIdsForGroup(None)
+    assert list(after_eager) != list(after_lazy), (
+        "expected the ids verify to materialize its id table eagerly"
+    )
+    # identical output across modes (the id map is a bijection)
+    assert lazy_df.exceptAll(eager_df).count() == 0
+    assert eager_df.exceptAll(lazy_df).count() == 0
+    # the registry routes its pair view through the lazy mode
+    assert 'verify="arrays"' in inspect.getsource(
+        SQ.register_diagnostics_views
+    )
